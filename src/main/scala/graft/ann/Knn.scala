@@ -1,0 +1,170 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>) — harness extension for training-data pipelines.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (the exactness baseline): a join + window,
+  *    O(Q·N) dot products, fully codegen'd via `zip_with`/`aggregate`
+  *    (no UDF). Correct at any scale, quadratic cost — the oracle.
+  *  - LSH-bucketed (random-hyperplane signatures): dot products only
+  *    within matching sign-buckets. The hyperplanes are deterministic
+  *    (seeded hash arithmetic, no RNG state) so results are reproducible
+  *    across runs and engines. This is the 100 TB path: candidate
+  *    generation is an equi-join on a compact key.
+  */
+object Knn {
+
+  /** l2 norm of an array<float/double> column, as double. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Dot product of two equal-length array columns, as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows by cosine similarity (excluding self-matches by id).
+    * Deterministic ordering: similarity desc, then neighbor id asc.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a fixed-point value in [-1, 1) derived from md5 — stable across
+    * engines, no RNG. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p#"), d.cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(2147483648.0d)) - lit(1.0d)
+
+  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
+    * long. Vectors with equal signatures are near-collinear candidates.
+    */
+  def hyperplaneSignature(v: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed top-k: signatures over `numPlanes` hyperplanes,
+    * `numTables` independent tables (banded planes); candidates = rows
+    * sharing a (table, signature) bucket; exact cosine re-rank within
+    * candidates. Recall grows with tables; cost stays near-linear.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      numTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def sigs(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+        posexplode(array((0 until numTables).map { t =>
+          (0 until numPlanes).map { p =>
+            val proj = aggregate(
+              zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+                (x, i) => x.cast("double") *
+                  planeComponent(t * numPlanes + p, i)),
+              lit(0.0d), (acc, x) => acc + x)
+            when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+          }.reduce((a, b) => a.bitwiseOR(b))
+        }: _*)).as(Seq("table", "sig")))
+    val qs = sigs(queries, "query")
+    val cs = sigs(corpus, "neighbor")
+    val cand = qs.join(cs, Seq("table", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_vec"), col("neighbor_vec"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** IVF-style partitioned search: cluster the corpus with MLlib KMeans
+    * into `nlist` coarse cells, then search only the `nprobe` cells whose
+    * centroids are nearest each query. The centroid table is tiny and
+    * broadcast; the corpus is scanned once partitioned by cell.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val corpusVec = corpus.select(col(idCol), col(vecCol))
+      .withColumn("fvec", array_to_vector(col(vecCol)))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fvec")
+      .setPredictionCol("cell")
+    val model = km.fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("cell"))
+
+    // Tiny centroid table → collected to the driver, shipped as a literal.
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (v: Vector, i) => (i, v.toArray)
+    }
+    val centroidDf = corpus.sparkSession
+      .createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", -dot(col("q_vec"), col("centroid")) /
+        (l2Norm(col("q_vec")) * l2Norm(col("centroid"))))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= nprobe)
+      .select("query_id", "q_vec", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(assigned, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

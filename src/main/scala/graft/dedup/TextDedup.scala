@@ -1,0 +1,166 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-scale deduplication operators for training-data pipelines
+  * (harness extension beyond the reference's person-dedup surface; the
+  * reference's exact pre-merge at pgdedupe/run.py:91-99 is the pattern all
+  * of these generalize).
+  *
+  * All operators are pure column expressions + joins — no UDFs — so the
+  * whole family stays inside whole-stage codegen and scales by shuffle.
+  */
+object TextDedup {
+
+  /** Exact dedup by content hash (md5 over the text column): keeps the
+    * minimum doc_id per identical text. One hash-aggregation shuffle;
+    * at 100 TB hash first so the shuffle carries 32-byte digests, not
+    * document bodies.
+    */
+  def exactByHash(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("dup_count"),
+        sort_array(collect_list(idCol)).as("member_ids"))
+
+  /** Whitespace word shingles of size k, distinct, as array<string>. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** MinHash signatures via k independent "permutations" implemented as
+    * min-over-md5(shingle ++ seed) — deterministic across engines and
+    * runs, no RNG state. Returns (idCol, sig: array<string> of k mins).
+    */
+  def minHashSignature(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(col(textCol), shingleK)
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(s, lit(s"#$i")))))
+    }: _*)
+    docs.select(col(idCol), sig.as("sig"))
+      .where(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
+    * = numHashes), bucket-join on (band, band-hash), emit distinct ordered
+    * id pairs. The classic shingle→minhash→band→bucket-join pipeline; the
+    * band join is the only shuffle that matters and it is an equi-join on
+    * a high-cardinality key, so it scales linearly with data.
+    */
+  def minHashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleK: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sigs = minHashSignature(docs, textCol, idCol, shingleK, numHashes)
+    val banded = sigs.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
+    val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs, computed by re-joining
+    * shingle sets (expressed as joins + aggregations so the oracle can run
+    * the identical SQL; |A∩B| via a shingle-level equi-join, |A∪B| =
+    * |A|+|B|−|A∩B|).
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol),
+      shingles(col(textCol), shingleK).as("sh"))
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    val toks = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val interCount = candidates
+      .join(toks.select(col(idCol).as("a_id"), col("s")), "a_id")
+      .join(toks.select(col(idCol).as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    candidates
+      .join(interCount, Seq("a_id", "b_id"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per token take the first 16
+    * hex chars of md5 as a 64-bit integer; the fingerprint's bit j is the
+    * sign of Σ_tokens (bit_j ? +1 : −1). Near-dup pairs = fingerprints
+    * within `maxHamming` bits, found by exact-match on rotations
+    * (here: bucket by 4 16-bit chunks — Hamming ≤ 3 guarantees one exact
+    * chunk match, the standard pigeonhole trick).
+    */
+  def simHash(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(filter(split(col(textCol), "\\s+"),
+        t => t =!= ""))).as("tok"))
+    val hashed = toks.withColumn("h",
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val agg = hashed.groupBy(idCol).agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 60).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates within Hamming distance `maxHamming`
+    * (≤ 3 with 4 chunks, pigeonhole: some 15-bit chunk matches exactly).
+    */
+  def simHashCandidates(fingerprints: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val banded = fingerprints.select(col(idCol),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL)
+      }: _*)).as(Seq("chunk", "ckey")))
+    val l = banded.select(col("chunk"), col("ckey"), col(idCol).as("a_id"))
+    val r = banded.select(col("chunk"), col("ckey"), col(idCol).as("b_id"))
+    val cand = l.join(r, Seq("chunk", "ckey"))
+      .where(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
+    val fa = fingerprints.select(col(idCol).as("a_id"),
+      col("simhash").as("ha"))
+    val fb = fingerprints.select(col(idCol).as("b_id"),
+      col("simhash").as("hb"))
+    cand.join(fa, "a_id").join(fb, "b_id")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold via brute-force within LSH
+    * buckets — see graft.ann.Knn for the bucketing; this wraps it as a
+    * dedup decision (keep min id per near-dup component).
+    */
+  def keepCanonical(pairs: DataFrame, all: DataFrame,
+      idCol: String): DataFrame = {
+    val comps = graft.cluster.ConnectedComponents.run(pairs, "a_id", "b_id")
+    all.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .withColumn("canonical_id",
+        coalesce(col("component"), col(idCol)))
+      .drop("component")
+      .withColumn("is_canonical", col("canonical_id") === col(idCol))
+  }
+}

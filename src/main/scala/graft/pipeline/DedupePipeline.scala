@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.blocking.{Blocker, FirstChars, Predicate, TokenField, WholeField}
+import graft.cluster.{ExactMatches, Hierarchical}
+import graft.config.DedupeConfig
+import graft.model.LogisticModel
+import graft.ops.RelationalOps
+
+/** End-to-end dedupe dataflow, mirroring the reference's six CLI stages
+  * (ref: pgdedupe/cli.py:46-62 — preprocess → train → block → cluster →
+  * write → apply; SURVEY.md §3.1). Each stage is public and individually
+  * composable (ref: tests/test_reproducibility.py:10 drives phases
+  * directly — SURVEY.md §3.3).
+  *
+  * Everything is one lazy DataFrame lineage per phase; only the learned
+  * model (a few doubles) lives on the driver.
+  */
+object DedupePipeline {
+
+  final case class Result(
+      entriesUnique: DataFrame,
+      blockingMap: DataFrame,
+      pairs: DataFrame,
+      scoredPairs: DataFrame,
+      entityMap: DataFrame,
+      mapped: DataFrame, // _unique_id grain with dedupe_id
+      uniqueMap: DataFrame) // source-key grain with dedupe_id
+
+  /** Static default predicate set when no learned settings exist — legal
+    * predicate shapes from the reference's learner (ref: SURVEY.md D5):
+    * exact key per Categorical/Exact field; first-4-chars + whole-field
+    * per String field.
+    */
+  def defaultPredicates(cfg: DedupeConfig): Seq[Predicate] =
+    cfg.fields.flatMap { f =>
+      f.ftype match {
+        case "String" => Seq(WholeField(f.field), FirstChars(f.field, 4))
+        case _        => Seq(WholeField(f.field))
+      }
+    }
+
+  /** preprocess (ref run.py:62-99): filter + exact-duplicate merge. */
+  def preprocess(entries: DataFrame, cfg: DedupeConfig): DataFrame =
+    RelationalOps.exactDedup(entries, cfg.columns, cfg.key, cfg.filterCondition)
+
+  /** create_blocking (ref run.py:187-321): predicate application +
+    * singleton elimination + Kolb coverage tables, one lineage.
+    */
+  def block(
+      entriesUnique: DataFrame,
+      cfg: DedupeConfig,
+      predicates: Seq[Predicate]): (DataFrame, DataFrame) = {
+    val bm = Blocker.blockingMap(entriesUnique, predicates)
+    val pk = RelationalOps.pluralKeys(bm, cfg.maxBlockSize.toLong)
+    val pb = RelationalOps.pluralBlocks(bm, pk)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val covered = RelationalOps.coveredBlocks(pb)
+    val sc = RelationalOps.smallerCoverage(pb, covered)
+    (bm, sc)
+  }
+
+  /** cluster phase part 1 (ref run.py:362-379): redundant-free pairs with
+    * record payloads re-attached (J3) and model scores (D1+D2+D7).
+    */
+  def scorePairs(
+      entriesUnique: DataFrame,
+      smallerCoverage: DataFrame,
+      cfg: DedupeConfig,
+      model: LogisticModel): (DataFrame, DataFrame) = {
+    val pairs = RelationalOps.kolbPairs(smallerCoverage)
+    val lrec = cfg.columns.foldLeft(
+      entriesUnique.select(col("_unique_id").as("l_id"),
+        struct(cfg.columns.map(col): _*).as("l_rec")))((d, _) => d)
+    val rrec = entriesUnique.select(col("_unique_id").as("r_id"),
+      struct(cfg.columns.map(col): _*).as("r_rec"))
+    val withRecs = pairs
+      .join(lrec, "l_id")
+      .join(rrec, "r_id")
+      .select(Seq(col("l_id"), col("r_id")) ++
+        cfg.columns.map(c => col(s"l_rec.$c").as(s"l_$c")) ++
+        cfg.columns.map(c => col(s"r_rec.$c").as(s"r_$c")): _*)
+    val scored = model.scorePairs(cfg, withRecs)
+    (pairs, scored)
+  }
+
+  /** cluster phase part 2 + write_results (ref run.py:383-425). */
+  def cluster(scored: DataFrame, cfg: DedupeConfig): DataFrame =
+    Hierarchical.cluster(
+      scored.select("l_id", "r_id", "score"),
+      cfg.threshold, cfg.maxComponentSize)
+
+  /** apply_results (ref run.py:429-491): right-join + coalesce, exact-match
+    * merge passes over unique records, then explode to source grain.
+    */
+  def apply(
+      entityMap: DataFrame,
+      entriesUnique: DataFrame,
+      cfg: DedupeConfig): (DataFrame, DataFrame) = {
+    var mapped = RelationalOps.applyClusters(entityMap, entriesUnique)
+    // merge_exact sets whose columns are all dedup fields run on unique
+    // records (ref run.py:454-460); others would need the raw table.
+    val uniqueFieldSets =
+      cfg.mergeExact.filter(_.forall(cfg.columns.contains))
+    if (uniqueFieldSets.nonEmpty) {
+      val withFields = mapped.join(
+        entriesUnique.select((Seq(col("_unique_id")) ++
+          cfg.columns.map(col)): _*), "_unique_id")
+      val merged = uniqueFieldSets.foldLeft(withFields)((d, cols) =>
+        ExactMatches.merge(d, cols, "dedupe_id"))
+      mapped = merged.select("dedupe_id", "_unique_id", "cluster_score",
+        "src_ids")
+    }
+    val um = RelationalOps.uniqueMap(mapped, cfg.key)
+    (mapped, um)
+  }
+
+  /** Full pipeline with a static (or defaulted) model. */
+  def run(
+      entries: DataFrame,
+      cfg: DedupeConfig,
+      modelOpt: Option[LogisticModel] = None,
+      predicatesOpt: Option[Seq[Predicate]] = None): Result = {
+    val model = modelOpt.getOrElse(LogisticModel.default(cfg))
+    val predicates = predicatesOpt.getOrElse(defaultPredicates(cfg))
+    val eu = preprocess(entries, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val (bm, sc) = block(eu, cfg, predicates)
+    val (pairs, scored) = scorePairs(eu, sc, cfg, model)
+    val em = cluster(scored, cfg)
+    val (mapped, um) = apply(em, eu, cfg)
+    Result(eu, bm, pairs, scored, em, mapped, um)
+  }
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.TextDedup
+import graft.ops.RelationalOps
+
+/** Dedupe-dataflow operators (SURVEY.md §2.6) demonstrated on the
+  * `documents` table: blocking (D5), singleton elimination (A2), pair
+  * generation (D6/J8), scoring (D7), plus the MinHash/SimHash/Jaccard
+  * near-dup family (harness extension). Oracles mirror each dataflow in
+  * portable SQL; operators whose semantics aren't SQL-expressible
+  * (SimHash bit packing) declare no oracle (driver records rows-only).
+  */
+object DedupQueries {
+
+  /** Doc-frequency cap for token blocking on the documents table: tokens
+    * present in [2, 120] docs block; ubiquitous tokens would create
+    * quadratic blocks (SURVEY §4 skew note). At sf0.01 this admits the
+    * rare-token tail (df histogram: 25 .. 402 over 500 docs).
+    */
+  val MaxDf = 120L
+
+  private val keyedSql =
+    """keyed AS (
+        SELECT DISTINCT 'token:text:' || tok AS block_key, doc_id AS _unique_id
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '')"""
+
+  private val admissibleSql =
+    """adm AS (
+        SELECT block_key FROM keyed
+        GROUP BY block_key HAVING count(*) >= 2 AND count(*) <= 120)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // D5 — predicate blocking with a df cap (ref pgdedupe/run.py:217-231;
+    // the cap plays the role of dedupe's canopy bound, SURVEY §4).
+    QueryDef(
+      "q30_blocking_map",
+      (s, dir) => graft.blocking.Blocker.tokenBlockingWithDfCap(
+        Tables.load(s, dir, "documents")
+          .withColumnRenamed("doc_id", "_unique_id"),
+        "text", MaxDf),
+      Some(s"""WITH $keyedSql, $admissibleSql
+        SELECT k.block_key, k._unique_id
+        FROM keyed k JOIN adm USING (block_key)""")),
+
+    // A2/P8 — singleton-block elimination + dense block ids
+    // (ref run.py:265-275), via RelationalOps.pluralKeys.
+    QueryDef(
+      "q31_plural_keys",
+      (s, dir) => RelationalOps.pluralKeys(
+        graft.blocking.Blocker.tokenBlockingWithDfCap(
+          Tables.load(s, dir, "documents")
+            .withColumnRenamed("doc_id", "_unique_id"),
+          "text", Long.MaxValue),
+        MaxDf),
+      Some(s"""WITH $keyedSql
+        SELECT block_key,
+          row_number() OVER (ORDER BY block_key) AS block_id
+        FROM (SELECT block_key FROM keyed
+              GROUP BY block_key HAVING count(*) > 1 AND count(*) <= 120)""")),
+
+    // D6/J8 — within-block ordered pairs, globally distinct
+    // (ref run.py:293-319 + SURVEY §4's distinct-pairs idiom).
+    QueryDef(
+      "q32_candidate_pairs",
+      (s, dir) => {
+        val bm = graft.blocking.Blocker.tokenBlockingWithDfCap(
+          Tables.load(s, dir, "documents")
+            .withColumnRenamed("doc_id", "_unique_id"),
+          "text", MaxDf)
+        val pk = RelationalOps.pluralKeys(bm, MaxDf)
+        val pb = RelationalOps.pluralBlocks(bm, pk)
+        RelationalOps.distinctPairs(pb)
+      },
+      Some(s"""WITH $keyedSql, $admissibleSql
+        SELECT DISTINCT a._unique_id AS l_id, b._unique_id AS r_id
+        FROM keyed a JOIN adm USING (block_key)
+        JOIN keyed b USING (block_key)
+        WHERE a._unique_id < b._unique_id""")),
+
+    // D7 — sigmoid scoring + threshold over a numeric distance feature
+    // (ref run.py:362-379; weights inlined in the plan, graft.model).
+    QueryDef(
+      "q33_score_threshold",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumnRenamed("doc_id", "_unique_id")
+        val bm = graft.blocking.Blocker.tokenBlockingWithDfCap(
+          docs, "text", MaxDf)
+        val pk = RelationalOps.pluralKeys(bm, MaxDf)
+        val pairs = RelationalOps.distinctPairs(
+          RelationalOps.pluralBlocks(bm, pk))
+        val meta = docs.select(col("_unique_id"), col("n_chars"))
+        val withF = pairs
+          .join(meta.select(col("_unique_id").as("l_id"),
+            col("n_chars").as("l_n")), "l_id")
+          .join(meta.select(col("_unique_id").as("r_id"),
+            col("n_chars").as("r_n")), "r_id")
+        val dist = abs(col("l_n") - col("r_n")).cast("double") /
+          greatest(col("l_n"), col("r_n"), lit(1L)).cast("double")
+        withF
+          .withColumn("score",
+            round(lit(1.0) / (lit(1.0) + exp(-(lit(3.0) - lit(8.0) * dist))),
+              6))
+          .where(col("score") >= 0.5)
+          .select("l_id", "r_id", "score")
+      },
+      Some(s"""WITH $keyedSql, $admissibleSql,
+        pairs AS (
+          SELECT DISTINCT a._unique_id AS l_id, b._unique_id AS r_id
+          FROM keyed a JOIN adm USING (block_key)
+          JOIN keyed b USING (block_key)
+          WHERE a._unique_id < b._unique_id),
+        f AS (
+          SELECT p.l_id, p.r_id,
+            CAST(abs(dl.n_chars - dr.n_chars) AS DOUBLE) /
+              CAST(greatest(dl.n_chars, dr.n_chars, 1) AS DOUBLE) AS dist
+          FROM pairs p
+          JOIN documents dl ON p.l_id = dl.doc_id
+          JOIN documents dr ON p.r_id = dr.doc_id)
+        SELECT l_id, r_id,
+          round(1.0 / (1.0 + exp(-(3.0 - 8.0 * dist))), 6) AS score
+        FROM f WHERE round(1.0 / (1.0 + exp(-(3.0 - 8.0 * dist))), 6) >= 0.5""")),
+
+    // MinHash signatures (harness dedup extension): k "permutations" as
+    // min-over-md5(token ++ seed) — RNG-free, engine-portable.
+    QueryDef(
+      "q34_minhash_signature",
+      (s, dir) => TextDedup.minHashSignature(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          shingleK = 1, numHashes = 4)
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("h0"),
+          element_at(col("sig"), 2).as("h1"),
+          element_at(col("sig"), 3).as("h2"),
+          element_at(col("sig"), 4).as("h3")),
+      Some("""SELECT doc_id,
+          min(md5(tok || '#0')) AS h0, min(md5(tok || '#1')) AS h1,
+          min(md5(tok || '#2')) AS h2, min(md5(tok || '#3')) AS h3
+        FROM (SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) WHERE tok <> '')
+        GROUP BY doc_id""")),
+
+    // MinHash-LSH banded candidates: shingle → minhash → band →
+    // bucket-join (the scale path: one equi-join shuffle).
+    QueryDef(
+      "q35_minhash_candidates",
+      (s, dir) => TextDedup.minHashCandidates(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        shingleK = 1, numHashes = 4, bands = 2),
+      Some("""WITH sig AS (
+          SELECT doc_id,
+            min(md5(tok || '#0')) AS h0, min(md5(tok || '#1')) AS h1,
+            min(md5(tok || '#2')) AS h2, min(md5(tok || '#3')) AS h3
+          FROM (SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) WHERE tok <> '')
+          GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig)
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id""")),
+
+    // n-gram (here unigram) Jaccard verification of candidates, as
+    // joins + aggregations so the oracle runs the identical dataflow.
+    QueryDef(
+      "q36_jaccard_verify",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cands = TextDedup.minHashCandidates(docs, "text", "doc_id",
+          shingleK = 1, numHashes = 4, bands = 2)
+        TextDedup.jaccardVerify(docs, cands, "text", "doc_id",
+            shingleK = 1, minJaccard = 0.5)
+          .select(col("a_id"), col("b_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""WITH sig AS (
+          SELECT doc_id,
+            min(md5(tok || '#0')) AS h0, min(md5(tok || '#1')) AS h1,
+            min(md5(tok || '#2')) AS h2, min(md5(tok || '#3')) AS h3
+          FROM (SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) WHERE tok <> '')
+          GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id),
+        toks AS (SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) WHERE tok <> ''),
+        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT c.a_id, c.b_id, count(*) AS i
+          FROM cand c
+          JOIN toks ta ON ta.doc_id = c.a_id
+          JOIN toks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+          GROUP BY c.a_id, c.b_id)
+        SELECT c.a_id, c.b_id,
+          round(CAST(coalesce(i.i, 0) AS DOUBLE) /
+            CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE) /
+          CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) >= 0.5""")),
+
+    // 64-bit SimHash + Hamming-bucketed near-dup pairs. Bit packing isn't
+    // portably SQL-expressible → no oracle (rows-only check).
+    QueryDef(
+      "q37_simhash_pairs",
+      (s, dir) => {
+        val fp = TextDedup.simHash(Tables.load(s, dir, "documents"))
+        TextDedup.simHashCandidates(fp, maxHamming = 8)
+      },
+      None),
+
+    // Near-dup canonicalization: connected components over candidate
+    // pairs, keep min id per component (D9/D10 reused for doc dedup).
+    QueryDef(
+      "q38_dedup_canonical",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val verified = TextDedup.jaccardVerify(docs,
+          TextDedup.minHashCandidates(docs, "text", "doc_id",
+            shingleK = 1, numHashes = 4, bands = 2),
+          "text", "doc_id", shingleK = 1, minJaccard = 0.9)
+        TextDedup.keepCanonical(
+            verified.select("a_id", "b_id"), docs, "doc_id")
+          .select("doc_id", "canonical_id", "is_canonical")
+      },
+      None))
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.{DedupeConfig, FieldSpec}
+import graft.ops.RelationalOps
+import graft.pipeline.DedupePipeline
+
+/** End-to-end dedupe-pipeline demos plus the faithful Kolb redundant-free
+  * chain (oracle-checked through all five derived tables).
+  */
+object PipelineQueries {
+
+  /** Derive a person-ish entries table from `customer`, unioned with a
+    * mutated copy (suffix typos, dropped fields) so the pipeline has real
+    * duplicates to find. Deterministic — pure column expressions.
+    */
+  def personEntries(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val base = c.select(
+      col("c_custkey").as("entry_id"),
+      concat(lit("fn"), (col("c_custkey") % 400).cast("string"))
+        .as("first_name"),
+      concat(lit("ln"), (col("c_custkey") % 700).cast("string"))
+        .as("last_name"),
+      format_string("%03d-%02d-%04d", col("c_custkey") % 900,
+        col("c_custkey") % 89, col("c_custkey") % 9000).as("ssn"),
+      when(col("c_custkey") % 2 === 0, "M").otherwise("F").as("sex"),
+      col("c_mktsegment").as("segment"))
+    // Mutated duplicates: same person, typo'd first name, missing ssn on
+    // every third row — entry ids offset by 10M to stay distinct.
+    val dup = base
+      .where(col("entry_id") % 3 =!= 0)
+      .select(
+        (col("entry_id") + 10000000L).as("entry_id"),
+        concat(col("first_name"), lit("x")).as("first_name"),
+        col("last_name"),
+        when(col("entry_id") % 3 === 1, col("ssn")).otherwise(lit(null)
+          .cast("string")).as("ssn"),
+        col("sex"), col("segment"))
+    base.unionByName(dup)
+  }
+
+  val personConfig: DedupeConfig = DedupeConfig(
+    key = "entry_id",
+    fields = Seq(
+      FieldSpec("first_name", "String"),
+      FieldSpec("last_name", "String"),
+      FieldSpec("ssn", "String", hasMissing = true),
+      FieldSpec("sex", "Categorical", Seq("M", "F")),
+      FieldSpec("segment", "Categorical")),
+    interactions = Seq(Seq("first_name", "last_name")),
+    filterCondition = "first_name IS NOT NULL",
+    mergeExact = Seq(Seq("ssn")),
+    threshold = 0.5,
+    maxBlockSize = 2000)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The faithful Kolb redundant-free comparison chain (D6, ref
+    // pgdedupe/run.py:293-319): plural_key → plural_block →
+    // covered_blocks → smaller_coverage → intersection-filtered pairs.
+    // Produces each candidate pair exactly once, from its smallest
+    // common block — oracle-checked end to end.
+    QueryDef(
+      "q39_kolb_pairs",
+      (s, dir) => {
+        val bm = graft.blocking.Blocker.tokenBlockingWithDfCap(
+          Tables.load(s, dir, "documents")
+            .withColumnRenamed("doc_id", "_unique_id"),
+          "text", DedupQueries.MaxDf)
+        val pk = RelationalOps.pluralKeys(bm, DedupQueries.MaxDf)
+        val pb = RelationalOps.pluralBlocks(bm, pk)
+        val cb = RelationalOps.coveredBlocks(pb)
+        val sc = RelationalOps.smallerCoverage(pb, cb)
+        RelationalOps.kolbPairs(sc)
+      },
+      Some("""WITH keyed AS (
+          SELECT DISTINCT 'token:text:' || tok AS block_key,
+            doc_id AS _unique_id
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        pk AS (
+          SELECT block_key,
+            row_number() OVER (ORDER BY block_key) AS block_id
+          FROM (SELECT block_key FROM keyed GROUP BY block_key
+                HAVING count(*) > 1 AND count(*) <= 120)),
+        pb AS (SELECT block_id, _unique_id FROM keyed JOIN pk
+          USING (block_key)),
+        cb AS (SELECT _unique_id, list_sort(array_agg(block_id))
+            AS sorted_ids
+          FROM pb GROUP BY _unique_id),
+        sc AS (SELECT pb._unique_id, pb.block_id,
+            list_slice(sorted_ids, 1,
+              list_position(sorted_ids, pb.block_id) - 1) AS smaller_ids
+          FROM pb JOIN cb USING (_unique_id))
+        SELECT l._unique_id AS l_id, r._unique_id AS r_id
+        FROM sc l JOIN sc r USING (block_id)
+        WHERE l._unique_id < r._unique_id
+          AND len(list_intersect(l.smaller_ids, r.smaller_ids)) = 0""")),
+
+    // Flagship: the full record-linkage pipeline (preprocess → block →
+    // pair → score → cluster → apply, ref pgdedupe/cli.py:46-62) on
+    // customer-derived person records. ML scores aren't SQL-expressible
+    // → rows-only (quality gates live in ScalaTest, SURVEY §5).
+    QueryDef(
+      "q50_dedupe_pipeline",
+      (s, dir) => {
+        val result = DedupePipeline.run(personEntries(s, dir), personConfig)
+        result.uniqueMap
+      },
+      None),
+
+    // Exact-duplicate pre-merge on the person table (A1) — the one
+    // pipeline stage that IS SQL-expressible end to end, oracle-checked.
+    QueryDef(
+      "q51_entries_unique",
+      (s, dir) => RelationalOps.exactDedup(
+        personEntries(s, dir),
+        Seq("first_name", "last_name", "ssn", "sex", "segment"),
+        "entry_id", "first_name IS NOT NULL"),
+      Some("""WITH base AS (
+          SELECT c_custkey AS entry_id,
+            'fn' || CAST(c_custkey % 400 AS VARCHAR) AS first_name,
+            'ln' || CAST(c_custkey % 700 AS VARCHAR) AS last_name,
+            printf('%03d-%02d-%04d', c_custkey % 900, c_custkey % 89,
+              c_custkey % 9000) AS ssn,
+            CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS sex,
+            c_mktsegment AS segment
+          FROM customer),
+        dup AS (
+          SELECT b.entry_id + 10000000 AS entry_id,
+            b.first_name || 'x' AS first_name, b.last_name,
+            CASE WHEN b.entry_id % 3 = 1 THEN b.ssn ELSE NULL END AS ssn,
+            b.sex, b.segment
+          FROM base b WHERE b.entry_id % 3 <> 0),
+        entries AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+        SELECT first_name, last_name, ssn, sex, segment,
+          list_sort(array_agg(entry_id)) AS src_ids,
+          row_number() OVER (ORDER BY first_name ASC NULLS FIRST,
+            last_name ASC NULLS FIRST, ssn ASC NULLS FIRST,
+            sex ASC NULLS FIRST, segment ASC NULLS FIRST) AS _unique_id
+        FROM entries
+        WHERE first_name IS NOT NULL
+        GROUP BY first_name, last_name, ssn, sex, segment""")))
+}

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cluster.ExactMatches
+import graft.ops.RelationalOps
+import QueryDef.{descale, exactSum, sqlExactSum}
+
+/** The reference's relational operator surface (SURVEY.md §2.1–2.5/§2.7)
+  * demonstrated over the harness tables, each with a DuckDB oracle.
+  * Ref rows cited per query.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1/P1/P2 — scan + config-driven projection + filter_condition
+    // (ref pgdedupe/run.py:138-144, :35, :95).
+    QueryDef(
+      "q01_scan_filter_project",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 100000.0 &&
+          col("o_orderstatus").isNotNull &&
+          (col("o_orderpriority") === "1-URGENT" ||
+            col("o_totalprice") > 400000.0))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total")),
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        FROM orders
+        WHERE o_totalprice > 100000.0 AND o_orderstatus IS NOT NULL
+          AND (o_orderpriority = '1-URGENT' OR o_totalprice > 400000.0)""")),
+
+    // S2 — DISTINCT scan feeding index predicates (ref run.py:217-222).
+    QueryDef(
+      "q02_distinct",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select("c_mktsegment").distinct(),
+      Some("SELECT DISTINCT c_mktsegment FROM customer")),
+
+    // P3/P4 — COALESCE + string concat (ref run.py:442-444,
+    // tests/initialize_db.py:36-37 full_name derivation).
+    QueryDef(
+      "q03_concat_coalesce",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat_ws(" ", col("c_name"), col("c_mktsegment")).as("full_name"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("OTHER")).as("seg")),
+      Some("""SELECT c_custkey,
+          concat_ws(' ', c_name, c_mktsegment) AS full_name,
+          coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+        FROM customer""")),
+
+    // A3/P5/P6 — sorted array_agg + slice up to array_position
+    // (ref run.py:297-303, :314-319; array_position replaces the custom
+    // idx() SQL function at run.py:81-89).
+    QueryDef(
+      "q04_array_agg_slice",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set("l_linenumber")).as("sorted_ids"))
+        .select(col("l_orderkey"), col("sorted_ids"),
+          slice(col("sorted_ids"), lit(1),
+            (array_position(col("sorted_ids"),
+              element_at(col("sorted_ids"), -1)) - 1).cast("int"))
+            .as("smaller_ids")),
+      Some("""SELECT l_orderkey, sorted_ids,
+          list_slice(sorted_ids, 1,
+            list_position(sorted_ids, sorted_ids[-1]) - 1) AS smaller_ids
+        FROM (SELECT l_orderkey,
+            list_sort(list_distinct(array_agg(l_linenumber))) AS sorted_ids
+          FROM lineitem GROUP BY l_orderkey)""")),
+
+    // P7 — unnest/explode (ref run.py:473-475).
+    QueryDef(
+      "q05_unnest",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= ""))
+            .as("tok")),
+      Some("""SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) WHERE tok <> ''""")),
+
+    // P8 — dense surrogate row ids via row_number (ref SERIAL at
+    // run.py:97-98; window ordering makes it deterministic, SURVEY §7.4).
+    QueryDef(
+      "q06_rowid",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          row_number().over(Window.orderBy("c_custkey")).cast("long")
+            .as("rid")),
+      Some("""SELECT c_custkey,
+          row_number() OVER (ORDER BY c_custkey) AS rid
+        FROM customer""")),
+
+    // P9 — md5 fingerprint (ref pgdedupe/utils.py:20-28 model hash).
+    QueryDef(
+      "q07_md5",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), md5(col("c_name")).as("name_hash")),
+      Some("SELECT c_custkey, md5(c_name) AS name_hash FROM customer")),
+
+    // P10 — cast arithmetic ratios (ref validation notebook cells 7-10).
+    QueryDef(
+      "q08_cast_ratio",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long")
+            .as("n_discounted"),
+          count(lit(1)).as("n_total"))
+        .select(col("l_returnflag"), col("n_discounted"), col("n_total"),
+          round(col("n_discounted").cast("double") /
+            col("n_total").cast("double"), 6).as("discount_ratio")),
+      Some("""SELECT l_returnflag,
+          CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_discounted,
+          count(*) AS n_total,
+          round(CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS discount_ratio
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // J1-style chained equi-joins; small dims broadcast (SURVEY §4).
+    QueryDef(
+      "q09_join_inner",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val n = broadcast(Tables.load(s, dir, "nation"))
+        val r = broadcast(Tables.load(s, dir, "region"))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name", "r_name")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT n_name, r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name""")),
+
+    // J4/P3 — right outer join + COALESCE defaults (ref run.py:441-446).
+    QueryDef(
+      "q10_right_join_coalesce",
+      (s, dir) => {
+        val oa = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        oa.join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"), "right_outer")
+          .select(col("c_custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""SELECT c_custkey, coalesce(n_orders, 0) AS n_orders
+        FROM (SELECT o_custkey, count(*) AS n_orders
+              FROM orders GROUP BY o_custkey) oa
+        RIGHT JOIN customer ON o_custkey = c_custkey""")),
+
+    // J5 — left outer join keep-all (ref exact_matches.py:71-73).
+    QueryDef(
+      "q11_left_join_agg",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(descale(exactSum(coalesce(col("o_totalprice"), lit(0.0)),
+            100), 100).as("spend"))
+      },
+      Some(s"""SELECT c_custkey,
+          ${sqlExactSum("coalesce(o_totalprice, 0.0)", 100)} AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""")),
+
+    // J6 — exact-subset self-join edge list (ref exact_matches.py:76-83),
+    // via the library's ExactMatches.mergeEdges.
+    QueryDef(
+      "q12_exact_match_edges",
+      (s, dir) => ExactMatches.mergeEdges(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_custkey"),
+      Some("""SELECT DISTINCT t1.c_custkey AS id1, t.id2
+        FROM customer t1
+        JOIN (SELECT c_nationkey, c_mktsegment, min(c_custkey) AS id2
+              FROM customer GROUP BY c_nationkey, c_mktsegment
+              HAVING count(*) > 1) t
+          USING (c_nationkey, c_mktsegment)
+        WHERE t1.c_custkey > t.id2""")),
+
+    // A1 — exact-duplicate merge by content hash (ref run.py:91-99;
+    // hash-first so the shuffle carries digests, not payloads).
+    QueryDef(
+      "q13_exact_dedup",
+      (s, dir) => graft.dedup.TextDedup.exactByHash(
+        Tables.load(s, dir, "documents")),
+      Some("""SELECT md5(text) AS content_hash,
+          min(doc_id) AS canonical_id,
+          count(*) AS dup_count,
+          list_sort(array_agg(doc_id)) AS member_ids
+        FROM documents GROUP BY md5(text)""")),
+
+    // A4 — min + HAVING canonical-target groups (ref exact_matches.py:78).
+    QueryDef(
+      "q14_min_having",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(min("c_custkey").as("id2"), count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1),
+      Some("""SELECT c_nationkey, c_mktsegment, min(c_custkey) AS id2,
+          count(*) AS cnt
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+        HAVING count(*) > 1""")),
+
+    // A5 — count / count distinct (ref test_integration.py:29-30).
+    QueryDef(
+      "q15_count_distinct",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // A6 — per-group plurality mode with deterministic tie-break
+    // (ref validation notebook cell 6's mode() WITHIN GROUP).
+    QueryDef(
+      "q16_mode",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("cnt").desc, col("c_mktsegment").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"))
+      },
+      Some("""SELECT c_nationkey, c_mktsegment AS mode_segment FROM (
+          SELECT c_nationkey, c_mktsegment,
+            row_number() OVER (PARTITION BY c_nationkey
+              ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+          FROM (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+                FROM customer GROUP BY c_nationkey, c_mktsegment))
+        WHERE rn = 1""")),
+
+    // A7 — nested aggregation: max/sum of per-group counts
+    // (ref validation notebook cells 10, 26).
+    QueryDef(
+      "q17_nested_agg",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("c_nationkey")
+        .agg(max("cnt").as("max_orders_per_cust"),
+          sum("cnt").cast("long").as("total_orders")),
+      Some("""SELECT c_nationkey, max(cnt) AS max_orders_per_cust,
+          CAST(sum(cnt) AS BIGINT) AS total_orders
+        FROM (SELECT c_custkey, c_nationkey, count(*) AS cnt
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_custkey, c_nationkey)
+        GROUP BY c_nationkey""")),
+
+    // SO1 — union + distinct (ref exact_matches.py:29 vertex set).
+    QueryDef(
+      "q18_union_distinct",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("id"))
+        .union(Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id")))
+        .distinct(),
+      Some("""SELECT o_custkey AS id FROM orders
+        UNION SELECT c_custkey AS id FROM customer""")),
+
+    // SO2 — LIMIT 0 schema clone (ref exact_matches.py:92-94).
+    QueryDef(
+      "q19_schema_clone",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name").limit(0),
+      Some("SELECT c_custkey, c_name FROM customer LIMIT 0")))
+}

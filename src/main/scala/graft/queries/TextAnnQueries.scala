@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Knn
+import graft.text.TextAnalysis
+
+/** Text-analysis + similarity-search operators (harness extensions) with
+  * portable-SQL oracles where the semantics allow.
+  */
+object TextAnnQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting (whitespace); the BPE-ish subtoken count needs
+    // lookaround regex DuckDB's RE2 lacks, so the oracle covers the
+    // portable columns and n_subtokens is exercised in ScalaTest.
+    QueryDef(
+      "q40_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"),
+          col("n_chars").as("len_chars")),
+      Some("""SELECT doc_id,
+          len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS n_words,
+          length(text) AS len_chars
+        FROM documents""")),
+
+    // Heuristic quality scoring: word-length/alpha/repetition mix.
+    QueryDef(
+      "q41_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(Tables.load(s, dir, "documents")),
+      Some("""WITH t AS (
+          SELECT doc_id, text,
+            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CAST(len(toks) AS DOUBLE) AS ntok,
+            (CAST(length(text) AS DOUBLE) - (len(toks) - 1)) /
+              CAST(len(toks) AS DOUBLE) AS mwl,
+            CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+              AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS ar,
+            CAST(len(list_distinct(toks)) AS DOUBLE) /
+              CAST(len(toks) AS DOUBLE) AS dr
+          FROM t)
+        SELECT doc_id,
+          round(CASE WHEN ntok = 0 THEN 0.0 ELSE
+            0.3 * (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) +
+            0.4 * ar + 0.3 * dr END, 6) AS quality
+        FROM m""")),
+
+    // Stopword-profile language ID with deterministic tie-breaking.
+    QueryDef(
+      "q42_language_id",
+      (s, dir) => TextAnalysis.languageId(Tables.load(s, dir, "documents")),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['der','die','das','und','ist','nicht','ein'], x)))
+              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_de,
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['the','a','of','and','to','in','is','it'], x)))
+              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_en,
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['el','la','de','que','y','en','un','es'], x)))
+              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_es,
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['le','la','de','et','un','est','que','les'], x)))
+              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_fr
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0.0 THEN 'und'
+               WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+               WHEN s_en >= s_de THEN 'en'
+               ELSE 'de' END AS lang_guess,
+          round(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_score
+        FROM s""")),
+
+    // Order-insensitive document fingerprint (sorted distinct tokens).
+    QueryDef(
+      "q43_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables.load(s, dir, "documents")),
+      Some("""SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(
+            list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+            AS fingerprint
+        FROM documents""")),
+
+    // Brute-force cosine top-k (ANN exactness baseline). Rank-only output:
+    // float comparison noise stays below ranking granularity.
+    QueryDef(
+      "q44_knn_bruteforce",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Knn.bruteForceTopK(emb, emb.where(col("vec_id") < 20), k = 3)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                i -> CAST(c.embedding[i] AS DOUBLE) *
+                  CAST(c.embedding[i] AS DOUBLE))))) AS cosine
+          FROM q CROSS JOIN embeddings c
+          WHERE q.query_id <> c.vec_id)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // LSH-bucketed ANN (deterministic hyperplanes) — the scale path;
+    // bucketing math isn't portably SQL-expressible → rows-only.
+    QueryDef(
+      "q45_knn_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Knn.lshTopK(emb, emb.where(col("vec_id") < 20), k = 3)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      None),
+
+    // IVF-partitioned ANN (MLlib KMeans coarse quantizer) — rows-only.
+    QueryDef(
+      "q46_knn_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Knn.ivfTopK(emb, emb.where(col("vec_id") < 20), k = 3,
+            nlist = 8, nprobe = 3)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      None),
+
+    // Multimodal plumbing: opaque binary column + typed metadata
+    // (decode stubbed per harness instructions; the byte-level plumbing
+    // is real and oracle-checked).
+    QueryDef(
+      "q47_binary_meta",
+      (s, dir) => graft.multimodal.Multimodal.withByteStats(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", "doc_id")
+        .select("doc_id", "n_bytes", "header_hex"),
+      Some("""SELECT doc_id,
+          octet_length(CAST(text AS BLOB)) AS n_bytes,
+          lower(to_hex(CAST(substring(text, 1, 4) AS BLOB))) AS header_hex
+        FROM documents"""))
+  )
+}

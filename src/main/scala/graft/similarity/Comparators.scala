@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.config.{DedupeConfig, FieldSpec}
+
+/** Field-comparator vectorization (ref: SURVEY.md D1).
+  *
+  * Per candidate pair, computes one distance per configured variable
+  * (ref: pgdedupe/run.py:50-58 builds String/Categorical/Interaction
+  * variables with `has missing` indicators; scoring happens inside
+  * dedupe's matchBlocks at run.py:379). Here each variable becomes a
+  * Spark Column over a pair-DataFrame with `l_<field>` / `r_<field>`
+  * columns, assembled into `features: array<double>`.
+  *
+  * All comparators except affine-gap are pure column expressions
+  * (codegen'd); affine-gap is the one Scala UDF (SURVEY.md §2.7).
+  */
+object Comparators {
+
+  val affineGapUdf =
+    udf((a: String, b: String) => AffineGap.normalized(a, b))
+  val affineGapSimUdf =
+    udf((a: String, b: String) => AffineGap.similarity(a, b))
+
+  /** Distance column for one field over pair columns l/r.
+    * NULL on either side yields NaN-free 0.0 distance with the missing
+    * indicator (separate column) carrying the signal, mirroring dedupe's
+    * `has missing` dummy-variable treatment.
+    */
+  def fieldDistance(f: FieldSpec, l: Column, r: Column): Column = f.ftype match {
+    case "String" =>
+      when(l.isNull || r.isNull, lit(0.0)).otherwise(affineGapUdf(l, r))
+    case "Categorical" | "Exact" =>
+      when(l.isNull || r.isNull, lit(0.0))
+        .otherwise(when(l === r, lit(0.0)).otherwise(lit(1.0)))
+    case "Price" | "Numeric" =>
+      when(l.isNull || r.isNull, lit(0.0)).otherwise(
+        abs(l.cast("double") - r.cast("double")) /
+          greatest(abs(l.cast("double")), abs(r.cast("double")), lit(1.0)))
+    case other =>
+      throw new IllegalArgumentException(s"unknown field type: $other")
+  }
+
+  /** Missing-data indicator (ref `has missing: true`, config.yaml:10). */
+  def missingIndicator(l: Column, r: Column): Column =
+    when(l.isNull || r.isNull, lit(1.0)).otherwise(lit(0.0))
+
+  /** Ordered feature names for a config: one per field, one per
+    * `has missing` field, one per interaction (product of members,
+    * ref run.py:54-55). Order is the model-weight contract.
+    */
+  def featureNames(cfg: DedupeConfig): Seq[String] = {
+    val base = cfg.fields.map(f => s"d_${f.varName}")
+    val missing = cfg.fields.filter(_.hasMissing).map(f => s"m_${f.varName}")
+    val inter = cfg.interactions.map(is => s"x_${is.mkString("_")}")
+    base ++ missing ++ inter
+  }
+
+  /** Feature columns over a pair-DataFrame with l_/r_ prefixed fields. */
+  def featureColumns(
+      cfg: DedupeConfig,
+      lprefix: String = "l_",
+      rprefix: String = "r_"): Seq[(String, Column)] = {
+    def lc(f: String) = col(s"$lprefix$f")
+    def rc(f: String) = col(s"$rprefix$f")
+    val byVar: Map[String, FieldSpec] = cfg.fields.map(f => f.varName -> f).toMap
+    val base = cfg.fields.map { f =>
+      s"d_${f.varName}" -> fieldDistance(f, lc(f.field), rc(f.field))
+    }
+    val missing = cfg.fields.filter(_.hasMissing).map { f =>
+      s"m_${f.varName}" -> missingIndicator(lc(f.field), rc(f.field))
+    }
+    val baseMap = base.toMap
+    val inter = cfg.interactions.map { members =>
+      val cols = members.map { v =>
+        baseMap.getOrElse(
+          s"d_$v",
+          fieldDistance(byVar(v), lc(byVar(v).field), rc(byVar(v).field)))
+      }
+      s"x_${members.mkString("_")}" -> cols.reduce(_ * _)
+    }
+    base ++ missing ++ inter
+  }
+
+  /** Assemble `features: array<double>` in featureNames order. */
+  def featureArray(cfg: DedupeConfig): Column =
+    array(featureColumns(cfg).map(_._2): _*)
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (harness extension — the reference is
+  * strictly batch, SURVEY.md §2.8; "streaming" there means server-side
+  * cursors. This module is the incremental-dedup demo SURVEY.md §2.8
+  * sketches: apply a static model/blocking incrementally).
+  *
+  * Three composable pieces:
+  *  1. watermarked exact dedup (`dropDuplicates` within the watermark) —
+  *     the streaming analog of the exact pre-merge (A1);
+  *  2. windowed per-type aggregation (the streaming shape of
+  *     q23_event_windows);
+  *  3. stateful entity assignment via mapGroupsWithState: per blocking
+  *     key, assign incoming records the first-seen entity id — the
+  *     streaming analog of "attach canon_id".
+  */
+object IncrementalDedup {
+
+  /** Exact-dedup a stream on a content key within a watermark window. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Tumbling-window counts per event_type with a watermark — the
+    * streaming twin of the batch q23_event_windows query.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+
+  final case class Keyed(block_key: String, id: Long)
+  final case class Assigned(block_key: String, id: Long, entity_id: Long)
+
+  /** Stateful incremental entity assignment: per block key, the first
+    * record's id becomes the entity id for all subsequent records with
+    * that key. `mapGroupsWithState`-based custom state (SURVEY.md §2.8's
+    * KeyValueGroupedDataset path); state is one long per key.
+    */
+  def assignEntities(keyed: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    keyed.as[Keyed]
+      .groupByKey(_.block_key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[Keyed], state: GroupState[Long]) => {
+          val sorted = rows.toSeq.sortBy(_.id)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val entity =
+              if (state.exists) state.get
+              else { val e = sorted.head.id; state.update(e); e }
+            sorted.iterator.map(k => Assigned(key, k.id, entity))
+          }
+        })
+      .toDF()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.cluster
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClusterSpec extends SparkSpec {
+
+  test("connected components labels chains and keeps islands apart") {
+    import spark.implicits._
+    // 1-2-3 chained, 10-11, 20 alone (20 never appears in edges).
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("l_id", "r_id")
+    val comps = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(!comps.contains(20L))
+  }
+
+  test("connected components converges on a long path") {
+    import spark.implicits._
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("l_id", "r_id")
+    val comps = ConnectedComponents.run(edges).collect()
+    assert(comps.length == 40)
+    assert(comps.forall(_.getLong(1) == 1L))
+  }
+
+  test("HAC splits weakly-linked components at the threshold") {
+    // Two tight pairs (1,2) and (3,4), joined by one weak edge (2,3).
+    val edges = Seq(
+      Hierarchical.Edge(1L, 1L, 2L, 0.95),
+      Hierarchical.Edge(1L, 3L, 4L, 0.95),
+      Hierarchical.Edge(1L, 2L, 3L, 0.55))
+    val out = Hierarchical.hacOnGroup(edges, threshold = 0.5,
+      maxComponentSize = 100).toSeq
+    val byCluster = out.groupBy(_.canon_id).view.mapValues(
+      _.map(_._unique_id).sorted).toMap
+    assert(byCluster == Map(1L -> Seq(1L, 2L), 3L -> Seq(3L, 4L)),
+      s"got $byCluster")
+  }
+
+  test("HAC merges a uniformly-tight component into one cluster") {
+    val edges = for (a <- 1L to 4L; b <- (a + 1) to 4L)
+      yield Hierarchical.Edge(1L, a, b, 0.9)
+    val out = Hierarchical.hacOnGroup(edges.toSeq, 0.5, 100).toSeq
+    assert(out.map(_.canon_id).distinct == Seq(1L))
+    assert(out.map(_._unique_id).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(_.cluster_score > 0.8))
+  }
+
+  test("HAC giant-component guard degrades to single cluster") {
+    val edges = for (a <- 1L to 10L; b <- (a + 1) to 10L)
+      yield Hierarchical.Edge(1L, a, b, 0.8)
+    val out = Hierarchical.hacOnGroup(edges.toSeq, 0.5, 5).toSeq
+    assert(out.map(_.canon_id).distinct == Seq(1L))
+    assert(out.length == 10)
+  }
+
+  test("cluster() end-to-end over a scored-pairs DataFrame") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.7),
+      (20L, 21L, 0.2) // below threshold — must not cluster
+    ).toDF("l_id", "r_id", "score")
+    val em = Hierarchical.cluster(scored, threshold = 0.5)
+    val assigns = em.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigns.get(1L).contains(1L))
+    assert(assigns.get(2L).contains(1L))
+    assert(assigns.get(3L).contains(1L))
+    assert(assigns.get(10L).contains(10L))
+    assert(!assigns.contains(20L))
+  }
+
+  test("exact-match merge links clusters transitively") {
+    import spark.implicits._
+    // clusters 1,2 share ssn A; clusters 2,5 share ssn B → all → 1.
+    val df = Seq(
+      (1L, "A"), (2L, "A"), (2L, "B"), (5L, "B"), (9L, "C"))
+      .toDF("cluster", "ssn")
+    val merged = ExactMatches.merge(df, Seq("ssn"), "cluster")
+    val clusters = merged.select("cluster").collect()
+      .map(_.getLong(0)).toSet
+    assert(clusters == Set(1L, 9L))
+  }
+
+  test("exact-match merge ignores NULL keys") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("cluster", "ssn")
+    val merged = ExactMatches.merge(df, Seq("ssn"), "cluster")
+    assert(merged.select("cluster").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog"),   // near dup of 1
+      (4L, "completely different content about spark engines"),
+      (5L, "spark engines are completely different content about")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactByHash collapses identical texts to min id") {
+    val out = TextDedup.exactByHash(docs)
+    assert(out.count() == 4)
+    val dup = out.where(col("dup_count") === 2).collect().head
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+    assert(dup.getSeq[Long](out.columns.indexOf("member_ids")) ==
+      Seq(1L, 2L))
+  }
+
+  test("minhash-LSH finds exact and near duplicates") {
+    val cand = TextDedup.minHashCandidates(docs, shingleK = 2,
+      numHashes = 12, bands = 6)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missed exact dup in $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"missed near dup in $pairs")
+  }
+
+  test("jaccard verification scores exact dups 1.0 and filters noise") {
+    val cand = TextDedup.minHashCandidates(docs, shingleK = 2,
+      numHashes = 12, bands = 6)
+    val verified = TextDedup.jaccardVerify(docs, cand, shingleK = 2,
+      minJaccard = 0.5)
+    val scores = verified.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(scores.get((1L, 2L)).contains(1.0))
+    assert(!scores.contains((1L, 4L)))
+  }
+
+  test("simhash hamming distance separates near-dups from noise") {
+    val fp = TextDedup.simHash(docs)
+    val cand = TextDedup.simHashCandidates(fp, maxHamming = 16)
+    val pairs = cand.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), "exact dups must hash equal")
+    val nearDup = pairs.get((1L, 3L))
+    assert(nearDup.isDefined && nearDup.get <= 16,
+      s"near dup should be within hamming 16: $pairs")
+  }
+
+  test("keepCanonical marks component minima") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = TextDedup.keepCanonical(pairs, docs, "doc_id")
+    val canon = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id"))
+      .toMap
+    assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 1L)
+    assert(canon(4L) == 4L && canon(5L) == 5L)
+  }
+}
