@@ -1,6 +1,6 @@
 package graft.cluster
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -24,9 +24,6 @@ object ConnectedComponents {
       srcCol: String = "l_id",
       dstCol: String = "r_id",
       maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    ensureCheckpointDir(spark)
-
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
@@ -41,32 +38,30 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // Min neighbor label per vertex.
+      // Min neighbor label per vertex, with the convergence flag computed
+      // inside the same label-update job: the eager localCheckpoint is the
+      // iteration's ONE distributed action; the change probe afterwards is
+      // a limit-1 scan of the already-materialized partitions (no join, no
+      // shuffle, no lineage recompute).
       val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(labels.select("id", "component").withColumnRenamed("id", "src"),
+          "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr_component"))
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"),
-            col("component"))).as("component"))
+            col("component"))).as("component"),
+          (coalesce(col("nbr_component"), col("component")) <
+            col("component")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") < col("old")).limit(1).count()
+      val changed = next.where(col("chg")).limit(1).count()
       labels.unpersist(false)
       labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist(false)
-    labels
-  }
-
-  private def ensureCheckpointDir(spark: SparkSession): Unit = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-checkpoints").toString
-      spark.sparkContext.setCheckpointDir(dir)
-    }
+    labels.select("id", "component")
   }
 }

@@ -25,11 +25,21 @@ object Hierarchical {
       _unique_id: Long, canon_id: Long, cluster_score: Double)
 
   /** Average-linkage HAC over one component's sparse similarity edges.
-    * Distance = 1 - score; unknown pairs count as distance 1. Cut the
-    * dendrogram at distance (1 - threshold). canon_id = min member id of
-    * the sub-cluster (ref run.py:406: cluster id = first member);
-    * cluster_score = mean similarity of the member to the rest of its
-    * sub-cluster, 1.0 for pairs.
+    * Distance = 1 - score; unknown pairs count as distance 1 (so a single
+    * weak bridge between two tight sub-clusters does NOT merge them — the
+    * unobserved cross pairs out-vote it, mirroring fastcluster-over-full-
+    * matrix behavior, ref run.py:405-408). Cut the dendrogram at distance
+    * (1 - threshold).
+    *
+    * After the cut, any record left in a singleton that still has an
+    * above-threshold observed edge is attached to its best-scoring
+    * assigned neighbor (score desc, neighbor id asc; repeated to fixpoint)
+    * — every member of a component whose edges all cleared the threshold
+    * gets an assignment; no above-threshold edge is silently dropped.
+    *
+    * canon_id = min member id of the final cluster (ref run.py:406:
+    * cluster id = first member); cluster_score = mean observed similarity
+    * of the member to its cluster-mates (threshold when none observed).
     */
   def hacOnGroup(
       edges: Seq[Edge],
@@ -49,13 +59,22 @@ object Hierarchical {
     val cutoff = 1.0 - threshold
 
     // Dense symmetric distance matrix; unknown pairs = max distance 1.
+    // `sim` keeps the observed (scored) adjacency for the reattachment
+    // pass and for cluster_score — unknown pairs are linkage penalty
+    // only, never evidence.
     val dist = Array.fill(n, n)(1.0)
+    val sim = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Double)])
     var i = 0
     while (i < n) { dist(i)(i) = 0.0; i += 1 }
     edges.foreach { e =>
       val a = idx(e.lId); val b = idx(e.rId)
       val d = 1.0 - e.score
       if (d < dist(a)(b)) { dist(a)(b) = d; dist(b)(a) = d }
+    }
+    (0 until n).foreach { a =>
+      (0 until n).foreach { b =>
+        if (a != b && dist(a)(b) < 1.0) sim(a) += ((b, 1.0 - dist(a)(b)))
+      }
     }
 
     // Naive average-linkage agglomeration with deterministic tie-breaking

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** The reference's relational pipeline stages as pure DataFrame => DataFrame
   * functions (ref: SURVEY.md §2 / pgdedupe/run.py). Each stage is
@@ -11,23 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Dense 1-based surrogate ids in the given total order, without the
+    * single-task bottleneck of `row_number()` over an unpartitioned
+    * Window: range-repartition + in-partition sort yields the same total
+    * order across ordered partitions, then `zipWithIndex` assigns global
+    * offsets with O(#partitions) driver work. Equivalent to
+    * `row_number() OVER (ORDER BY order...)` whenever the order keys are
+    * unique (true for every caller: group-by tuples / distinct keys), and
+    * every stage runs on all executors. Partition boundaries come from
+    * sampling, but with unique keys they only move rows between ordered
+    * partitions — the assigned ids are a pure function of the sort order,
+    * so runs are deterministic (reproducibility gate, SURVEY §7.4).
+    */
+  def denseIds(df: DataFrame, order: Seq[Column], idName: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(idName, LongType, nullable = false)
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(numbered, schema)
+  }
+
   /** Exact-duplicate pre-merge (A1 + P8, ref pgdedupe/run.py:91-99):
     * filter → GROUP BY all dedup fields → array_agg(key) AS src_ids →
     * dense surrogate `_unique_id`.
     *
     * The reference's SERIAL id is nondeterministic insert order; for the
     * determinism gate (ref tests/test_reproducibility.py:75) we number by
-    * the sorted field tuple, which is stable across runs and partitionings.
-    *
-    * Scale note: row_number over a single global ordering would funnel all
-    * rows through one task. zipWithIndex-style density is not required by
-    * any consumer — only stability — but the id must be dense for the
-    * Kolb array arithmetic, so we pay one range-partitioned sort (Spark
-    * range-partitions the window's orderBy, it is NOT a single-task sort
-    * only when using row_number over a global Window without partitions —
-    * which IS single-task. At 100 TB swap in `zipWithIndex` over a sorted
-    * RDD or `monotonically_increasing_id` + a dense-rank fixup; here
-    * determinism wins and unique-entry counts are ~person-scale).
+    * the sorted field tuple, which is stable across runs and partitionings
+    * — via denseIds, so the sort is range-partitioned across executors
+    * rather than a single-task global window.
     */
   def exactDedup(
       entries: DataFrame,
@@ -39,21 +53,19 @@ object RelationalOps {
       .where(expr(filterCondition))
       .groupBy(cols: _*)
       .agg(sort_array(collect_list(col(keyCol))).as("src_ids"))
-    grouped.withColumn(
-      "_unique_id",
-      row_number().over(Window.orderBy(columns.map(c => col(c).asc_nulls_first): _*)).cast("long"))
+    denseIds(grouped, columns.map(c => col(c).asc_nulls_first), "_unique_id")
   }
 
   /** Singleton-block elimination + dense block ids (A2, ref
     * pgdedupe/run.py:265-275): block keys covering ≥2 records get a dense
-    * `block_id`; singleton blocks admit no comparisons.
+    * `block_id`; singleton blocks admit no comparisons. Ids via denseIds
+    * (partition-safe), ordered by block_key.
     */
   def pluralKeys(blockingMap: DataFrame, maxBlockSize: Long = Long.MaxValue): DataFrame = {
     val counts = blockingMap.groupBy("block_key").count()
       .where(col("count") > 1 && col("count") <= maxBlockSize)
-    counts.withColumn(
-      "block_id",
-      row_number().over(Window.orderBy("block_key")).cast("long"))
+      .select("block_key")
+    denseIds(counts, Seq(col("block_key").asc), "block_id")
       .select("block_key", "block_id")
   }
 

@@ -118,7 +118,15 @@ object DedupePipeline {
     (mapped, um)
   }
 
-  /** Full pipeline with a static (or defaulted) model. */
+  /** Full pipeline with a static (or defaulted) model.
+    *
+    * Persistence points: `entriesUnique` (read by blocking, scoring, and
+    * apply), `scored` (read by the clustering threshold filter, the CC
+    * component join, and — transitively — every exact-match merge pass),
+    * and `entityMap` (read by applyClusters plus each merge pass). Without
+    * these every downstream action re-runs the whole block → pair →
+    * affine-gap lineage, which is what timed out the sf0.1 bench.
+    */
   def run(
       entries: DataFrame,
       cfg: DedupeConfig,
@@ -128,8 +136,9 @@ object DedupePipeline {
     val predicates = predicatesOpt.getOrElse(defaultPredicates(cfg))
     val eu = preprocess(entries, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val (bm, sc) = block(eu, cfg, predicates)
-    val (pairs, scored) = scorePairs(eu, sc, cfg, model)
-    val em = cluster(scored, cfg)
+    val (pairs, scored0) = scorePairs(eu, sc, cfg, model)
+    val scored = scored0.persist(StorageLevel.MEMORY_AND_DISK)
+    val em = cluster(scored, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val (mapped, um) = apply(em, eu, cfg)
     Result(eu, bm, pairs, scored, em, mapped, um)
   }
