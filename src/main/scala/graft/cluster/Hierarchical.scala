@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * pgdedupe/run.py:405-408).
   *
   * Spark shape: scored edges → connected components (bounded groups) →
-  * `groupByKey(component).flatMapGroups(hacOnGroup)`. Components are
-  * person-sized (blocks bound them), so the in-group O(n² log n) HAC is
-  * safe; a `maxComponentSize` guard degrades giant components to
-  * single-link (= the component itself) rather than OOMing an executor,
-  * and such fallbacks are counted in the emitted rows (no silent caps).
+  * `groupByKey(component).flatMapGroups(hacOnGroup)`. The in-group
+  * agglomeration is sparse: memory is O(V + E) in the component's
+  * observed edges (never a dense n×n matrix), so a `maxComponentSize`
+  * guard is only needed against adversarially dense components — it
+  * degrades those to a single cluster (connected-component semantics)
+  * rather than OOMing an executor, and such fallbacks keep all rows (no
+  * silent caps).
   */
 object Hierarchical {
 
@@ -30,6 +32,14 @@ object Hierarchical {
     * unobserved cross pairs out-vote it, mirroring fastcluster-over-full-
     * matrix behavior, ref run.py:405-408). Cut the dendrogram at distance
     * (1 - threshold).
+    *
+    * Implementation is sparse and heap-driven: each cluster pair with at
+    * least one observed edge carries (Σ observed dist, #observed pairs);
+    * the exact average distance is (Σ + (|A||B| − #obs) · 1) / |A||B|, and
+    * merging clusters is plain addition of those accumulators — no dense
+    * matrix, no O(n²) scan per merge. Ties break deterministically on the
+    * (min member id, min member id) pair of the two clusters (required by
+    * the reproducibility gate, ref tests/test_reproducibility.py:75).
     *
     * After the cut, any record left in a singleton that still has an
     * above-threshold observed edge is attached to its best-scoring
@@ -51,73 +61,139 @@ object Hierarchical {
     if (n < 2) return Iterator.empty
     if (n > maxComponentSize) {
       // Degenerate giant component: keep it as one cluster (single-link
-      // semantics) instead of materializing an n×n matrix.
+      // semantics) instead of running the agglomeration.
       val canon = ids.min
       return ids.iterator.map(Assignment(_, canon, threshold))
     }
     val idx = ids.zipWithIndex.toMap
     val cutoff = 1.0 - threshold
 
-    // Dense symmetric distance matrix; unknown pairs = max distance 1.
-    // `sim` keeps the observed (scored) adjacency for the reattachment
-    // pass and for cluster_score — unknown pairs are linkage penalty
-    // only, never evidence.
-    val dist = Array.fill(n, n)(1.0)
-    val sim = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Double)])
-    var i = 0
-    while (i < n) { dist(i)(i) = 0.0; i += 1 }
+    // Min-distance per observed vertex pair (duplicate edges keep the
+    // best score), as a sparse adjacency. `sim(v)` also feeds the
+    // reattachment pass and cluster_score.
+    val pairDist = mutable.HashMap.empty[(Int, Int), Double]
     edges.foreach { e =>
-      val a = idx(e.lId); val b = idx(e.rId)
-      val d = 1.0 - e.score
-      if (d < dist(a)(b)) { dist(a)(b) = d; dist(b)(a) = d }
-    }
-    (0 until n).foreach { a =>
-      (0 until n).foreach { b =>
-        if (a != b && dist(a)(b) < 1.0) sim(a) += ((b, 1.0 - dist(a)(b)))
+      if (e.lId != e.rId) {
+        val a = idx(e.lId); val b = idx(e.rId)
+        val k = if (a < b) (a, b) else (b, a)
+        val d = 1.0 - e.score
+        val cur = pairDist.getOrElse(k, Double.MaxValue)
+        if (d < cur) pairDist(k) = d
       }
     }
+    val sim = Array.fill(n)(mutable.HashMap.empty[Int, Double])
+    pairDist.foreach { case ((a, b), d) =>
+      sim(a)(b) = 1.0 - d; sim(b)(a) = 1.0 - d
+    }
 
-    // Naive average-linkage agglomeration with deterministic tie-breaking
-    // (smallest pair of cluster representative ids wins ties — required by
-    // the reproducibility gate, ref tests/test_reproducibility.py:75).
-    val active = mutable.SortedSet.from(0 until n)
-    val members = mutable.Map.from((0 until n).map(i => i -> List(i)))
-    val d = dist.map(_.clone())
+    // Cluster state. Slot i starts as the singleton {i}; merges reuse the
+    // surviving slot and bump its version (lazy heap invalidation).
+    val alive = Array.fill(n)(true)
+    val version = Array.fill(n)(0)
+    val size = Array.fill(n)(1L)
+    val members = Array.tabulate(n)(i => mutable.ArrayBuffer(i))
+    val rep = Array.tabulate(n)(i => ids(i)) // min original id, for ties
+    // nbr(i): other cluster slot -> (sum observed dist, observed pairs).
+    val nbr = Array.fill(n)(mutable.HashMap.empty[Int, (Double, Long)])
+    pairDist.foreach { case ((a, b), d) =>
+      nbr(a)(b) = (d, 1L); nbr(b)(a) = (d, 1L)
+    }
 
-    var done = false
-    while (!done && active.size > 1) {
-      var bestA = -1; var bestB = -1; var best = Double.MaxValue
-      for (a <- active; b <- active if a < b) {
-        val v = d(a)(b)
-        if (v < best - 1e-12) { best = v; bestA = a; bestB = b }
+    def avgDist(a: Int, b: Int): Double = {
+      val (s, c) = nbr(a).getOrElse(b, (0.0, 0L))
+      val total = size(a) * size(b)
+      (s + (total - c) * 1.0) / total
+    }
+
+    final case class Cand(dist: Double, repA: Long, repB: Long,
+        a: Int, b: Int, va: Int, vb: Int)
+    implicit val ord: Ordering[Cand] = Ordering.by((c: Cand) =>
+      (-c.dist, -c.repA, -c.repB)) // PriorityQueue is a max-heap
+    val heap = mutable.PriorityQueue.empty[Cand]
+    def push(a: Int, b: Int): Unit = {
+      val d = avgDist(a, b)
+      if (d <= cutoff) {
+        val (x, y) = if (rep(a) <= rep(b)) (a, b) else (b, a)
+        heap.enqueue(Cand(d, rep(x), rep(y), x, y, version(x), version(y)))
       }
-      if (best > cutoff) done = true
-      else {
-        // Merge b into a; average linkage weighted by member counts.
-        val na = members(bestA).size.toDouble
-        val nb = members(bestB).size.toDouble
-        for (c <- active if c != bestA && c != bestB) {
-          val v = (d(bestA)(c) * na + d(bestB)(c) * nb) / (na + nb)
-          d(bestA)(c) = v; d(c)(bestA) = v
+    }
+    pairDist.keysIterator.foreach { case (a, b) => push(a, b) }
+
+    while (heap.nonEmpty) {
+      val c = heap.dequeue()
+      if (alive(c.a) && alive(c.b) &&
+          version(c.a) == c.va && version(c.b) == c.vb) {
+        // Merge the higher-rep slot into the lower-rep slot.
+        val (keep, gone) = (c.a, c.b)
+        version(keep) += 1
+        alive(gone) = false
+        members(keep) ++= members(gone)
+        size(keep) += size(gone)
+        rep(keep) = math.min(rep(keep), rep(gone))
+        val merged = nbr(keep)
+        merged.remove(gone)
+        nbr(gone).foreach { case (o, (s, cnt)) =>
+          if (o != keep && alive(o)) {
+            val (s0, c0) = merged.getOrElse(o, (0.0, 0L))
+            merged(o) = (s0 + s, c0 + cnt)
+            nbr(o).remove(gone)
+            val (so, co) = nbr(o).getOrElse(keep, (0.0, 0L))
+            nbr(o)(keep) = (so + s, co + cnt)
+          }
         }
-        members(bestA) = members(bestA) ++ members(bestB)
-        members.remove(bestB)
-        active.remove(bestB)
+        nbr(gone).clear()
+        merged.keysIterator.filter(alive).foreach(o => push(keep, o))
       }
     }
 
-    // Emit clusters of size ≥ 2 with per-member mean-similarity scores.
+    // Post-cut reattachment: singletons with an above-threshold observed
+    // edge to an assigned record join that record's cluster (score desc,
+    // neighbor id asc), repeated to fixpoint for chains.
+    val clusterOf = Array.fill(n)(-1)
+    (0 until n).foreach { s =>
+      if (alive(s) && members(s).size >= 2)
+        members(s).foreach(m => clusterOf(m) = s)
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      // One sweep against the pre-sweep assignment state; deterministic
+      // regardless of vertex visit order.
+      val snapshot = clusterOf.clone()
+      (0 until n).foreach { v =>
+        if (snapshot(v) < 0) {
+          val best = sim(v).iterator
+            .filter { case (u, sc) => snapshot(u) >= 0 && sc >= threshold }
+            .reduceOption { (x, y) =>
+              if (x._2 > y._2 || (x._2 == y._2 && ids(x._1) < ids(y._1))) x
+              else y
+            }
+          best.foreach { case (u, _) =>
+            val slot = snapshot(u)
+            clusterOf(v) = slot
+            members(slot) += v
+            changed = true
+          }
+        }
+      }
+    }
+
+    // Emit clusters of size ≥ 2 with per-member mean observed similarity
+    // (threshold when a member has no observed edge to a cluster-mate).
     val out = mutable.ArrayBuffer.empty[Assignment]
-    for (rep <- active) {
-      val ms = members(rep)
-      if (ms.size >= 2) {
-        val memberIds = ms.map(ids(_)).sorted
-        val canon = memberIds.head
-        for (m <- ms) {
-          val others = ms.filter(_ != m)
-          val meanDist = others.map(o => dist(m)(o)).sum / others.size
-          out += Assignment(ids(m), canon,
-            math.max(0.0, math.min(1.0, 1.0 - meanDist)))
+    (0 until n).foreach { s =>
+      if (alive(s) && members(s).size >= 2) {
+        val ms = members(s)
+        val inCluster = ms.toSet
+        val canon = ms.iterator.map(ids(_)).min
+        ms.sortBy(ids(_)).foreach { m =>
+          val obs = sim(m).iterator
+            .filter { case (o, _) => o != m && inCluster(o) }
+            .map(_._2).toArray
+          val score =
+            if (obs.isEmpty) threshold
+            else math.max(0.0, math.min(1.0, obs.sum / obs.length))
+          out += Assignment(ids(m), canon, score)
         }
       }
     }
@@ -131,7 +207,7 @@ object Hierarchical {
   def cluster(
       scoredPairs: DataFrame, // l_id, r_id, score
       threshold: Double,
-      maxComponentSize: Int = 10000): DataFrame = {
+      maxComponentSize: Int = 1000): DataFrame = {
     val spark = scoredPairs.sparkSession
     import spark.implicits._
     val above = scoredPairs.where(col("score") >= threshold)

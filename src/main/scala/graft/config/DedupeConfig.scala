@@ -33,7 +33,7 @@ final case class DedupeConfig(
     recall: Double = 0.9,
     seed: Long = 0L,
     maxBlockSize: Int = 1000,
-    maxComponentSize: Int = 10000,
+    maxComponentSize: Int = 1000,
     settingsFile: Option[String] = None,
     trainingFile: Option[String] = None,
     useSavedModel: Boolean = false) {
@@ -117,7 +117,7 @@ object DedupeConfig {
       recall = str("recall", "0.9").toDouble,
       seed = str("seed", "0").toLong,
       maxBlockSize = str("max_block_size", "1000").toInt,
-      maxComponentSize = str("max_component_size", "10000").toInt,
+      maxComponentSize = str("max_component_size", "1000").toInt,
       settingsFile = opt("settings_file"),
       trainingFile = opt("training_file"),
       useSavedModel = str("use_saved_model", "false").toBoolean

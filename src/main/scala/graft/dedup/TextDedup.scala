@@ -101,12 +101,10 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: per token take the first 16
-    * hex chars of md5 as a 64-bit integer; the fingerprint's bit j is the
-    * sign of Σ_tokens (bit_j ? +1 : −1). Near-dup pairs = fingerprints
-    * within `maxHamming` bits, found by exact-match on rotations
-    * (here: bucket by 4 16-bit chunks — Hamming ≤ 3 guarantees one exact
-    * chunk match, the standard pigeonhole trick).
+  /** 60-bit SimHash over whitespace tokens: per token take the first 15
+    * hex chars of md5 as a 60-bit integer (15, not 16, so the value fits
+    * a signed long without sign games); the fingerprint's bit j is the
+    * sign of Σ_tokens (bit_j ? +1 : −1).
     */
   def simHash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -126,15 +124,25 @@ object TextDedup {
     agg.select(col(idCol), fp.as("simhash"))
   }
 
-  /** SimHash near-dup candidates within Hamming distance `maxHamming`
-    * (≤ 3 with 4 chunks, pigeonhole: some 15-bit chunk matches exactly).
+  /** SimHash near-dup candidates within Hamming distance `maxHamming`.
+    * Bucketing is the standard pigeonhole trick: split the 60-bit
+    * fingerprint into `maxHamming + 1` chunks — any pair within
+    * `maxHamming` differing bits must agree exactly on at least one
+    * chunk, so candidate generation is a chunk-value equi-join with
+    * guaranteed recall. More chunks (higher maxHamming) means narrower
+    * chunk keys and so more candidate collisions — the usual
+    * recall/cost trade, made explicit instead of silently capped.
     */
   def simHashCandidates(fingerprints: DataFrame, idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
-    val chunks = 4
+    val bits = 60
+    val chunks = math.min(maxHamming + 1, bits)
+    val bounds = (0 to chunks).map(c => c * bits / chunks)
     val banded = fingerprints.select(col(idCol),
       posexplode(array((0 until chunks).map { c =>
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL)
+        val lo = bounds(c)
+        val mask = (1L << (bounds(c + 1) - lo)) - 1L
+        shiftright(col("simhash"), lo).bitwiseAND(mask)
       }: _*)).as(Seq("chunk", "ckey")))
     val l = banded.select(col("chunk"), col("ckey"), col(idCol).as("a_id"))
     val r = banded.select(col("chunk"), col("ckey"), col(idCol).as("b_id"))
@@ -145,7 +153,8 @@ object TextDedup {
     val fb = fingerprints.select(col(idCol).as("b_id"),
       col("simhash").as("hb"))
     cand.join(fa, "a_id").join(fb, "b_id")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }

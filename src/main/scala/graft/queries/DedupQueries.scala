@@ -219,13 +219,14 @@ object DedupQueries {
         WHERE CAST(coalesce(i.i, 0) AS DOUBLE) /
           CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) >= 0.5""")),
 
-    // 64-bit SimHash + Hamming-bucketed near-dup pairs. Bit packing isn't
-    // portably SQL-expressible → no oracle (rows-only check).
+    // 60-bit SimHash + Hamming-bucketed near-dup pairs (pigeonhole:
+    // maxHamming=3 → 4 chunks of 15 bits, recall-exact). Bit packing
+    // isn't portably SQL-expressible → no oracle (rows-only check).
     QueryDef(
       "q37_simhash_pairs",
       (s, dir) => {
         val fp = TextDedup.simHash(Tables.load(s, dir, "documents"))
-        TextDedup.simHashCandidates(fp, maxHamming = 8)
+        TextDedup.simHashCandidates(fp, maxHamming = 3)
       },
       None),
 

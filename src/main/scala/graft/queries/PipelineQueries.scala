@@ -119,9 +119,11 @@ object PipelineQueries {
     QueryDef(
       "q51_entries_unique",
       (s, dir) => RelationalOps.exactDedup(
-        personEntries(s, dir),
-        Seq("first_name", "last_name", "ssn", "sex", "segment"),
-        "entry_id", "first_name IS NOT NULL"),
+          personEntries(s, dir),
+          Seq("first_name", "last_name", "ssn", "sex", "segment"),
+          "entry_id", "first_name IS NOT NULL")
+        .withColumn("src_ids",
+          array_join(col("src_ids").cast("array<string>"), ",")),
       Some("""WITH base AS (
           SELECT c_custkey AS entry_id,
             'fn' || CAST(c_custkey % 400 AS VARCHAR) AS first_name,
@@ -139,7 +141,8 @@ object PipelineQueries {
           FROM base b WHERE b.entry_id % 3 <> 0),
         entries AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
         SELECT first_name, last_name, ssn, sex, segment,
-          list_sort(array_agg(entry_id)) AS src_ids,
+          coalesce(array_to_string(list_sort(array_agg(entry_id)), ','), '')
+            AS src_ids,
           row_number() OVER (ORDER BY first_name ASC NULLS FIRST,
             last_name ASC NULLS FIRST, ssn ASC NULLS FIRST,
             sex ASC NULLS FIRST, segment ASC NULLS FIRST) AS _unique_id

@@ -55,22 +55,30 @@ object RelationalQueries {
 
     // A3/P5/P6 — sorted array_agg + slice up to array_position
     // (ref run.py:297-303, :314-319; array_position replaces the custom
-    // idx() SQL function at run.py:81-89).
+    // idx() SQL function at run.py:81-89). Array outputs are serialized
+    // to csv strings for the comparator (the driver's pandas sort cannot
+    // hash ndarray cells); the library ops keep real arrays.
     QueryDef(
       "q04_array_agg_slice",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_set("l_linenumber")).as("sorted_ids"))
-        .select(col("l_orderkey"), col("sorted_ids"),
-          slice(col("sorted_ids"), lit(1),
-            (array_position(col("sorted_ids"),
-              element_at(col("sorted_ids"), -1)) - 1).cast("int"))
+        .agg(sort_array(collect_set("l_linenumber")).as("sorted_arr"))
+        .select(col("l_orderkey"),
+          array_join(col("sorted_arr").cast("array<string>"), ",")
+            .as("sorted_ids"),
+          array_join(
+            slice(col("sorted_arr"), lit(1),
+              (array_position(col("sorted_arr"),
+                element_at(col("sorted_arr"), -1)) - 1).cast("int"))
+              .cast("array<string>"), ",")
             .as("smaller_ids")),
-      Some("""SELECT l_orderkey, sorted_ids,
-          list_slice(sorted_ids, 1,
-            list_position(sorted_ids, sorted_ids[-1]) - 1) AS smaller_ids
+      Some("""SELECT l_orderkey,
+          coalesce(array_to_string(sorted_arr, ','), '') AS sorted_ids,
+          coalesce(array_to_string(list_slice(sorted_arr, 1,
+            list_position(sorted_arr, sorted_arr[-1]) - 1), ','), '')
+            AS smaller_ids
         FROM (SELECT l_orderkey,
-            list_sort(list_distinct(array_agg(l_linenumber))) AS sorted_ids
+            list_sort(list_distinct(array_agg(l_linenumber))) AS sorted_arr
           FROM lineitem GROUP BY l_orderkey)""")),
 
     // P7 — unnest/explode (ref run.py:473-475).
@@ -193,11 +201,14 @@ object RelationalQueries {
     QueryDef(
       "q13_exact_dedup",
       (s, dir) => graft.dedup.TextDedup.exactByHash(
-        Tables.load(s, dir, "documents")),
+          Tables.load(s, dir, "documents"))
+        .withColumn("member_ids",
+          array_join(col("member_ids").cast("array<string>"), ",")),
       Some("""SELECT md5(text) AS content_hash,
           min(doc_id) AS canonical_id,
           count(*) AS dup_count,
-          list_sort(array_agg(doc_id)) AS member_ids
+          coalesce(array_to_string(list_sort(array_agg(doc_id)), ','), '')
+            AS member_ids
         FROM documents GROUP BY md5(text)""")),
 
     // A4 — min + HAVING canonical-target groups (ref exact_matches.py:78).
