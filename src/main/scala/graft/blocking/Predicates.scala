@@ -109,7 +109,10 @@ object Blocker {
     * ref run.py:213-222): only tokens whose document frequency is within
     * [2, maxDf] block — singleton tokens can't match anything and
     * ubiquitous tokens create quadratic blocks. Two-pass: a df-count
-    * aggregation, then a broadcast-friendly semi-join filter.
+    * aggregation, then a semi-join filter. No broadcast hint: at 100 TB
+    * the admissible token set is itself huge, so the join strategy is
+    * left to the optimizer/AQE (which still broadcasts when the set is
+    * small enough).
     */
   def tokenBlockingWithDfCap(
       records: DataFrame,
@@ -122,6 +125,6 @@ object Blocker {
     val admissible = keyed.groupBy("block_key").count()
       .where(col("count") >= 2 && col("count") <= maxDf)
       .select("block_key")
-    keyed.join(broadcast(admissible), "block_key")
+    keyed.join(admissible, "block_key")
   }
 }

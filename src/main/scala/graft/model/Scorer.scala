@@ -25,7 +25,11 @@ final case class LogisticModel(
   require(featureNames.length == weights.length,
     s"${featureNames.length} names vs ${weights.length} weights")
 
-  /** P(duplicate) over a features array<double> column. */
+  /** P(duplicate) over a features array<double> column. Kept for
+    * array-shaped callers; prefer `scoreColumnNamed` in hot paths —
+    * higher-order functions are CodegenFallback and would drop the whole
+    * projection (UDF calls included) out of whole-stage codegen.
+    */
   def scoreColumn(features: Column): Column = {
     val z = aggregate(
       zip_with(features, array(weights.map(lit): _*), (f, w) => f * w),
@@ -34,11 +38,21 @@ final case class LogisticModel(
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** P(duplicate) as a plain codegen'd expression over named feature
+    * columns: sigmoid(b + Σ wᵢ·fᵢ) with the weights inlined as literals.
+    */
+  def scoreColumnNamed: Column = {
+    val z = featureNames.zip(weights)
+      .map { case (n, w) => col(n) * lit(w) }
+      .foldLeft(lit(bias))(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Attach `score` to a pair-DataFrame carrying l_/r_ field columns. */
   def scorePairs(cfg: DedupeConfig, pairs: DataFrame): DataFrame =
-    pairs
-      .withColumn("features", Comparators.featureArray(cfg))
-      .withColumn("score", scoreColumn(col("features")))
+    Comparators.withFeatures(cfg, pairs)
+      .withColumn("score", scoreColumnNamed)
+      .drop(Comparators.featureNames(cfg): _*)
 
   /** Settings-file persistence (ref: S8, pgdedupe/run.py:126-129/180-181 —
     * the reference pickles; we use JSON, SURVEY.md §1.1).

@@ -25,7 +25,12 @@ object RelationalOps {
     */
   def denseIds(df: DataFrame, order: Seq[Column], idName: String): DataFrame = {
     val spark = df.sparkSession
+    // Persist the range-partitioned sort: zipWithIndex runs an eager
+    // per-partition count job, and downstream actions read the result
+    // again — without the persist both passes (and every later consumer)
+    // would recompute the full upstream lineage.
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema.add(idName, LongType, nullable = false)
     val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))

@@ -59,7 +59,10 @@ object DedupePipeline {
     val pb = RelationalOps.pluralBlocks(bm, pk)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val covered = RelationalOps.coveredBlocks(pb)
+    // Persist: kolbPairs self-joins this (two scans), and without the
+    // persist each scan recomputes the groupBy+join lineage.
     val sc = RelationalOps.smallerCoverage(pb, covered)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     (bm, sc)
   }
 
@@ -137,7 +140,11 @@ object DedupePipeline {
     val eu = preprocess(entries, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val (bm, sc) = block(eu, cfg, predicates)
     val (pairs, scored0) = scorePairs(eu, sc, cfg, model)
-    val scored = scored0.persist(StorageLevel.MEMORY_AND_DISK)
+    // Persist only the (l_id, r_id, score) projection the clustering and
+    // merge passes actually read — caching the wide pair rows (all l_/r_
+    // field payloads) costs more than the scoring pass itself.
+    val scored = scored0.select("l_id", "r_id", "score")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val em = cluster(scored, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val (mapped, um) = apply(em, eu, cfg)
     Result(eu, bm, pairs, scored, em, mapped, um)

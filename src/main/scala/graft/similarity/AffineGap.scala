@@ -20,6 +20,14 @@ object AffineGap {
   val GapOpenWeight = 10.0
   val GapExtendWeight = 7.0
 
+  // Per-thread scratch rows: the DP is called tens of millions of times
+  // per scoring pass, and six fresh arrays per call is pure GC pressure.
+  // Grown on demand; executor task threads each get their own copy.
+  private val scratch = new ThreadLocal[Array[Array[Double]]] {
+    override def initialValue(): Array[Array[Double]] =
+      Array.fill(6)(new Array[Double](64))
+  }
+
   /** Raw (unnormalized) affine-gap alignment penalty. */
   def distance(
       a0: String,
@@ -33,17 +41,23 @@ object AffineGap {
     val n = a.length
     val m = b.length
     if (m == 0) return if (n == 0) 0.0 else openW + extendW * n
+    if (a == b) return matchW * n // identical: n matches, no gaps
 
     val inf = Double.MaxValue / 4
+    var rows = scratch.get()
+    if (rows(0).length < m + 1) {
+      rows = Array.fill(6)(new Array[Double](Integer.highestOneBit(m) * 4))
+      scratch.set(rows)
+    }
     // M(i,j): best score ending in a match/mismatch at (i,j)
     // X(i,j): best score ending in a gap in b (consume a char of a)
     // Y(i,j): best score ending in a gap in a (consume a char of b)
-    val prevM = new Array[Double](m + 1)
-    val prevX = new Array[Double](m + 1)
-    val prevY = new Array[Double](m + 1)
-    val curM = new Array[Double](m + 1)
-    val curX = new Array[Double](m + 1)
-    val curY = new Array[Double](m + 1)
+    val prevM = rows(0)
+    val prevX = rows(1)
+    val prevY = rows(2)
+    val curM = rows(3)
+    val curX = rows(4)
+    val curY = rows(5)
 
     prevM(0) = 0.0; prevX(0) = inf; prevY(0) = inf
     var j = 1

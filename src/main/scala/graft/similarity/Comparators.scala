@@ -72,19 +72,34 @@ object Comparators {
     val missing = cfg.fields.filter(_.hasMissing).map { f =>
       s"m_${f.varName}" -> missingIndicator(lc(f.field), rc(f.field))
     }
-    val baseMap = base.toMap
+    val baseNames = base.map(_._1).toSet
+    // Interactions REFERENCE the materialized base feature columns
+    // (`col("d_x")`), never re-instantiate the comparator expression —
+    // otherwise each affine-gap UDF would run once for the base feature
+    // and again per interaction it appears in.
     val inter = cfg.interactions.map { members =>
       val cols = members.map { v =>
-        baseMap.getOrElse(
-          s"d_$v",
-          fieldDistance(byVar(v), lc(byVar(v).field), rc(byVar(v).field)))
+        if (baseNames(s"d_$v")) col(s"d_$v")
+        else fieldDistance(byVar(v), lc(byVar(v).field), rc(byVar(v).field))
       }
       s"x_${members.mkString("_")}" -> cols.reduce(_ * _)
     }
     base ++ missing ++ inter
   }
 
-  /** Assemble `features: array<double>` in featureNames order. */
-  def featureArray(cfg: DedupeConfig): Column =
-    array(featureColumns(cfg).map(_._2): _*)
+  /** Attach all feature columns (named, in featureNames order). Two
+    * projections: base comparators first, then interactions referencing
+    * them by name. No array assembly here — an array<double> plus
+    * higher-order functions would drop the projection out of whole-stage
+    * codegen; scoring consumes the named columns directly.
+    */
+  def withFeatures(cfg: DedupeConfig, pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cols = featureColumns(cfg)
+    val interNames = cols.map(_._1).filter(_.startsWith("x_")).toSet
+    val (inter, baseAndMissing) = cols.partition(c => interNames(c._1))
+    val withBase = pairs.select(
+      col("*") +: baseAndMissing.map { case (n, c) => c.as(n) }: _*)
+    inter.foldLeft(withBase) { case (d, (n, c)) => d.withColumn(n, c) }
+  }
 }
