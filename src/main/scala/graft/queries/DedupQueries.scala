@@ -22,6 +22,44 @@ object DedupQueries {
     */
   val MaxDf = 120L
 
+  /** MinHash-LSH parameters shared by q35/q36/q38 and their oracles:
+    * 3-word shingles, 12 hash functions, 4 bands × 3 rows. */
+  val ShingleK = 3
+  val NumHashes = 12
+  val Bands = 4
+
+  /** DuckDB CTE chain `toks, sh, sig, banded, cand` mirroring
+    * TextDedup.shingles → minHashSignature → minHashCandidates with the
+    * parameters above — generated so the Spark program and the oracle
+    * can never drift.
+    */
+  private def minhashCtes: String = {
+    val rpb = NumHashes / Bands
+    val hashes = (0 until NumHashes)
+      .map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
+    val shingleExpr = (0 until ShingleK)
+      .map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (b * rpb until (b + 1) * rpb)
+        .map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(t) - ${ShingleK - 2}),
+          i -> $shingleExpr))) AS s
+        FROM toks WHERE len(t) >= $ShingleK),
+      sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+      banded AS ($bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id)"""
+  }
+
   private val keyedSql =
     """keyed AS (
         SELECT DISTINCT 'token:text:' || tok AS block_key, doc_id AS _unique_id
@@ -148,66 +186,41 @@ object DedupQueries {
         GROUP BY doc_id""")),
 
     // MinHash-LSH banded candidates: shingle → minhash → band →
-    // bucket-join (the scale path: one equi-join shuffle).
+    // bucket-join (the scale path: one equi-join shuffle). Real LSH
+    // parameters (3-word shingles, 12 hashes, 4 bands of 3): the
+    // per-band match probability is jaccard³, so unrelated docs that
+    // merely share common words do not collide — the candidate set
+    // stays near-linear instead of near-all-pairs.
     QueryDef(
       "q35_minhash_candidates",
       (s, dir) => TextDedup.minHashCandidates(
         Tables.load(s, dir, "documents"), "text", "doc_id",
-        shingleK = 1, numHashes = 4, bands = 2),
-      Some("""WITH sig AS (
-          SELECT doc_id,
-            min(md5(tok || '#0')) AS h0, min(md5(tok || '#1')) AS h1,
-            min(md5(tok || '#2')) AS h2, min(md5(tok || '#3')) AS h3
-          FROM (SELECT DISTINCT doc_id, tok FROM (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents) WHERE tok <> '')
-          GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig)
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM banded a JOIN banded b USING (band, bucket)
-        WHERE a.doc_id < b.doc_id""")),
+        shingleK = ShingleK, numHashes = NumHashes, bands = Bands),
+      Some(s"""WITH $minhashCtes
+        SELECT a_id, b_id FROM cand""")),
 
-    // n-gram (here unigram) Jaccard verification of candidates, as
-    // joins + aggregations so the oracle runs the identical dataflow.
+    // n-gram (here unigram) Jaccard verification of the LSH candidates,
+    // as joins + aggregations so the oracle runs the identical dataflow.
     QueryDef(
       "q36_jaccard_verify",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val cands = TextDedup.minHashCandidates(docs, "text", "doc_id",
-          shingleK = 1, numHashes = 4, bands = 2)
+          shingleK = ShingleK, numHashes = NumHashes, bands = Bands)
         TextDedup.jaccardVerify(docs, cands, "text", "doc_id",
             shingleK = 1, minJaccard = 0.5)
           .select(col("a_id"), col("b_id"),
             round(col("jaccard"), 6).as("jaccard"))
       },
-      Some("""WITH sig AS (
-          SELECT doc_id,
-            min(md5(tok || '#0')) AS h0, min(md5(tok || '#1')) AS h1,
-            min(md5(tok || '#2')) AS h2, min(md5(tok || '#3')) AS h3
-          FROM (SELECT DISTINCT doc_id, tok FROM (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents) WHERE tok <> '')
-          GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM banded a JOIN banded b USING (band, bucket)
-          WHERE a.doc_id < b.doc_id),
-        toks AS (SELECT DISTINCT doc_id, tok FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents) WHERE tok <> ''),
-        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      Some(s"""WITH $minhashCtes,
+        utoks AS (SELECT doc_id, unnest(list_distinct(t)) AS tok
+          FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM utoks GROUP BY doc_id),
         inter AS (
           SELECT c.a_id, c.b_id, count(*) AS i
           FROM cand c
-          JOIN toks ta ON ta.doc_id = c.a_id
-          JOIN toks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+          JOIN utoks ta ON ta.doc_id = c.a_id
+          JOIN utoks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
           GROUP BY c.a_id, c.b_id)
         SELECT c.a_id, c.b_id,
           round(CAST(coalesce(i.i, 0) AS DOUBLE) /
@@ -238,7 +251,7 @@ object DedupQueries {
         val docs = Tables.load(s, dir, "documents")
         val verified = TextDedup.jaccardVerify(docs,
           TextDedup.minHashCandidates(docs, "text", "doc_id",
-            shingleK = 1, numHashes = 4, bands = 2),
+            shingleK = ShingleK, numHashes = NumHashes, bands = Bands),
           "text", "doc_id", shingleK = 1, minJaccard = 0.9)
         TextDedup.keepCanonical(
             verified.select("a_id", "b_id"), docs, "doc_id")
