@@ -58,27 +58,47 @@ object Knn {
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed-point value in [-1, 1) derived from md5 — stable across
-    * engines, no RNG. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p#"), d.cast("string"))), 1, 8),
-      16, 10).cast("long").cast("double") / lit(2147483648.0d)) - lit(1.0d)
+    * engines and runs, no RNG state. Computed ONCE on the driver; the
+    * values travel into the plan as literals (previously this md5 was a
+    * Spark expression re-evaluated per element per row).
+    */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$p#$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0d - 1.0d
+  }
+
+  /** Sign bit of v·plane as a codegen'd expanded sum over literal plane
+    * weights — no per-row hashing, no higher-order functions (HOFs are
+    * CodegenFallback and would drop the projection out of codegen).
+    */
+  private def signBit(v: Column, plane: Array[Double], bit: Int): Column = {
+    val proj = plane.zipWithIndex.map { case (w, d) =>
+      v.getItem(d).cast("double") * lit(w)
+    }.reduce(_ + _)
+    when(proj >= 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+  }
 
   /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
     * long. Vectors with equal signatures are near-collinear candidates.
+    * `dim` = embedding dimensionality (plane weights are literals).
     */
-  def hyperplaneSignature(v: Column, numPlanes: Int): Column =
+  def hyperplaneSignature(v: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      signBit(v, Array.tabulate(dim)(planeComponent(p, _)), p)
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed top-k: signatures over `numPlanes` hyperplanes,
     * `numTables` independent tables (banded planes); candidates = rows
     * sharing a (table, signature) bucket; exact cosine re-rank within
     * candidates. Recall grows with tables; cost stays near-linear.
+    *
+    * The bucket join carries (table, sig, id) only — 24 bytes per row —
+    * and the distinct runs on bare id pairs; full vectors are re-attached
+    * afterwards for the exact re-rank. At 100 TB that means the wide
+    * embedding payload crosses the wire once per surviving candidate,
+    * not once per bucket collision.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -88,28 +108,50 @@ object Knn {
       numTables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val planes = Array.tabulate(numTables * numPlanes, dim)(planeComponent)
+    // All-table signatures in ONE primitive-loop UDF over the closure-
+    // captured plane matrix: a literal expanded-sum expression tree
+    // (numTables × numPlanes × dim ≈ 16k nodes) costs tens of seconds in
+    // optimizer/codegen time alone; the UDF keeps the plan tiny and does
+    // numTables·numPlanes·dim flops per row with no allocation.
+    val nt = numTables; val np = numPlanes
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val out = new Array[Long](nt)
+      var t = 0
+      while (t < nt) {
+        var bits = 0L
+        var p = 0
+        while (p < np) {
+          val plane = planes(t * np + p)
+          var s = 0.0d
+          var d = 0
+          val n = math.min(plane.length, v.length)
+          while (d < n) { s += v(d) * plane(d); d += 1 }
+          if (s >= 0) bits |= (1L << p)
+          p += 1
+        }
+        out(t) = bits
+        t += 1
+      }
+      out
+    }
     def sigs(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-        posexplode(array((0 until numTables).map { t =>
-          (0 until numPlanes).map { p =>
-            val proj = aggregate(
-              zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-                (x, i) => x.cast("double") *
-                  planeComponent(t * numPlanes + p, i)),
-              lit(0.0d), (acc, x) => acc + x)
-            when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-          }.reduce((a, b) => a.bitwiseOR(b))
-        }: _*)).as(Seq("table", "sig")))
-    val qs = sigs(queries, "query")
-    val cs = sigs(corpus, "neighbor")
-    val cand = qs.join(cs, Seq("table", "sig"))
+      df.select(col(idCol).as(s"${side}_id"),
+        posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+    val cand = sigs(queries, "query")
+      .join(sigs(corpus, "neighbor"), Seq("table", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("query_vec"), col("neighbor_vec"))
+      .select("query_id", "neighbor_id")
       .distinct()
+    val withVecs = cand
+      .join(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("neighbor_vec")), "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand
+    withVecs
       .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
