@@ -57,7 +57,7 @@ object Profile {
     val em = DedupePipeline.cluster(scored, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("cluster_hac")(println(s"  entity_map=${em.count()}"))
-    val (mapped, um) = DedupePipeline.apply(em, eu, cfg)
+    val (mapped, um) = DedupePipeline.apply(em, eu, entries, cfg)
     time("apply_merge")(println(s"  unique_map=${um.count()}"))
     spark.stop()
   }

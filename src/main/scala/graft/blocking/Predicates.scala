@@ -24,6 +24,31 @@ sealed trait Predicate {
     transform(rawKeys(c), k => concat_ws(":", lit(id), k))
 }
 
+object Predicate {
+
+  /** Inverse of `id` — the settings-file round trip for learned
+    * predicate sets (ref pgdedupe/run.py:180-181).
+    */
+  def fromId(id: String): Predicate = {
+    val sep = id.indexOf(':')
+    require(sep > 0, s"malformed predicate id: $id")
+    val (kind, field) = (id.substring(0, sep), id.substring(sep + 1))
+    kind match {
+      case "whole"                          => WholeField(field)
+      case "token"                          => TokenField(field)
+      case "firsttok"                       => FirstToken(field)
+      case "digits"                         => DigitsOnly(field)
+      case "sorted"                         => SortedTokens(field)
+      case k if k.startsWith("first")       =>
+        FirstChars(field, k.stripPrefix("first").toInt)
+      case k if k.startsWith("ngram")       =>
+        NGrams(field, k.stripPrefix("ngram").toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unknown predicate kind: $other")
+    }
+  }
+}
+
 /** Whole-field equality block (dedupe's wholeFieldPredicate). */
 final case class WholeField(field: String) extends Predicate {
   val id = s"whole:$field"

@@ -36,7 +36,9 @@ final case class DedupeConfig(
     maxComponentSize: Int = 1000,
     settingsFile: Option[String] = None,
     trainingFile: Option[String] = None,
-    useSavedModel: Boolean = false) {
+    useSavedModel: Boolean = false,
+    input: Option[String] = None,
+    output: Option[String] = None) {
 
   /** Dedup columns, ref `config['columns']` (run.py:56-58). */
   def columns: Seq[String] = fields.map(_.field).distinct
@@ -120,7 +122,9 @@ object DedupeConfig {
       maxComponentSize = str("max_component_size", "1000").toInt,
       settingsFile = opt("settings_file"),
       trainingFile = opt("training_file"),
-      useSavedModel = str("use_saved_model", "false").toBoolean
+      useSavedModel = str("use_saved_model", "false").toBoolean,
+      input = opt("input"),
+      output = opt("output")
     )
   }
 }

@@ -1,0 +1,174 @@
+package graft.model
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+import graft.config.DedupeConfig
+import graft.similarity.Comparators
+
+/** Labeled training pairs + the pairwise-classifier trainer
+  * (ref: SURVEY.md D2/D3 — the reference reads labeled pairs from
+  * `training_file` (pgdedupe/run.py:156-159, format
+  * tests/dedup_postgres_training.json) and fits the configured
+  * classifier, default L2-regularized logistic regression
+  * (run.py:36-37, rlr.RegularizedLogisticRegression), via
+  * `deduper.train` (run.py:178)).
+  *
+  * Labeled data is human-labeled and therefore tiny by construction
+  * (hundreds of pairs); like the reference, feature extraction runs
+  * through the engine but the optimizer itself runs on the driver over
+  * the collected feature matrix. Model size is O(#fields) doubles.
+  */
+object Training {
+
+  /** Parse the reference's training-file JSON
+    * (`{"distinct": [{"__class__":"tuple","__value__":[recA, recB]}, …],
+    *   "match": [...]}` — records are field→value dicts, null allowed)
+    * into a pair-DataFrame with `l_<field>`/`r_<field>` string columns
+    * and `label` (1.0 = match, 0.0 = distinct).
+    */
+  def readTrainingFile(
+      spark: SparkSession, path: String, cfg: DedupeConfig): DataFrame =
+    parseTrainingJson(spark, Files.readString(Paths.get(path)), cfg)
+
+  def parseTrainingJson(
+      spark: SparkSession, json: String, cfg: DedupeConfig): DataFrame = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = yaml.load[java.util.Map[String, Object]](json).asScala
+    def pairs(key: String, label: Double): Seq[Row] =
+      root.get(key).toSeq.flatMap { v =>
+        v.asInstanceOf[java.util.List[Object]].asScala.map { entry =>
+          val tup = entry.asInstanceOf[java.util.Map[String, Object]]
+            .get("__value__").asInstanceOf[java.util.List[Object]].asScala
+          def rec(o: Object): Map[String, String] =
+            o.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+              .map { case (k, x) =>
+                k -> (if (x == null) null else x.toString)
+              }
+          val (a, b) = (rec(tup(0)), rec(tup(1)))
+          Row.fromSeq(
+            cfg.columns.map(c => a.getOrElse(c, null)) ++
+              cfg.columns.map(c => b.getOrElse(c, null)) :+ label)
+        }
+      }
+    val schema = StructType(
+      cfg.columns.map(c => StructField(s"l_$c", StringType)) ++
+        cfg.columns.map(c => StructField(s"r_$c", StringType)) :+
+        StructField("label", DoubleType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pairs("match", 1.0) ++ pairs("distinct", 0.0), 1),
+      schema)
+  }
+
+  /** Fit an L2-regularized logistic regression on the labeled pairs'
+    * comparator features (IRLS/Newton — deterministic: zero init, fixed
+    * iteration cap, no sampling). `alpha` is the L2 strength on the
+    * weights (bias unregularized), matching the rlr default's shape.
+    */
+  def train(
+      cfg: DedupeConfig,
+      labeledPairs: DataFrame,
+      alpha: Double = 1.0,
+      maxIter: Int = 50): LogisticModel = {
+    val names = Comparators.featureNames(cfg)
+    val rows = Comparators.withFeatures(cfg, labeledPairs)
+      .select((names.map(col) :+ col("label")): _*)
+      .collect()
+    val d = names.length
+    val n = rows.length
+    require(n > 0, "empty training set")
+    val x = Array.tabulate(n, d)((i, j) => rows(i).getDouble(j))
+    val y = Array.tabulate(n)(i => rows(i).getDouble(d))
+
+    // IRLS over [bias, w]: H = X'SX + diag(0, α…α), g = X'(p−y) + α[0,w].
+    val w = new Array[Double](d + 1)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val g = new Array[Double](d + 1)
+      val h = Array.ofDim[Double](d + 1, d + 1)
+      var i = 0
+      while (i < n) {
+        var z = w(0)
+        var j = 0
+        while (j < d) { z += w(j + 1) * x(i)(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val s = math.max(p * (1.0 - p), 1e-6)
+        val r = p - y(i)
+        g(0) += r
+        j = 0
+        while (j < d) { g(j + 1) += r * x(i)(j); j += 1 }
+        h(0)(0) += s
+        j = 0
+        while (j < d) {
+          h(0)(j + 1) += s * x(i)(j)
+          h(j + 1)(0) += s * x(i)(j)
+          var k = 0
+          while (k < d) {
+            h(j + 1)(k + 1) += s * x(i)(j) * x(i)(k)
+            k += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var j = 1
+      while (j <= d) { g(j) += alpha * w(j); h(j)(j) += alpha; j += 1 }
+      val step = solve(h, g)
+      var maxStep = 0.0
+      j = 0
+      while (j <= d) {
+        w(j) -= step(j)
+        maxStep = math.max(maxStep, math.abs(step(j)))
+        j += 1
+      }
+      converged = maxStep < 1e-8
+      iter += 1
+    }
+    LogisticModel(names, w.drop(1).toSeq, w(0))
+  }
+
+  /** Gaussian elimination with partial pivoting (tiny dims). */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val m = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    var col = 0
+    while (col < m) {
+      var piv = col
+      var r = col + 1
+      while (r < m) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val tb = b(col); b(col) = b(piv); b(piv) = tb
+      val diag = if (math.abs(a(col)(col)) < 1e-12) 1e-12 else a(col)(col)
+      r = col + 1
+      while (r < m) {
+        val f = a(r)(col) / diag
+        var c = col
+        while (c < m) { a(r)(c) -= f * a(col)(c); c += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val xs = new Array[Double](m)
+    var r = m - 1
+    while (r >= 0) {
+      var s = b(r)
+      var c = r + 1
+      while (c < m) { s -= a(r)(c) * xs(c); c += 1 }
+      val diag = if (math.abs(a(r)(r)) < 1e-12) 1e-12 else a(r)(r)
+      xs(r) = s / diag
+      r -= 1
+    }
+    xs
+  }
+}

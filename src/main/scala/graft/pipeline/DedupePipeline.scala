@@ -4,10 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.blocking.{Blocker, FirstChars, Predicate, TokenField, WholeField}
+import graft.blocking.{Blocker, FirstChars, Predicate, PredicateLearner, TokenField, WholeField}
 import graft.cluster.{ExactMatches, Hierarchical}
 import graft.config.DedupeConfig
-import graft.model.LogisticModel
+import graft.model.{LogisticModel, Settings, Training}
 import graft.ops.RelationalOps
 
 /** End-to-end dedupe dataflow, mirroring the reference's six CLI stages
@@ -28,7 +28,9 @@ object DedupePipeline {
       scoredPairs: DataFrame,
       entityMap: DataFrame,
       mapped: DataFrame, // _unique_id grain with dedupe_id
-      uniqueMap: DataFrame) // source-key grain with dedupe_id
+      uniqueMap: DataFrame, // source-key grain with dedupe_id
+      model: LogisticModel,
+      predicates: Seq[Predicate])
 
   /** Static default predicate set when no learned settings exist — legal
     * predicate shapes from the reference's learner (ref: SURVEY.md D5):
@@ -46,6 +48,38 @@ object DedupePipeline {
   /** preprocess (ref run.py:62-99): filter + exact-duplicate merge. */
   def preprocess(entries: DataFrame, cfg: DedupeConfig): DataFrame =
     RelationalOps.exactDedup(entries, cfg.columns, cfg.key, cfg.filterCondition)
+
+  /** train (ref run.py:113-182): resolve the model + predicate set.
+    * Precedence mirrors the reference: a saved settings file when
+    * `use_saved_model` (run.py:126-129); else fit from the labeled
+    * training file and persist settings (run.py:156-181); else the
+    * static default model + predicate shapes.
+    */
+  def trainOrLoad(
+      entriesUnique: DataFrame,
+      cfg: DedupeConfig): (LogisticModel, Seq[Predicate]) = {
+    def exists(p: Option[String]): Option[String] =
+      p.filter(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    if (cfg.useSavedModel && exists(cfg.settingsFile).isDefined) {
+      val s = Settings.load(cfg.settingsFile.get)
+      (s.model,
+        if (s.predicates.nonEmpty) s.predicates else defaultPredicates(cfg))
+    } else exists(cfg.trainingFile) match {
+      case Some(tf) =>
+        val spark = entriesUnique.sparkSession
+        val labeled = Training.readTrainingFile(spark, tf, cfg)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val model = Training.train(cfg, labeled)
+        val learned = PredicateLearner.learn(entriesUnique, labeled, cfg)
+        val predicates =
+          if (learned.nonEmpty) learned else defaultPredicates(cfg)
+        labeled.unpersist(false)
+        cfg.settingsFile.foreach(sf => Settings(model, predicates).save(sf))
+        (model, predicates)
+      case None =>
+        (LogisticModel.default(cfg), defaultPredicates(cfg))
+    }
+  }
 
   /** create_blocking (ref run.py:187-321): predicate application +
     * singleton elimination + Kolb coverage tables, one lineage.
@@ -97,17 +131,22 @@ object DedupePipeline {
       cfg.threshold, cfg.maxComponentSize)
 
   /** apply_results (ref run.py:429-491): right-join + coalesce, exact-match
-    * merge passes over unique records, then explode to source grain.
+    * merge passes over unique records, then explode to source grain;
+    * merge sets containing NON-dedup columns run at source grain against
+    * the raw entries table (ref run.py:477-483 — the reference updates
+    * unique_map, not entries_unique, for those sets; `mapped` therefore
+    * keeps the pre-raw-merge ids, mirroring the reference's table states).
     */
   def apply(
       entityMap: DataFrame,
       entriesUnique: DataFrame,
+      entries: DataFrame,
       cfg: DedupeConfig): (DataFrame, DataFrame) = {
     var mapped = RelationalOps.applyClusters(entityMap, entriesUnique)
     // merge_exact sets whose columns are all dedup fields run on unique
-    // records (ref run.py:454-460); others would need the raw table.
-    val uniqueFieldSets =
-      cfg.mergeExact.filter(_.forall(cfg.columns.contains))
+    // records (ref run.py:454-460).
+    val (uniqueFieldSets, rawFieldSets) =
+      cfg.mergeExact.partition(_.forall(cfg.columns.contains))
     if (uniqueFieldSets.nonEmpty) {
       val withFields = mapped.join(
         entriesUnique.select((Seq(col("_unique_id")) ++
@@ -117,7 +156,18 @@ object DedupePipeline {
       mapped = merged.select("dedupe_id", "_unique_id", "cluster_score",
         "src_ids")
     }
-    val um = RelationalOps.uniqueMap(mapped, cfg.key)
+    var um = RelationalOps.uniqueMap(mapped, cfg.key)
+    // Raw-table merges (ref run.py:477-483): attach the merge columns
+    // from the source table by key, link dedupe_ids sharing exact values
+    // (transitively), then drop the payload columns again.
+    rawFieldSets.foreach { cols =>
+      // Missing columns fail loudly (the reference's SQL would, too —
+      // no silent caps).
+      val withCols = um.join(
+        entries.select((cfg.key +: cols).distinct.map(col): _*), cfg.key)
+      um = ExactMatches.merge(withCols, cols, "dedupe_id")
+        .select("dedupe_id", cfg.key, "cluster_score")
+    }
     (mapped, um)
   }
 
@@ -135,9 +185,10 @@ object DedupePipeline {
       cfg: DedupeConfig,
       modelOpt: Option[LogisticModel] = None,
       predicatesOpt: Option[Seq[Predicate]] = None): Result = {
-    val model = modelOpt.getOrElse(LogisticModel.default(cfg))
-    val predicates = predicatesOpt.getOrElse(defaultPredicates(cfg))
     val eu = preprocess(entries, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    lazy val trained = trainOrLoad(eu, cfg)
+    val model = modelOpt.getOrElse(trained._1)
+    val predicates = predicatesOpt.getOrElse(trained._2)
     val (bm, sc) = block(eu, cfg, predicates)
     val (pairs, scored0) = scorePairs(eu, sc, cfg, model)
     // Persist only the (l_id, r_id, score) projection the clustering and
@@ -146,7 +197,7 @@ object DedupePipeline {
     val scored = scored0.select("l_id", "r_id", "score")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val em = cluster(scored, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val (mapped, um) = apply(em, eu, cfg)
-    Result(eu, bm, pairs, scored, em, mapped, um)
+    val (mapped, um) = apply(em, eu, entries, cfg)
+    Result(eu, bm, pairs, scored, em, mapped, um, model, predicates)
   }
 }

@@ -1,0 +1,66 @@
+package graft.blocking
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.config.{DedupeConfig, FieldSpec}
+
+class PredicateLearnerSpec extends SparkSpec {
+
+  private val cfg = DedupeConfig(
+    key = "_unique_id",
+    fields = Seq(
+      FieldSpec("name", "String"),
+      FieldSpec("city", "Categorical")),
+    recall = 0.9)
+
+  test("learner covers match pairs with cheap predicates") {
+    import spark.implicits._
+    val records = Seq(
+      (1L, "alice anderson", "nyc"), (2L, "alice andersen", "nyc"),
+      (3L, "bob brown", "sf"), (4L, "bob browne", "sf"),
+      (5L, "carol clark", "la"), (6L, "carole clark", "la"),
+      (7L, "dan drake", "nyc"), (8L, "erin evans", "sf"))
+      .toDF("_unique_id", "name", "city")
+    // Matches share the first 4 chars of name; one has a city mismatch so
+    // whole-city alone cannot reach recall 0.9.
+    val labeled = Seq(
+      ("alice anderson", "nyc", "alice andersen", "nyc", 1.0),
+      ("bob brown", "sf", "bob browne", "sf", 1.0),
+      ("carol clark", "la", "carole clark", "nyc", 1.0),
+      ("alice anderson", "nyc", "erin evans", "sf", 0.0))
+      .toDF("l_name", "l_city", "r_name", "r_city", "label")
+
+    val learned = PredicateLearner.learn(records, labeled, cfg)
+    assert(learned.nonEmpty)
+    // Every learned predicate must be a legal candidate shape.
+    val cands = PredicateLearner.candidates(cfg).map(_.id).toSet
+    assert(learned.forall(p => cands(p.id)))
+    // The learned set must cover >= recall of the match pairs.
+    val cover = PredicateLearner.coverage(
+      labeled.where(col("label") === 1.0), learned)
+    val covered = cover.count(_.exists(identity))
+    assert(covered >= math.ceil(0.9 * 3).toInt, s"covered $covered of 3")
+  }
+
+  test("learner is deterministic") {
+    import spark.implicits._
+    val records = Seq(
+      (1L, "alice anderson", "nyc"), (2L, "alice andersen", "nyc"))
+      .toDF("_unique_id", "name", "city")
+    val labeled = Seq(
+      ("alice anderson", "nyc", "alice andersen", "nyc", 1.0))
+      .toDF("l_name", "l_city", "r_name", "r_city", "label")
+    val a = PredicateLearner.learn(records, labeled, cfg).map(_.id)
+    val b = PredicateLearner.learn(records, labeled, cfg).map(_.id)
+    assert(a == b)
+  }
+
+  test("predicate ids round-trip through Predicate.fromId") {
+    val all = Seq(WholeField("f"), TokenField("f"), FirstChars("f", 4),
+      FirstToken("f"), NGrams("f", 3), DigitsOnly("f"), SortedTokens("f"))
+    all.foreach { p =>
+      assert(Predicate.fromId(p.id) == p, s"round trip failed for ${p.id}")
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.model
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.config.{DedupeConfig, FieldSpec}
+
+class TrainingSpec extends SparkSpec {
+
+  private val cfg = DedupeConfig(
+    key = "_unique_id",
+    fields = Seq(
+      FieldSpec("first_name", "String"),
+      FieldSpec("last_name", "String"),
+      FieldSpec("sex", "Categorical", Seq("M", "F"))))
+
+  // Reference training-file format (tests/dedup_postgres_training.json).
+  private val trainingJson =
+    """{"match": [
+      {"__class__": "tuple", "__value__": [
+        {"first_name": "Rick", "last_name": "Jones", "sex": "M"},
+        {"first_name": "Rich", "last_name": "Jones", "sex": "M"}]},
+      {"__class__": "tuple", "__value__": [
+        {"first_name": "Anna", "last_name": "Smith", "sex": "F"},
+        {"first_name": "Ana", "last_name": "Smith", "sex": "F"}]},
+      {"__class__": "tuple", "__value__": [
+        {"first_name": "John", "last_name": "Doe", "sex": "M"},
+        {"first_name": "John", "last_name": "Doe", "sex": null}]}
+    ],
+    "distinct": [
+      {"__class__": "tuple", "__value__": [
+        {"first_name": "Rick", "last_name": "Jones", "sex": "M"},
+        {"first_name": "Anna", "last_name": "Smith", "sex": "F"}]},
+      {"__class__": "tuple", "__value__": [
+        {"first_name": "Zoe", "last_name": "Quinn", "sex": "F"},
+        {"first_name": "Mark", "last_name": "Oliver", "sex": "M"}]},
+      {"__class__": "tuple", "__value__": [
+        {"first_name": "Ben", "last_name": "Avery", "sex": "M"},
+        {"first_name": "Tess", "last_name": "Irwin", "sex": "F"}]}
+    ]}"""
+
+  test("parses the reference training-file JSON format") {
+    val df = Training.parseTrainingJson(spark, trainingJson, cfg)
+    assert(df.count() == 6)
+    assert(df.where(col("label") === 1.0).count() == 3)
+    assert(df.columns.toSet ==
+      Set("l_first_name", "l_last_name", "l_sex",
+        "r_first_name", "r_last_name", "r_sex", "label"))
+    // null field value survives as SQL NULL
+    assert(df.where(col("r_sex").isNull).count() == 1)
+  }
+
+  test("trained model separates matches from distinct pairs") {
+    val labeled = Training.parseTrainingJson(spark, trainingJson, cfg)
+    val model = Training.train(cfg, labeled)
+    val scored = model.scorePairs(cfg, labeled)
+      .select(col("label"), col("score")).collect()
+    val matchScores = scored.filter(_.getDouble(0) == 1.0).map(_.getDouble(1))
+    val distinctScores =
+      scored.filter(_.getDouble(0) == 0.0).map(_.getDouble(1))
+    assert(matchScores.min > distinctScores.max,
+      s"match ${matchScores.toSeq} vs distinct ${distinctScores.toSeq}")
+    assert(matchScores.forall(_ > 0.5))
+    assert(distinctScores.forall(_ < 0.5))
+  }
+
+  test("training is deterministic") {
+    val labeled = Training.parseTrainingJson(spark, trainingJson, cfg)
+    val m1 = Training.train(cfg, labeled)
+    val m2 = Training.train(cfg, labeled)
+    assert(m1 == m2)
+  }
+
+  test("settings round-trip preserves model and predicates") {
+    val labeled = Training.parseTrainingJson(spark, trainingJson, cfg)
+    val model = Training.train(cfg, labeled)
+    val preds = Seq(
+      graft.blocking.WholeField("last_name"),
+      graft.blocking.FirstChars("first_name", 4),
+      graft.blocking.NGrams("first_name", 3))
+    val s = Settings(model, preds)
+    val parsed = Settings.fromJson(s.toJson)
+    assert(parsed == s)
+  }
+
+  test("model hash is stable and config-sensitive") {
+    val labeled = Training.parseTrainingJson(spark, trainingJson, cfg)
+    val model = Training.train(cfg, labeled)
+    val h1 = Settings.modelHash(cfg, model)
+    val h2 = Settings.modelHash(cfg, model)
+    assert(h1 == h2 && h1.length == 32)
+    val h3 = Settings.modelHash(cfg.copy(threshold = 0.9), model)
+    assert(h1 != h3)
+  }
+}

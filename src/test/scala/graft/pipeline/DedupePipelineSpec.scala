@@ -56,6 +56,55 @@ class DedupePipelineSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("trained pipeline: training file drives model + predicates, " +
+      "settings round-trip") {
+    import spark.implicits._
+    val entries = FakePersons.population(spark, 200, seed = 99L)
+    // Labeled pairs in the reference JSON format, derived from ground
+    // truth: same-uuid rows are matches, cross-uuid rows distinct.
+    val rows = entries.orderBy("entry_id").collect().take(60)
+    val byUuid = rows.groupBy(_.getAs[String]("uuid"))
+    def rec(r: org.apache.spark.sql.Row): String =
+      cfg.columns.map { c =>
+        val v = r.getAs[String](c)
+        "\"" + c + "\": " + (if (v == null) "null" else "\"" + v + "\"")
+      }.mkString("{", ", ", "}")
+    def tup(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =
+      s"""{"__class__": "tuple", "__value__": [${rec(a)}, ${rec(b)}]}"""
+    val matches = byUuid.values.filter(_.length >= 2).take(10)
+      .map(g => tup(g(0), g(1)))
+    val sorted = rows.sortBy(_.getAs[Long]("entry_id"))
+    val distincts = byUuid.values.toSeq.sortBy(_.head.getAs[Long]("entry_id"))
+      .sliding(2).collect { case Seq(a, b) => tup(a.head, b.head) }
+      .take(15)
+    val json = s"""{"match": [${matches.mkString(",")}],
+      "distinct": [${distincts.mkString(",")}]}"""
+    val dir = java.nio.file.Files.createTempDirectory("graft-train")
+    val tf = dir.resolve("training.json").toString
+    val sf = dir.resolve("settings.json").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tf), json)
+
+    val trainedCfg = cfg.copy(
+      trainingFile = Some(tf), settingsFile = Some(sf))
+    val result = DedupePipeline.run(entries, trainedCfg)
+    val entities = result.uniqueMap.select("dedupe_id").distinct().count()
+    assert(entities > 0 && entities < entries.count())
+    // Settings were persisted (ref run.py:180-181) and reload to the
+    // same model + predicates the training produced.
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(sf)))
+    val s = graft.model.Settings.load(sf)
+    assert(s.predicates.nonEmpty)
+    // Re-run from the saved settings (use_saved_model path) —
+    // identical assignments.
+    val savedCfg = trainedCfg.copy(useSavedModel = true)
+    val r1 = result.uniqueMap.select("entry_id", "dedupe_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val r2 = DedupePipeline.run(entries, savedCfg).uniqueMap
+      .select("entry_id", "dedupe_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(r1 == r2)
+  }
+
   test("quality: plurality-cluster agreement against ground truth") {
     val entries = FakePersons.population(spark, nPersons, seed = 42L)
     val result = DedupePipeline.run(entries, cfg)
