@@ -61,7 +61,12 @@ object Hierarchical {
     if (n < 2) return Iterator.empty
     if (n > maxComponentSize) {
       // Degenerate giant component: keep it as one cluster (single-link
-      // semantics) instead of running the agglomeration.
+      // semantics) instead of running the agglomeration. Logged loudly —
+      // this is a semantic downgrade, never a silent cap.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"HAC component of $n members exceeds maxComponentSize=" +
+          s"$maxComponentSize; degraded to a single cluster " +
+          "(connected-component semantics) instead of agglomerating")
       val canon = ids.min
       return ids.iterator.map(Assignment(_, canon, threshold))
     }

@@ -76,6 +76,15 @@ object Training {
       alpha: Double = 1.0,
       maxIter: Int = 50): LogisticModel = {
     val names = Comparators.featureNames(cfg)
+    // Labeled pairs are human-labeled, so hundreds at most; the feature
+    // matrix is collected to the driver for the IRLS solve. Guard loudly
+    // against a programmatic caller feeding millions of pairs — that
+    // would OOM the driver silently otherwise.
+    val pairCount = labeledPairs.count()
+    require(pairCount <= 100000L,
+      s"Training.train collects the feature matrix on the driver; got " +
+        s"$pairCount labeled pairs (cap 100000). Downsample first — " +
+        "labeled training data at this size is not human-labeled.")
     val rows = Comparators.withFeatures(cfg, labeledPairs)
       .select((names.map(col) :+ col("label")): _*)
       .collect()

@@ -60,6 +60,33 @@ object DedupQueries {
         WHERE a.doc_id < b.doc_id)"""
   }
 
+  /** CTE chain extending `minhashCtes` with unigram-Jaccard verification
+    * at `minJaccard`, ending in `verified(a_id, b_id, jaccard)` — shared
+    * by q36 (threshold 0.5) and q38 (threshold 0.9) so the verification
+    * dataflow is written once on the oracle side too.
+    */
+  private def jaccardVerifiedCtes(minJaccard: Double): String =
+    s"""$minhashCtes,
+      utoks AS (SELECT doc_id, unnest(list_distinct(t)) AS tok
+        FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM utoks GROUP BY doc_id),
+      inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cand c
+        JOIN utoks ta ON ta.doc_id = c.a_id
+        JOIN utoks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+        GROUP BY c.a_id, c.b_id),
+      verified AS (
+        SELECT c.a_id, c.b_id,
+          CAST(coalesce(i.i, 0) AS DOUBLE) /
+            CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE) /
+          CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) >= $minJaccard)"""
+
   private val keyedSql =
     """keyed AS (
         SELECT DISTINCT 'token:text:' || tok AS block_key, doc_id AS _unique_id
@@ -212,25 +239,8 @@ object DedupQueries {
           .select(col("a_id"), col("b_id"),
             round(col("jaccard"), 6).as("jaccard"))
       },
-      Some(s"""WITH $minhashCtes,
-        utoks AS (SELECT doc_id, unnest(list_distinct(t)) AS tok
-          FROM toks),
-        sizes AS (SELECT doc_id, count(*) AS n FROM utoks GROUP BY doc_id),
-        inter AS (
-          SELECT c.a_id, c.b_id, count(*) AS i
-          FROM cand c
-          JOIN utoks ta ON ta.doc_id = c.a_id
-          JOIN utoks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
-          GROUP BY c.a_id, c.b_id)
-        SELECT c.a_id, c.b_id,
-          round(CAST(coalesce(i.i, 0) AS DOUBLE) /
-            CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE), 6) AS jaccard
-        FROM cand c
-        LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
-        JOIN sizes sa ON sa.doc_id = c.a_id
-        JOIN sizes sb ON sb.doc_id = c.b_id
-        WHERE CAST(coalesce(i.i, 0) AS DOUBLE) /
-          CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) >= 0.5""")),
+      Some(s"""WITH ${jaccardVerifiedCtes(0.5)}
+        SELECT a_id, b_id, round(jaccard, 6) AS jaccard FROM verified""")),
 
     // 60-bit SimHash + Hamming-bucketed near-dup pairs (pigeonhole:
     // maxHamming=3 → 4 chunks of 15 bits, recall-exact). Bit packing
@@ -245,6 +255,10 @@ object DedupQueries {
 
     // Near-dup canonicalization: connected components over candidate
     // pairs, keep min id per component (D9/D10 reused for doc dedup).
+    // The oracle computes min-reachable-id components with a recursive
+    // CTE over the same verified edges — the engine's most-reused kernel
+    // (CC backs q38, q50 clustering, and every merge_exact pass) is
+    // oracle-proven, not suite-trusted.
     QueryDef(
       "q38_dedup_canonical",
       (s, dir) => {
@@ -257,5 +271,17 @@ object DedupQueries {
             verified.select("a_id", "b_id"), docs, "doc_id")
           .select("doc_id", "canonical_id", "is_canonical")
       },
-      None))
+      Some(s"""WITH RECURSIVE ${jaccardVerifiedCtes(0.9)},
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM verified
+          UNION SELECT b_id AS src, a_id AS dst FROM verified),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id,
+          coalesce(c.component, d.doc_id) AS canonical_id,
+          coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""")))
 }

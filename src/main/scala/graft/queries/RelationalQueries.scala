@@ -92,14 +92,17 @@ object RelationalQueries {
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
           FROM documents) WHERE tok <> ''""")),
 
-    // P8 — dense surrogate row ids via row_number (ref SERIAL at
-    // run.py:97-98; window ordering makes it deterministic, SURVEY §7.4).
+    // P8 — dense surrogate row ids (ref SERIAL at run.py:97-98) via
+    // RelationalOps.denseIds: range-repartitioned sort + zipWithIndex,
+    // NOT row_number() over an unpartitioned window — the global window
+    // serializes the whole table through one task, the exact plan denseIds
+    // exists to avoid. Numbering is identical for unique keys, so the
+    // row_number oracle still hash-matches (SURVEY §7.4 determinism).
     QueryDef(
       "q06_rowid",
-      (s, dir) => Tables.load(s, dir, "customer")
-        .select(col("c_custkey"),
-          row_number().over(Window.orderBy("c_custkey")).cast("long")
-            .as("rid")),
+      (s, dir) => RelationalOps.denseIds(
+        Tables.load(s, dir, "customer").select("c_custkey"),
+        Seq(col("c_custkey").asc), "rid"),
       Some("""SELECT c_custkey,
           row_number() OVER (ORDER BY c_custkey) AS rid
         FROM customer""")),

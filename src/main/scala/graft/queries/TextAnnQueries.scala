@@ -11,6 +11,43 @@ import graft.text.TextAnalysis
   */
 object TextAnnQueries {
 
+  /** q42's oracle, GENERATED from TextAnalysis.stopwordProfiles so the
+    * engine's profile list and the oracle's can never drift: adding or
+    * renaming a language changes both sides or neither. Tie-break rule is
+    * the engine's (array_max over struct(score, lang) → max score, ties →
+    * lexicographically max lang), encoded by testing langs in descending
+    * order.
+    */
+  private def langIdOracleSql: String = {
+    val profs = TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+    val scoreCols = profs.map { case (lang, sws) =>
+      val list = sws.map(w => s"'$w'").mkString(",")
+      s"""CAST(len(list_filter(toks, x -> list_contains(
+              [$list], x)))
+              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_$lang"""
+    }.mkString(",\n            ")
+    val m = profs.map(p => s"s_${p._1}").mkString(", ")
+    val cases = profs.map(_._1).sorted.reverse.map { lang =>
+      s"WHEN s_$lang = m THEN '$lang'"
+    }.mkString("\n               ")
+    s"""WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            $scoreCols
+          FROM t),
+        sm AS (SELECT *, greatest($m) AS m FROM s)
+        SELECT doc_id,
+          CASE WHEN m = 0.0 THEN 'und'
+               $cases
+               ELSE 'und' END AS lang_guess,
+          round(m, 6) AS lang_score
+        FROM sm"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting (whitespace); the BPE-ish subtoken count needs
@@ -51,38 +88,13 @@ object TextAnnQueries {
             0.4 * ar + 0.3 * dr END, 6) AS quality
         FROM m""")),
 
-    // Stopword-profile language ID with deterministic tie-breaking.
+    // Stopword-profile language ID with deterministic tie-breaking;
+    // oracle generated from the engine's own profile map (see
+    // langIdOracleSql) so the two sides stay in lockstep by construction.
     QueryDef(
       "q42_language_id",
       (s, dir) => TextAnalysis.languageId(Tables.load(s, dir, "documents")),
-      Some("""WITH t AS (
-          SELECT doc_id,
-            list_filter(string_split(lower(text), ' '), x -> x <> '')
-              AS toks
-          FROM documents),
-        s AS (
-          SELECT doc_id,
-            CAST(len(list_filter(toks, x -> list_contains(
-              ['der','die','das','und','ist','nicht','ein'], x)))
-              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_de,
-            CAST(len(list_filter(toks, x -> list_contains(
-              ['the','a','of','and','to','in','is','it'], x)))
-              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_en,
-            CAST(len(list_filter(toks, x -> list_contains(
-              ['el','la','de','que','y','en','un','es'], x)))
-              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_es,
-            CAST(len(list_filter(toks, x -> list_contains(
-              ['le','la','de','et','un','est','que','les'], x)))
-              AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_fr
-          FROM t)
-        SELECT doc_id,
-          CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0.0 THEN 'und'
-               WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-               WHEN s_en >= s_de THEN 'en'
-               ELSE 'de' END AS lang_guess,
-          round(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_score
-        FROM s""")),
+      Some(langIdOracleSql)),
 
     // Order-insensitive document fingerprint (sorted distinct tokens).
     QueryDef(
