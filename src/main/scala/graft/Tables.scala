@@ -24,4 +24,24 @@ object Tables {
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** CSV bulk ingest (S3 — the Spark stand-in for the reference's COPY
+    * surface, pgdedupe/run.py:234-245): header CSV with an EXPLICIT
+    * schema. Schema inference would scan the data twice and guess types
+    * per-run — never acceptable at 100 TB, so there is deliberately no
+    * inferring overload.
+    */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(schema)
+      .csv(path)
+
+  /** CSV sink (S4): header CSV. Partition count is the caller's lineage
+    * (one file per partition) — coalesce upstream if a single file is
+    * required.
+    */
+  def sinkCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
 }

@@ -28,7 +28,9 @@ import graft.config.DedupeConfig
 object PredicateLearner {
 
   /** Candidate pool per field type (legal shapes from the reference's
-    * learner, SURVEY.md D5). Deterministic order = tie-break order.
+    * learner, SURVEY.md D5, including the TF-IDF canopy index shapes —
+    * dedupe offers canopies at several thresholds; two here bound the
+    * fitting cost). Deterministic order = tie-break order.
     */
   def candidates(cfg: DedupeConfig): Seq[Predicate] =
     cfg.fields.flatMap { f =>
@@ -37,37 +39,75 @@ object PredicateLearner {
           Seq(WholeField(f.field), FirstChars(f.field, 2),
             FirstChars(f.field, 4), FirstChars(f.field, 6),
             FirstToken(f.field), SortedTokens(f.field),
-            NGrams(f.field, 3), DigitsOnly(f.field))
+            NGrams(f.field, 3), DigitsOnly(f.field),
+            TfIdfCanopy(f.field, 0.8), TfIdfCanopy(f.field, 0.6))
         case _ => Seq(WholeField(f.field))
       }
     }.distinct
 
   /** Which candidates cover each labeled match pair: boolean matrix
-    * [match pair][candidate], one Spark job.
+    * [match pair][candidate]. Column predicates evaluate as
+    * `arrays_overlap` expressions; index predicates are fitted over the
+    * corpus values UNION the pair values (the reference indexes training
+    * records too) and joined in as l/r key arrays — still one collect.
     */
   def coverage(
       matchPairs: DataFrame, // l_<field>/r_<field> columns, label == 1.0
-      cands: Seq[Predicate]): Array[Array[Boolean]] = {
-    val overlapCols = cands.zipWithIndex.map { case (p, i) =>
-      arrays_overlap(p.keys(col(s"l_${p.field}")),
-        p.keys(col(s"r_${p.field}"))).as(s"c$i")
+      cands: Seq[Predicate],
+      records: DataFrame): Array[Array[Boolean]] = {
+    var df = matchPairs
+    cands.zipWithIndex.foreach {
+      case (p: IndexPredicate, i) =>
+        def vals(frame: DataFrame, c: String) =
+          frame.select(col(c).as("value"))
+            .where(col("value").isNotNull && col("value") =!= "")
+        val indexed = p.keysByValue(
+          vals(records, p.field)
+            .union(vals(matchPairs, s"l_${p.field}"))
+            .union(vals(matchPairs, s"r_${p.field}"))
+            .distinct())
+        def attach(side: String) = broadcast(indexed.select(
+          col("value").as(s"${side}v$i"), col("keys").as(s"${side}k$i")))
+        df = df
+          .join(attach("l"), col(s"l_${p.field}") === col(s"lv$i"),
+            "left_outer")
+          .join(attach("r"), col(s"r_${p.field}") === col(s"rv$i"),
+            "left_outer")
+      case _ => ()
     }
-    matchPairs.select(overlapCols: _*).collect().map { r =>
+    val overlapCols = cands.zipWithIndex.map {
+      case (p: ColumnPredicate, i) =>
+        arrays_overlap(p.keys(col(s"l_${p.field}")),
+          p.keys(col(s"r_${p.field}"))).as(s"c$i")
+      case (_: IndexPredicate, i) =>
+        arrays_overlap(
+          coalesce(col(s"lk$i"), array().cast("array<string>")),
+          coalesce(col(s"rk$i"), array().cast("array<string>"))).as(s"c$i")
+    }
+    df.select(overlapCols: _*).collect().map { r =>
       Array.tabulate(cands.length)(i => !r.isNullAt(i) && r.getBoolean(i))
     }
   }
 
   /** Within-block comparison count each candidate would admit on the
     * records, one Spark job: explode every candidate's keys tagged by
-    * candidate index, count per (tag, key), sum c·(c−1)/2.
+    * candidate index, count per (tag, key), sum c·(c−1)/2. Index
+    * candidates contribute their fitted value→keys join.
     */
   def costs(
       records: DataFrame,
       cands: Seq[Predicate],
       maxBlockSize: Long): Array[Double] = {
-    val tagged = cands.zipWithIndex.map { case (p, i) =>
-      records.select(lit(i).as("cand"),
-        explode(p.keys(col(p.field))).as("key"))
+    val tagged = cands.zipWithIndex.map {
+      case (p: ColumnPredicate, i) =>
+        records.select(lit(i).as("cand"),
+          explode(p.keys(col(p.field))).as("key"))
+      case (p: IndexPredicate, i) =>
+        val vals = records.select(col(p.field).as("value"))
+          .where(col("value").isNotNull && col("value") =!= "").distinct()
+        records.select(col(p.field).as("value"))
+          .join(p.keysByValue(vals), "value")
+          .select(lit(i).as("cand"), explode(col("keys")).as("key"))
     }.reduce(_ unionByName _)
     val rows = tagged.groupBy("cand", "key").count()
       .where(col("count") > 1 && col("count") <= maxBlockSize)
@@ -89,7 +129,8 @@ object PredicateLearner {
       matchPairs: DataFrame,
       cfg: DedupeConfig): Seq[Predicate] = {
     val cands = candidates(cfg)
-    val cover = coverage(matchPairs.where(col("label") === 1.0), cands)
+    val cover = coverage(matchPairs.where(col("label") === 1.0), cands,
+      records)
     val cost = costs(records, cands, cfg.maxBlockSize.toLong)
     val nMatches = cover.length
     if (nMatches == 0) return Nil

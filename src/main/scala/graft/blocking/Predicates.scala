@@ -17,11 +17,30 @@ import org.apache.spark.sql.functions._
 sealed trait Predicate {
   def id: String
   def field: String
+}
+
+/** Predicates whose keys are a pure function of the single field value —
+  * evaluated as one codegen'd column expression, no corpus state.
+  */
+sealed trait ColumnPredicate extends Predicate {
   /** Array of raw key strings for this record (empty/null-safe). */
   def rawKeys(c: Column): Column
   /** Namespaced keys. */
   def keys(c: Column): Column =
     transform(rawKeys(c), k => concat_ws(":", lit(id), k))
+}
+
+/** Predicates whose keys depend on a fitted corpus index (dedupe's
+  * "index predicates", built from `SELECT DISTINCT field` at
+  * pgdedupe/run.py:213-222). Keys come from a join against the fitted
+  * value→keys table rather than a column expression.
+  */
+sealed trait IndexPredicate extends Predicate {
+  /** Fit the index over the distinct field values (single non-null
+    * string column named `value`) and return `(value, keys)` where
+    * `keys` is the array of namespaced block keys for that value.
+    */
+  def keysByValue(values: DataFrame): DataFrame
 }
 
 object Predicate {
@@ -39,6 +58,8 @@ object Predicate {
       case "firsttok"                       => FirstToken(field)
       case "digits"                         => DigitsOnly(field)
       case "sorted"                         => SortedTokens(field)
+      case k if k.startsWith("canopy")      =>
+        TfIdfCanopy(field, k.stripPrefix("canopy").toDouble)
       case k if k.startsWith("first")       =>
         FirstChars(field, k.stripPrefix("first").toInt)
       case k if k.startsWith("ngram")       =>
@@ -50,7 +71,7 @@ object Predicate {
 }
 
 /** Whole-field equality block (dedupe's wholeFieldPredicate). */
-final case class WholeField(field: String) extends Predicate {
+final case class WholeField(field: String) extends ColumnPredicate {
   val id = s"whole:$field"
   def rawKeys(c: Column): Column =
     when(c.isNull || c === "", array().cast("array<string>"))
@@ -58,7 +79,7 @@ final case class WholeField(field: String) extends Predicate {
 }
 
 /** One block per whitespace token (dedupe's tokenFieldPredicate). */
-final case class TokenField(field: String) extends Predicate {
+final case class TokenField(field: String) extends ColumnPredicate {
   val id = s"token:$field"
   def rawKeys(c: Column): Column =
     when(c.isNull, array().cast("array<string>"))
@@ -66,7 +87,7 @@ final case class TokenField(field: String) extends Predicate {
 }
 
 /** First N characters (dedupe's firstNCharsPredicate family). */
-final case class FirstChars(field: String, n: Int) extends Predicate {
+final case class FirstChars(field: String, n: Int) extends ColumnPredicate {
   val id = s"first$n:$field"
   def rawKeys(c: Column): Column =
     when(c.isNull || length(c) < n, array().cast("array<string>"))
@@ -74,7 +95,7 @@ final case class FirstChars(field: String, n: Int) extends Predicate {
 }
 
 /** First whitespace token (dedupe's firstTokenPredicate). */
-final case class FirstToken(field: String) extends Predicate {
+final case class FirstToken(field: String) extends ColumnPredicate {
   val id = s"firsttok:$field"
   def rawKeys(c: Column): Column =
     when(c.isNull || c === "", array().cast("array<string>"))
@@ -82,7 +103,7 @@ final case class FirstToken(field: String) extends Predicate {
 }
 
 /** Character n-grams (dedupe's ngramsTokens / commonNGramsPredicate). */
-final case class NGrams(field: String, n: Int) extends Predicate {
+final case class NGrams(field: String, n: Int) extends ColumnPredicate {
   val id = s"ngram$n:$field"
   def rawKeys(c: Column): Column =
     when(c.isNull || length(c) < n, array().cast("array<string>"))
@@ -94,7 +115,7 @@ final case class NGrams(field: String, n: Int) extends Predicate {
 /** Digits-only normalization block (dedupe's commonIntegerPredicate-ish:
   * strips non-digits so "123-45-6789" and "123456789" share a key).
   */
-final case class DigitsOnly(field: String) extends Predicate {
+final case class DigitsOnly(field: String) extends ColumnPredicate {
   val id = s"digits:$field"
   def rawKeys(c: Column): Column = {
     val d = regexp_replace(c, "[^0-9]", "")
@@ -106,7 +127,7 @@ final case class DigitsOnly(field: String) extends Predicate {
 /** Sorted-token fingerprint: order-insensitive whole-value key
   * (dedupe's sortedAcronym/fingerprint family).
   */
-final case class SortedTokens(field: String) extends Predicate {
+final case class SortedTokens(field: String) extends ColumnPredicate {
   val id = s"sorted:$field"
   def rawKeys(c: Column): Column =
     when(c.isNull || c === "", array().cast("array<string>"))
@@ -114,20 +135,97 @@ final case class SortedTokens(field: String) extends Predicate {
         sort_array(array_distinct(filter(split(c, "\\s+"), t => t =!= ""))))))
 }
 
+/** TF-IDF canopy index predicate (dedupe's TfidfTextCanopyPredicate; the
+  * reference builds these indexes from `SELECT DISTINCT field`,
+  * pgdedupe/run.py:213-222): every distinct field value is a canopy
+  * center, and a value's block keys are the centers whose tf-idf cosine
+  * similarity reaches `threshold` — so "bob smith" and "robert smith"
+  * share a block through the rare token "smith" even though no
+  * whole/prefix/token-equality key matches.
+  *
+  * Spark shape (all joins, no driver index): tokenize distinct values →
+  * df-counts → idf weights → token-equality self-join accumulating
+  * cosine numerators → threshold filter → collect_set of matched center
+  * keys. The token join is the standard tf-idf similarity join; tokens
+  * in more than `maxDfRatio` of values are dropped from the index
+  * entirely (dedupe's stop-word threshold) so no token fans out
+  * quadratically. At 100 TB the index is over DISTINCT values, typically
+  * orders of magnitude smaller than the record count.
+  */
+final case class TfIdfCanopy(field: String, threshold: Double)
+    extends IndexPredicate {
+  val id = s"canopy$threshold:$field"
+
+  /** Fraction of values a token may appear in before it is dropped from
+    * the index (stop-word bound; fixed so the id stays canonical). */
+  def maxDfRatio: Double = 0.5
+
+  def keysByValue(values: DataFrame): DataFrame = {
+    val total = values.agg(count(lit(1)).as("n_values"))
+    val toks = values
+      .select(col("value"),
+        explode(filter(split(col("value"), "\\s+"), t => t =!= ""))
+          .as("tok"))
+      .groupBy("value", "tok").agg(count(lit(1)).as("tf"))
+    val dfCounts = toks.groupBy("tok")
+      .agg(count(lit(1)).as("df")) // toks is distinct per (value, tok)
+    val wts = toks.join(dfCounts, "tok").crossJoin(broadcast(total))
+      .where(col("df").cast("double") <= col("n_values") * maxDfRatio)
+      .withColumn("w",
+        col("tf") * log(col("n_values").cast("double") / col("df")))
+      .where(col("w") > 0)
+      .select("value", "tok", "w")
+    val norms = wts.groupBy("value")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val l = wts.select(col("value").as("a_value"), col("tok"),
+      col("w").as("wa"))
+    val r = wts.select(col("value").as("b_value"), col("tok"),
+      col("w").as("wb"))
+    val sims = l.join(r, "tok")
+      .groupBy("a_value", "b_value")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("value").as("a_value"),
+        col("norm").as("na")), "a_value")
+      .join(norms.select(col("value").as("b_value"),
+        col("norm").as("nb")), "b_value")
+      .where(col("dot") / (col("na") * col("nb")) >= threshold)
+    sims.groupBy(col("a_value").as("value"))
+      .agg(sort_array(collect_set(
+        concat_ws(":", lit(id), md5(col("b_value"))))).as("keys"))
+  }
+}
+
 object Blocker {
 
   /** Build the blocking map: one `(block_key, _unique_id)` row per
     * (record, predicate key) (ref: blocking_map at pgdedupe/run.py:210-245,
-    * there via a Python generator + CSV COPY round-trip; here a single
-    * codegen'd projection + explode, no data egress).
+    * there via a Python generator + CSV COPY round-trip). Column
+    * predicates stay a single codegen'd projection + explode; index
+    * predicates each contribute a fitted value→keys join over the
+    * field's DISTINCT values (ref run.py:213-222), unioned in.
     */
   def blockingMap(
       records: DataFrame,
       predicates: Seq[Predicate],
       idCol: String = "_unique_id"): DataFrame = {
-    val allKeys = flatten(array(predicates.map(p => p.keys(col(p.field))): _*))
-    records
-      .select(explode(array_distinct(allKeys)).as("block_key"), col(idCol))
+    val colPreds = predicates.collect { case p: ColumnPredicate => p }
+    val idxPreds = predicates.collect { case p: IndexPredicate => p }
+    val parts = Seq.newBuilder[DataFrame]
+    if (colPreds.nonEmpty) {
+      val allKeys = flatten(array(colPreds.map(p => p.keys(col(p.field))): _*))
+      parts += records
+        .select(explode(array_distinct(allKeys)).as("block_key"), col(idCol))
+    }
+    idxPreds.foreach { p =>
+      val vals = records.select(col(p.field).as("value"))
+        .where(col("value").isNotNull && col("value") =!= "").distinct()
+      parts += records.select(col(p.field).as("value"), col(idCol))
+        .join(p.keysByValue(vals), "value")
+        .select(explode(col("keys")).as("block_key"), col(idCol))
+    }
+    val built = parts.result()
+    require(built.nonEmpty, "blockingMap needs at least one predicate")
+    built.reduce(_ unionByName _)
   }
 
   /** TF-capped variant of a token predicate ("index predicate" stand-in,

@@ -294,5 +294,23 @@ object RelationalQueries {
       "q19_schema_clone",
       (s, dir) => Tables.load(s, dir, "customer")
         .select("c_custkey", "c_name").limit(0),
-      Some("SELECT c_custkey, c_name FROM customer LIMIT 0")))
+      Some("SELECT c_custkey, c_name FROM customer LIMIT 0")),
+
+    // S3/S4 — CSV sink + CSV bulk ingest round-trip (ref COPY surface at
+    // pgdedupe/run.py:234-245): write customer to header CSV, read it
+    // back with the source's explicit schema, oracle against the ORIGINAL
+    // parquet — any quoting/typing/null-fidelity bug in either direction
+    // breaks the hash. c_comment carries commas and c_acctbal is a
+    // double, so separators, quoting, and float round-trip are all
+    // exercised.
+    QueryDef(
+      "q25_csv_roundtrip",
+      (s, dir) => {
+        val src = Tables.load(s, dir, "customer")
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_csv_demo/customer"
+        Tables.sinkCsv(src, path)
+        Tables.loadCsv(s, path, src.schema)
+      },
+      Some("SELECT * FROM customer")))
 }

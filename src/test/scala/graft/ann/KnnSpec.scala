@@ -39,20 +39,43 @@ class KnnSpec extends SparkSpec {
     assert(cosines == cosines.sorted.reverse)
   }
 
-  test("LSH top-k recalls most brute-force neighbors") {
-    val brute = Knn.bruteForceTopK(vectors, vectors, k = 1).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
-      .toSet
-    val lsh = Knn.lshTopK(vectors, vectors, k = 1,
-      numPlanes = 4, numTables = 8).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
-      .toSet
-    val recalled = brute.count(lsh.contains)
-    assert(recalled >= brute.size / 2,
-      s"LSH recalled only $recalled of ${brute.size}")
+  /** Real embeddings at sf0.01 (500 × d vectors) — the recall gates run
+    * at the same scale/parameters as q45/q46, so a plane-hashing or
+    * banding regression fails here, not just in production plans.
+    */
+  private def sfEmbeddings = {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    (emb, emb.where(col("vec_id") < 20))
   }
 
-  test("IVF top-k matches brute force with full probing") {
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH recall@3 >= 0.9 vs brute force on sf0.01 embeddings") {
+    val (emb, queries) = sfEmbeddings
+    val brute = pairs(Knn.bruteForceTopK(emb, queries, k = 3))
+    val lsh = pairs(Knn.lshTopK(emb, queries, k = 3))
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.9,
+      f"LSH recall@3 = $recall%.3f < 0.9 (${brute.size} gold pairs)")
+  }
+
+  test("IVF at full probe is exact vs brute force on sf0.01 embeddings") {
+    val (emb, queries) = sfEmbeddings
+    def ranked(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"), col("rank").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = ranked(Knn.bruteForceTopK(emb, queries, k = 3))
+    val ivf = ranked(Knn.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 8))
+    assert(ivf == brute,
+      s"IVF full-probe diverges: missing=${(brute -- ivf).take(5)} " +
+        s"extra=${(ivf -- brute).take(5)}")
+  }
+
+  test("IVF top-k matches brute force with full probing (toy)") {
     val brute = Knn.bruteForceTopK(vectors, vectors, k = 1).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .toSet

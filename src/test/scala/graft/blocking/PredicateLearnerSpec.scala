@@ -38,9 +38,45 @@ class PredicateLearnerSpec extends SparkSpec {
     assert(learned.forall(p => cands(p.id)))
     // The learned set must cover >= recall of the match pairs.
     val cover = PredicateLearner.coverage(
-      labeled.where(col("label") === 1.0), learned)
+      labeled.where(col("label") === 1.0), learned, records)
     val covered = cover.count(_.exists(identity))
     assert(covered >= math.ceil(0.9 * 3).toInt, s"covered $covered of 3")
+  }
+
+  test("canopy predicate blocks token-reordered near-match cheaply") {
+    import spark.implicits._
+    // The match pair shares tokens {maria, garcia} but differs in token
+    // ORDER and has an extra token — so whole/prefix/firsttok/sorted all
+    // miss it. The trigram predicate catches it but at quadratic cost
+    // (the 'mar' fillers share trigrams pairwise); the tf-idf canopy
+    // catches it in a 2-value block. Greedy set cover must pick the
+    // canopy.
+    val records = Seq(
+      (1L, "maria garcia", "nyc"), (2L, "garcia maria jo", "nyc"),
+      (3L, "marigold quux", "sf"), (4L, "carmarthen zed", "sf"),
+      (5L, "edmar topaz", "la"), (6L, "ramark opal", "la"),
+      (7L, "margin vex", "nyc"), (8L, "dogmar pint", "sf"),
+      (9L, "amaranth wick", "la"), (10L, "palmar dune", "nyc"))
+      .toDF("_unique_id", "name", "city")
+    val labeled = Seq(
+      ("maria garcia", "nyc", "garcia maria jo", "nyc", 1.0))
+      .toDF("l_name", "l_city", "r_name", "r_city", "label")
+
+    // Coverage ground truth: among column candidates only ngram3 covers
+    // the pair; the canopy at 0.6 covers it through shared-token tf-idf.
+    val cands = PredicateLearner.candidates(cfg)
+    val cover = PredicateLearner.coverage(
+      labeled.where(col("label") === 1.0), cands, records)(0)
+    val byId = cands.map(_.id).zip(cover).toMap
+    assert(byId("canopy0.6:name"), "canopy0.6 must cover the pair")
+    assert(byId("ngram3:name"), "sanity: trigrams also cover the pair")
+    assert(!byId("whole:name") && !byId("first4:name") &&
+      !byId("firsttok:name") && !byId("sorted:name"),
+      "no cheap column predicate may cover the pair")
+
+    val learned = PredicateLearner.learn(records, labeled, cfg)
+    assert(learned == Seq(TfIdfCanopy("name", 0.6)),
+      s"expected the canopy predicate, learned ${learned.map(_.id)}")
   }
 
   test("learner is deterministic") {
@@ -58,7 +94,8 @@ class PredicateLearnerSpec extends SparkSpec {
 
   test("predicate ids round-trip through Predicate.fromId") {
     val all = Seq(WholeField("f"), TokenField("f"), FirstChars("f", 4),
-      FirstToken("f"), NGrams("f", 3), DigitsOnly("f"), SortedTokens("f"))
+      FirstToken("f"), NGrams("f", 3), DigitsOnly("f"), SortedTokens("f"),
+      TfIdfCanopy("f", 0.6), TfIdfCanopy("f", 0.8))
     all.foreach { p =>
       assert(Predicate.fromId(p.id) == p, s"round trip failed for ${p.id}")
     }

@@ -77,7 +77,8 @@ class TrainingSpec extends SparkSpec {
     val preds = Seq(
       graft.blocking.WholeField("last_name"),
       graft.blocking.FirstChars("first_name", 4),
-      graft.blocking.NGrams("first_name", 3))
+      graft.blocking.NGrams("first_name", 3),
+      graft.blocking.TfIdfCanopy("first_name", 0.6))
     val s = Settings(model, preds)
     val parsed = Settings.fromJson(s.toJson)
     assert(parsed == s)

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MemoryStream-driven micro-batches through each IncrementalDedup
+  * operator — the streaming surface runs end to end (source → transform
+  * → sink), not just compiles.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("dedupStream drops exact duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = IncrementalDedup.dedupStream(
+      input.toDF().toDF("ts", "content"), "ts", Seq("content"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "alpha"), (ts(0), "alpha"), (ts(1), "beta"))
+      q.processAllAvailable()
+      // Duplicate arriving in a LATER batch is still dropped: the
+      // dedup state outlives the micro-batch (within the watermark).
+      input.addData((ts(0), "alpha"), (ts(2), "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select("content")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(rows == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
+  test("windowedCounts finalizes tumbling windows past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = IncrementalDedup.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      watermark = "10 minutes", windowLen = "1 hour")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), "click", 1.0), (ts(5), "click", 2.0), (ts(7), "view", 5.0))
+      q.processAllAvailable()
+      // Advance event time far enough that the 10:00 window closes
+      // (watermark = max event time - 10 min > 11:00).
+      input.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("event_type"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)),
+        s"finalized windows were $rows")
+    } finally q.stop()
+  }
+
+  test("assignEntities keeps first-seen entity id per block key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val input = MemoryStream[IncrementalDedup.Keyed]
+    val out = IncrementalDedup.assignEntities(input.toDF())
+    val q = out.writeStream.format("memory").queryName("ent_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        IncrementalDedup.Keyed("smith", 5L),
+        IncrementalDedup.Keyed("jones", 9L))
+      q.processAllAvailable()
+      // Later batch, same key: must inherit entity 5 from state, not
+      // mint a new one.
+      input.addData(
+        IncrementalDedup.Keyed("smith", 7L),
+        IncrementalDedup.Keyed("lee", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("ent_out")
+        .select("block_key", "id", "entity_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        ("smith", 5L, 5L), ("smith", 7L, 5L),
+        ("jones", 9L, 9L), ("lee", 3L, 3L)),
+        s"assignments were $rows")
+    } finally q.stop()
+  }
+}
