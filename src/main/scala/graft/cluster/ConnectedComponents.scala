@@ -62,6 +62,11 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist(false)
+    // Round count is the O(diameter) cost driver and varies with AQE
+    // partitioning — log it so bench variance can be attributed.
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"connected components converged in $iter rounds " +
+        s"(maxIter=$maxIter, converged=$converged)")
     labels.select("id", "component")
   }
 }

@@ -173,21 +173,39 @@ object DedupePipeline {
 
   /** Full pipeline with a static (or defaulted) model.
     *
-    * Persistence points: `entriesUnique` (read by blocking, scoring, and
-    * apply), `scored` (read by the clustering threshold filter, the CC
-    * component join, and — transitively — every exact-match merge pass),
-    * and `entityMap` (read by applyClusters plus each merge pass). Without
-    * these every downstream action re-runs the whole block → pair →
-    * affine-gap lineage, which is what timed out the sf0.1 bench.
+    * Persistence points: `entries` (read by preprocess AND the
+    * apply-phase raw-table merge), `entriesUnique` (read by blocking,
+    * scoring, and apply), `scored` (read by the clustering threshold
+    * filter, the CC component join, and — transitively — every
+    * exact-match merge pass), and `entityMap` (read by applyClusters plus
+    * each merge pass). Without these every downstream action re-runs the
+    * whole block → pair → affine-gap lineage, which is what timed out the
+    * sf0.1 bench.
+    *
+    * Each persisted frontier is materialized EAGERLY (a count) before its
+    * consumers run: downstream fan-out then always reads the cache,
+    * never races to recompute the same lineage — this was the q50
+    * run-to-run 2× variance. The phase wall-clocks go to `onPhase`
+    * (phase name, seconds); the `apply` phase stays lazy (the caller's
+    * action materializes it).
     */
   def run(
       entries: DataFrame,
       cfg: DedupeConfig,
       modelOpt: Option[LogisticModel] = None,
-      predicatesOpt: Option[Seq[Predicate]] = None): Result = {
-    val eu = preprocess(entries, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      predicatesOpt: Option[Seq[Predicate]] = None,
+      onPhase: (String, Double) => Unit = (_, _) => ()): Result = {
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onPhase(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val src = entries.persist(StorageLevel.MEMORY_AND_DISK)
+    val eu = preprocess(src, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    timed("preprocess")(eu.count())
     lazy val trained = trainOrLoad(eu, cfg)
-    val model = modelOpt.getOrElse(trained._1)
+    val model = timed("train")(modelOpt.getOrElse(trained._1))
     val predicates = predicatesOpt.getOrElse(trained._2)
     val (bm, sc) = block(eu, cfg, predicates)
     val (pairs, scored0) = scorePairs(eu, sc, cfg, model)
@@ -196,8 +214,13 @@ object DedupePipeline {
     // field payloads) costs more than the scoring pass itself.
     val scored = scored0.select("l_id", "r_id", "score")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val em = cluster(scored, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val (mapped, um) = apply(em, eu, entries, cfg)
+    timed("block_score")(scored.count())
+    val em = timed("cluster") {
+      val m = cluster(scored, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      m
+    }
+    val (mapped, um) = apply(em, eu, src, cfg)
     Result(eu, bm, pairs, scored, em, mapped, um, model, predicates)
   }
 }

@@ -109,7 +109,9 @@ object PipelineQueries {
     QueryDef(
       "q50_dedupe_pipeline",
       (s, dir) => {
-        val result = DedupePipeline.run(personEntries(s, dir), personConfig)
+        val result = DedupePipeline.run(personEntries(s, dir), personConfig,
+          onPhase = (name, secs) =>
+            System.err.println(f"[q50-phase] $name%-12s $secs%8.2f s"))
         result.uniqueMap
       },
       None),
