@@ -63,10 +63,76 @@ object ConnectedComponents {
     }
     sym.unpersist(false)
     // Round count is the O(diameter) cost driver and varies with AQE
-    // partitioning — log it so bench variance can be attributed.
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"connected components converged in $iter rounds " +
-        s"(maxIter=$maxIter, converged=$converged)")
+    // partitioning — log it so bench variance can be attributed. A
+    // non-converged exit returns partial labels — warn loudly (no
+    // silent caps); prefer runStar for high-diameter graphs.
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (!converged)
+      log.warn(s"min-label CC did NOT converge within maxIter=$maxIter " +
+        "rounds — labels are partial; use runStar for long-chain graphs")
+    else
+      log.info(s"connected components converged in $iter rounds")
     labels.select("id", "component")
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"): converges in
+    * O(log² n) rounds regardless of component DIAMETER, where min-label
+    * propagation (`run`) needs O(diameter) rounds. Person-dedup
+    * components are shallow, so `run` wins there (benchmarked at sf0.1 —
+    * see the scaladoc numbers in the spec); this is the robust choice
+    * when the edge graph can contain long chains (e.g. transitive
+    * near-dup links over crawl snapshots).
+    *
+    * Each round: large-star hangs every higher-id neighbor of u onto
+    * u's minimum neighbor; small-star re-points u and its lower-id
+    * neighbors at their minimum. Edges stay oriented (high, low); the
+    * fixpoint is a forest of depth-1 stars whose roots are component
+    * minima. Same per-round localCheckpoint discipline as `run`.
+    */
+  def runStar(
+      edges: DataFrame,
+      srcCol: String = "l_id",
+      dstCol: String = "r_id",
+      maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .as("u"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric adjacency.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minNbr = sym.groupBy("u")
+        .agg(least(min("v"), first("u")).as("m"))
+      val large = sym.join(minNbr, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star over lower-or-equal neighbors (edges already (hi,lo)).
+      val minLow = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minLow, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(large.select(col("u"), col("v")).join(minLow, "u")
+          .select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = small.exceptAll(e).limit(1).count() == 0 &&
+        e.exceptAll(small).limit(1).count() == 0
+      e = small
+      iter += 1
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"star connected components converged in $iter rounds " +
+        s"(maxIter=$maxIter, converged=$converged)")
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
   }
 }

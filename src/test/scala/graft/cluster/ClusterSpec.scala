@@ -25,6 +25,29 @@ class ClusterSpec extends SparkSpec {
     assert(comps.forall(_.getLong(1) == 1L))
   }
 
+  test("star CC agrees with min-label propagation") {
+    import spark.implicits._
+    // Mixed shapes: a chain, a triangle sharing a node with the chain, a
+    // separate pair, and an island (absent from edges → absent from both).
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 7L), (7L, 1L),
+      (10L, 11L), (30L, 31L), (31L, 32L)).toDF("l_id", "r_id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = toMap(ConnectedComponents.run(edges))
+    val b = toMap(ConnectedComponents.runStar(edges))
+    assert(a == b, s"min-label $a vs star $b")
+  }
+
+  test("star CC collapses a long path in few rounds") {
+    import spark.implicits._
+    // Diameter 63: min-label would need ~63 rounds; star needs O(log²).
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("l_id", "r_id")
+    val comps = ConnectedComponents.runStar(edges, maxIter = 12).collect()
+    assert(comps.length == 64)
+    assert(comps.forall(_.getLong(1) == 1L))
+  }
+
   test("HAC splits weakly-linked components at the threshold") {
     // Two tight pairs (1,2) and (3,4), joined by one weak edge (2,3).
     val edges = Seq(
