@@ -65,6 +65,48 @@ object Training {
       schema)
   }
 
+  /** Non-interactive active-learning sampler (ref: the console loop at
+    * pgdedupe/run.py:161-173 — dedupe surfaces the pairs it is LEAST
+    * certain about for human labeling; the reference's own CI never
+    * prompts, SURVEY §7.4, so the Spark surface emits the uncertain
+    * pairs as data instead of prompting): the `n` scored pairs closest
+    * to P(dup) = 0.5, field payloads kept for the labeler,
+    * most-uncertain first with a deterministic tie-break. orderBy+limit
+    * compiles to TakeOrdered — per-partition top-n then a driver merge
+    * of n·#partitions rows, no global sort materialization.
+    */
+  def uncertainPairs(scoredPairs: DataFrame, n: Int): DataFrame =
+    scoredPairs
+      .withColumn("uncertainty", abs(col("score") - lit(0.5)))
+      .orderBy(col("uncertainty").asc, col("l_id").asc, col("r_id").asc)
+      .limit(n)
+
+  /** Serialize labeled pairs back into the reference's training-file
+    * JSON (the exact shape `parseTrainingJson` reads — see
+    * tests/dedup_postgres_training.json), closing the loop:
+    * uncertainPairs → label → toTrainingJson → readTrainingFile → train.
+    * Labeled data is tiny by construction (same cap argument as
+    * `train`).
+    */
+  def toTrainingJson(labeled: DataFrame, cfg: DedupeConfig): String = {
+    def q(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def rec(r: Row, side: String) = cfg.columns.map { c =>
+      val v = r.getAs[String](s"${side}_$c")
+      s"${q(c)}: ${if (v == null) "null" else q(v)}"
+    }.mkString("{", ", ", "}")
+    val rows = labeled
+      .select((cfg.columns.map(c => col(s"l_$c")) ++
+        cfg.columns.map(c => col(s"r_$c")) :+ col("label")): _*)
+      .collect()
+    def bucket(lbl: Double) = rows.iterator
+      .filter(_.getAs[Double]("label") == lbl)
+      .map(r => s"""{"__class__": "tuple", "__value__": """ +
+        s"[${rec(r, "l")}, ${rec(r, "r")}]}")
+      .mkString("[", ", ", "]")
+    s"""{"match": ${bucket(1.0)}, "distinct": ${bucket(0.0)}}"""
+  }
+
   /** Fit an L2-regularized logistic regression on the labeled pairs'
     * comparator features (IRLS/Newton — deterministic: zero init, fixed
     * iteration cap, no sampling). `alpha` is the L2 strength on the

@@ -84,6 +84,30 @@ class TrainingSpec extends SparkSpec {
     assert(parsed == s)
   }
 
+  test("uncertainPairs surfaces scores nearest 0.5, most-uncertain first") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 2L, 0.97), (3L, 4L, 0.52), (5L, 6L, 0.04),
+      (7L, 8L, 0.46), (9L, 10L, 0.71), (11L, 12L, 0.50))
+      .toDF("l_id", "r_id", "score")
+    val top = Training.uncertainPairs(scored, 3)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.toSeq == Seq((11L, 12L), (3L, 4L), (7L, 8L)),
+      s"got ${top.toSeq}")
+  }
+
+  test("training JSON round-trips through toTrainingJson") {
+    val labeled = Training.parseTrainingJson(spark, trainingJson, cfg)
+    val reparsed = Training.parseTrainingJson(
+      spark, Training.toTrainingJson(labeled, cfg), cfg)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(v => Option(v).map(_.toString).orNull))
+        .map(_.mkString("|")).sorted.toSeq
+    assert(canon(reparsed) == canon(labeled))
+    // And the re-read pairs train to the identical model.
+    assert(Training.train(cfg, reparsed) == Training.train(cfg, labeled))
+  }
+
   test("model hash is stable and config-sensitive") {
     val labeled = Training.parseTrainingJson(spark, trainingJson, cfg)
     val model = Training.train(cfg, labeled)
