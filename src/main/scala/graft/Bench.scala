@@ -33,6 +33,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // Untimed warmup: JIT + codegen + parquet-footer paths, so the first
+    // timed query doesn't absorb session startup (~3 s of noise).
+    Tables.load(spark, sfDir, "region")
+      .groupBy("r_name").count().count()
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() }

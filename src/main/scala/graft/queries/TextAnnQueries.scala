@@ -157,6 +157,57 @@ object TextAnnQueries {
       },
       None),
 
+    // Embedding-cosine near-dup canonicalization: cosine >= 0.44 pairs
+    // (threshold chosen inside a gap of the pair-cosine distribution so
+    // float noise cannot flip a boundary pair between engines) →
+    // connected components → min-id canonical. Brute-force pair
+    // generation here so the DuckDB oracle can run the identical
+    // dataflow end to end (recursive CTE for the components); the scale
+    // path for the same decision is lshTopK candidates + the same
+    // keepCanonical kernel.
+    QueryDef(
+      "q48_embedding_neardup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val l = emb.select(col("vec_id").as("a_id"),
+          col("embedding").as("va"))
+        val r = emb.select(col("vec_id").as("b_id"),
+          col("embedding").as("vb"))
+        val pairs = l.crossJoin(r)
+          .where(col("a_id") < col("b_id"))
+          .where(Knn.cosine(col("va"), col("vb")) >= 0.44)
+          .select("a_id", "b_id")
+        graft.dedup.TextDedup.keepCanonical(
+            pairs, emb.select("vec_id"), "vec_id")
+          .select("vec_id", "canonical_id", "is_canonical")
+      },
+      Some("""WITH RECURSIVE scored AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) *
+                CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) *
+                  CAST(a.embedding[i] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                i -> CAST(b.embedding[i] AS DOUBLE) *
+                  CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM scored WHERE cosine >= 0.44
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM scored WHERE cosine >= 0.44),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+          CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS canonical_id,
+          coalesce(c.component, e.vec_id) = e.vec_id AS is_canonical
+        FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id""")),
+
     // Multimodal plumbing: opaque binary column + typed metadata
     // (decode stubbed per harness instructions; the byte-level plumbing
     // is real and oracle-checked).
