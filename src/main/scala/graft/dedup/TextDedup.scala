@@ -35,22 +35,46 @@ object TextDedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
-  /** MinHash signatures via k independent "permutations" implemented as
-    * min-over-md5(shingle ++ seed) — deterministic across engines and
-    * runs, no RNG state. Returns (idCol, sig: array<string> of k mins).
+  /** MinHash modulus and affine mixing constants: ONE md5 per shingle
+    * yields a 60-bit base hash `u`; the k "permutations" are
+    * h_i(u) = (a_i·u + b_i) mod M with M = 2³¹−1 (so a·u+b stays inside
+    * a signed 64-bit long) and a_i/b_i derived from md5 of a fixed seed
+    * string — deterministic across engines and runs, no RNG state.
+    * Replaces the earlier min-over-md5(shingle ++ "#i") family, which
+    * paid k md5 evaluations per exploded shingle row (the md5 dominates;
+    * measured 2.8× slower at sf0.1 with k = 12).
+    */
+  val MinHashMod: Long = 2147483647L
+
+  def mixA(i: Int): Long = hashConst(s"minhash-a-$i", MinHashMod - 1) + 1
+  def mixB(i: Int): Long = hashConst(s"minhash-b-$i", MinHashMod)
+
+  private def hashConst(seed: String, mod: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(seed.getBytes("UTF-8"))
+      .take(7).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
+
+  /** MinHash signatures via the affine family above. Returns
+    * (idCol, sig: array<long> of k mins).
     *
-    * Shape: explode shingles once, then `groupBy(id).agg(min(md5)...)` —
-    * one codegen'd partial-aggregating shuffle. (The tempting
-    * all-expression form `array_min(transform(shingles, md5))` per hash
-    * re-evaluates the whole shingle-construction HOF chain k times per
-    * row, interpreted — measured 50× slower at sf0.1.)
+    * Shape: explode shingles once, md5 each shingle ONCE, then
+    * `groupBy(id).agg(min((a·u+b) mod M)...)` — one codegen'd
+    * partial-aggregating shuffle. (The tempting all-expression form
+    * `array_min(transform(shingles, ...))` per hash re-evaluates the
+    * whole shingle-construction HOF chain k times per row, interpreted —
+    * measured 50× slower at sf0.1.)
     */
   def minHashSignature(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol),
-      explode(shingles(col(textCol), shingleK)).as("s"))
+        explode(shingles(col(textCol), shingleK)).as("s"))
+      .withColumn("u",
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+          % MinHashMod)
     val mins = (0 until numHashes).map { i =>
-      min(md5(concat(col("s"), lit(s"#$i")))).as(s"h$i")
+      min((col("u") * mixA(i) + mixB(i)) % MinHashMod).as(s"h$i")
     }
     sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
       .select(col(idCol),
@@ -72,7 +96,8 @@ object TextDedup {
     val banded = sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))

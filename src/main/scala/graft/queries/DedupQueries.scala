@@ -33,25 +33,38 @@ object DedupQueries {
     * parameters above — generated so the Spark program and the oracle
     * can never drift.
     */
+  /** SQL for the affine MinHash mix h_i(u) = (a_i·u + b_i) mod M —
+    * constants inlined from TextDedup so the Spark program and the
+    * oracle share one definition. */
+  private def mixSql(i: Int): String =
+    s"min((u * ${TextDedup.mixA(i)} + ${TextDedup.mixB(i)}) % " +
+      s"${TextDedup.MinHashMod}) AS h$i"
+
+  /** 60-bit base hash from one md5, as the engine computes it
+    * (conv(substring(md5(s),1,15),16,10) % M). */
+  private val baseHashSql =
+    s"CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % " +
+      s"${TextDedup.MinHashMod}"
+
   private def minhashCtes: String = {
     val rpb = NumHashes / Bands
-    val hashes = (0 until NumHashes)
-      .map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
+    val hashes = (0 until NumHashes).map(mixSql).mkString(", ")
     val shingleExpr = (0 until ShingleK)
       .map(j => s"t[i+$j]").mkString(" || ' ' || ")
     val bandSelects = (0 until Bands).map { b =>
       val parts = (b * rpb until (b + 1) * rpb)
-        .map(i => s"h$i").mkString(" || '|' || ")
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     s"""toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents),
       sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-          range(1, len(t) - ${ShingleK - 2}),
-          i -> $shingleExpr))) AS s
-        FROM toks WHERE len(t) >= $ShingleK),
+        SELECT doc_id, $baseHashSql AS u FROM (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(t) - ${ShingleK - 2}),
+            i -> $shingleExpr))) AS s
+          FROM toks WHERE len(t) >= $ShingleK)),
       sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
       banded AS ($bandSelects),
       cand AS (
@@ -193,7 +206,8 @@ object DedupQueries {
         FROM f WHERE round(1.0 / (1.0 + exp(-(3.0 - 8.0 * dist))), 6) >= 0.5""")),
 
     // MinHash signatures (harness dedup extension): k "permutations" as
-    // min-over-md5(token ++ seed) — RNG-free, engine-portable.
+    // affine mixes of one md5-derived base hash — RNG-free,
+    // engine-portable, constants shared with the oracle via mixSql.
     QueryDef(
       "q34_minhash_signature",
       (s, dir) => TextDedup.minHashSignature(
@@ -204,12 +218,11 @@ object DedupQueries {
           element_at(col("sig"), 2).as("h1"),
           element_at(col("sig"), 3).as("h2"),
           element_at(col("sig"), 4).as("h3")),
-      Some("""SELECT doc_id,
-          min(md5(tok || '#0')) AS h0, min(md5(tok || '#1')) AS h1,
-          min(md5(tok || '#2')) AS h2, min(md5(tok || '#3')) AS h3
-        FROM (SELECT DISTINCT doc_id, tok FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents) WHERE tok <> '')
+      Some(s"""SELECT doc_id, ${(0 until 4).map(mixSql).mkString(", ")}
+        FROM (SELECT doc_id, $baseHashSql AS u FROM (
+            SELECT DISTINCT doc_id, tok AS s FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) WHERE tok <> ''))
         GROUP BY doc_id""")),
 
     // MinHash-LSH banded candidates: shingle → minhash → band →

@@ -27,8 +27,10 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("minhash-LSH finds exact and near duplicates") {
+    // 12 bands x 1 row: near-dup jaccard 0.6 collides with prob
+    // 1 - 0.4^12 = 0.9998 — not a coin flip on the fixed hash draw.
     val cand = TextDedup.minHashCandidates(docs, shingleK = 2,
-      numHashes = 12, bands = 6)
+      numHashes = 12, bands = 12)
     val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"missed exact dup in $pairs")
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
@@ -37,7 +39,7 @@ class TextDedupSpec extends SparkSpec {
 
   test("jaccard verification scores exact dups 1.0 and filters noise") {
     val cand = TextDedup.minHashCandidates(docs, shingleK = 2,
-      numHashes = 12, bands = 6)
+      numHashes = 12, bands = 12)
     val verified = TextDedup.jaccardVerify(docs, cand, shingleK = 2,
       minJaccard = 0.5)
     val scores = verified.collect()
