@@ -123,8 +123,16 @@ object ConnectedComponents {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      converged = small.exceptAll(e).limit(1).count() == 0 &&
-        e.exceptAll(small).limit(1).count() == 0
+      // Fixpoint test: the edge sets are distinct, so (count, Σ hash)
+      // equality is set equality up to a 2⁻⁶⁴ hash collision — two cheap
+      // scans of checkpointed data instead of two exceptAll shuffles.
+      // Hash summed in decimal: ANSI mode overflow-checks long sums.
+      def sig(df: DataFrame): (Long, String) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
+      }
+      converged = sig(small) == sig(e)
       e = small
       iter += 1
     }
