@@ -102,6 +102,18 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Fixpoint test: the edge sets are distinct, so (count, Σ hash)
+    // equality is set equality up to a 2⁻⁶⁴ hash collision — one cheap
+    // scan of the checkpointed round output (the previous round's
+    // signature is cached, not recomputed) instead of two exceptAll
+    // shuffles. Hash summed in decimal: ANSI mode overflow-checks long
+    // sums.
+    def sig(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
+    }
+    var prevSig = sig(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -123,16 +135,9 @@ object ConnectedComponents {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // Fixpoint test: the edge sets are distinct, so (count, Σ hash)
-      // equality is set equality up to a 2⁻⁶⁴ hash collision — two cheap
-      // scans of checkpointed data instead of two exceptAll shuffles.
-      // Hash summed in decimal: ANSI mode overflow-checks long sums.
-      def sig(df: DataFrame): (Long, String) = {
-        val r = df.agg(count(lit(1)),
-          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-        (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
-      }
-      converged = sig(small) == sig(e)
+      val s = sig(small)
+      converged = s == prevSig
+      prevSig = s
       e = small
       iter += 1
     }
