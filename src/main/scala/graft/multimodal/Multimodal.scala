@@ -6,17 +6,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (harness extension): image/audio/video as
   * opaque `binary` columns with typed metadata, processed in batches.
   *
-  * The container has no media codecs, so the decode step is STUBBED with a
-  * deterministic fake (md5-seeded feature vector) — clearly marked below.
-  * Everything around it is real Spark plumbing: schema, partition sizing,
-  * batch iteration shape (mapPartitions ≈ the JVM analog of mapInPandas
-  * batches), and is what you'd keep when swapping in a real decoder.
+  * Codec-free container formats are decoded FOR REAL in pure JVM code:
+  * uncompressed 24-bit BMP (header + pixel grid → dimensions, grayscale
+  * statistics, 2×2 downsample) and PCM WAV (RIFF chunks → sample rate,
+  * channels, duration, RMS, zero-crossing rate). Only payloads that
+  * genuinely need a media codec (JPEG/PNG/MP4 — none installed in this
+  * container) fall through to the clearly-marked deterministic stub.
+  * The distributed shape is the same either way: partition-level
+  * batching with a per-partition "model load" slot, fixed-size output
+  * schema (mapPartitions ≈ the JVM analog of mapInPandas batches).
   */
 object Multimodal {
 
   final case class MediaMeta(
       id: Long, n_bytes: Int, header_hex: String, kind: String)
   final case class MediaFeature(id: Long, feature: Array[Float])
+  final case class MediaInfo(
+      id: Long, kind: String, width: Int, height: Int,
+      sample_rate: Int, channels: Int, duration_s: Double)
 
   /** Byte-level metadata over a binary column — pure column expressions.
     * `header_hex`: first 4 bytes, the magic-number sniff a real pipeline
@@ -29,16 +36,158 @@ object Multimodal {
       lower(hex(substring(col(binCol), 1, 4))).as("header_hex"),
       when(lower(hex(substring(col(binCol), 1, 2))) === "ffd8", "jpeg")
         .when(lower(hex(substring(col(binCol), 1, 4))) === "89504e47", "png")
+        .when(lower(hex(substring(col(binCol), 1, 2))) === "424d", "bmp")
+        .when(lower(hex(substring(col(binCol), 1, 4))) === "52494646", "wav")
         .otherwise("unknown").as("kind"))
 
-  /** Batched "decode + featurize" over binary payloads.
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Parse an uncompressed 24-bit BMP: (width, height, pixelDataOffset).
+    * None for anything that is not a plain bottom-up 24bpp BMP.
+    */
+  private def bmpHeader(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+    else {
+      val w = le32(b, 18); val h = le32(b, 22)
+      val bpp = le16(b, 28); val compression = le32(b, 30)
+      val off = le32(b, 10)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
+        off + stride.toLong * h > b.length) None
+      else Some((w, h, off))
+    }
+
+  /** REAL image decode (no codec needed): grayscale statistics and a 2×2
+    * mean-gray downsample over the BMP pixel grid — the resize/feature
+    * step of an image pipeline, exact to the byte. Feature layout:
+    * [mean, std, q00, q01, q10, q11, aspect, 1.0].
+    */
+  def decodeBmpFeatures(b: Array[Byte]): Option[Array[Float]] =
+    bmpHeader(b).map { case (w, h, off) =>
+      val stride = ((w * 3 + 3) / 4) * 4
+      var sum = 0.0; var sumSq = 0.0
+      val quad = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        // BMP rows are stored bottom-up; row y on screen is h-1-y in file.
+        val row = off + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val p = row + x * 3
+          val gray = (u8(b, p) * 0.114 + u8(b, p + 1) * 0.587 +
+            u8(b, p + 2) * 0.299) / 255.0
+          sum += gray; sumSq += gray * gray
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quad(q) += gray; quadN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mean = sum / n
+      val variance = math.max(0.0, sumSq / n - mean * mean)
+      Array(
+        mean.toFloat, math.sqrt(variance).toFloat,
+        (if (quadN(0) > 0) quad(0) / quadN(0) else 0.0).toFloat,
+        (if (quadN(1) > 0) quad(1) / quadN(1) else 0.0).toFloat,
+        (if (quadN(2) > 0) quad(2) / quadN(2) else 0.0).toFloat,
+        (if (quadN(3) > 0) quad(3) / quadN(3) else 0.0).toFloat,
+        (w.toDouble / h).toFloat, 1.0f)
+    }
+
+  /** Parse PCM WAV RIFF chunks: (sampleRate, channels, bitsPerSample,
+    * dataOffset, dataBytes). None unless an intact PCM fmt+data pair.
+    */
+  private def wavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b == null || b.length < 44 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      if (id == "fmt " && size >= 16)
+        fmt = Some((le32(b, pos + 12), le16(b, pos + 10), le16(b, pos + 22)))
+      else if (id == "data") data = Some((pos + 8, size))
+      pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    for ((rate, ch, bits) <- fmt; (off, n) <- data
+      if rate > 0 && ch > 0 && (bits == 8 || bits == 16))
+      yield (rate, ch, bits, off, n)
+  }
+
+  /** REAL audio decode (PCM needs no codec): RMS amplitude and
+    * zero-crossing rate over the samples — the resample/feature step of
+    * an audio pipeline. Feature layout: [rms, zcr, duration_s,
+    * sample_rate/1e5, channels, bits/16, 0, 2.0].
+    */
+  def decodeWavFeatures(b: Array[Byte]): Option[Array[Float]] =
+    wavHeader(b).map { case (rate, ch, bits, off, n) =>
+      val bytesPer = bits / 8
+      val nSamples = n / bytesPer
+      var sumSq = 0.0
+      var crossings = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < nSamples) {
+        val v =
+          if (bits == 16) le16(b, off + i * 2).toShort.toInt / 32768.0
+          else (u8(b, off + i) - 128) / 128.0
+        sumSq += v * v
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val duration = n.toDouble / (rate.toLong * ch * bytesPer)
+      Array(
+        (if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0).toFloat,
+        (if (nSamples > 1) crossings.toDouble / (nSamples - 1) else 0.0)
+          .toFloat,
+        duration.toFloat, rate / 1e5f, ch.toFloat, bits / 16.0f, 0.0f, 2.0f)
+    }
+
+  /** Typed per-format metadata (the "decoded header" table a media
+    * pipeline keys on): real dimensions for BMP, real sample
+    * rate/channels/duration for WAV, zeros for undecodable payloads.
+    */
+  def mediaInfo(
+      df: DataFrame, binCol: String, idCol: String): Dataset[MediaInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        bmpHeader(b) match {
+          case Some((w, h, _)) => MediaInfo(id, "bmp", w, h, 0, 0, 0.0)
+          case None =>
+            wavHeader(b) match {
+              case Some((rate, ch, bits, _, n)) =>
+                MediaInfo(id, "wav", 0, 0, rate, ch,
+                  n.toDouble / (rate.toLong * ch * (bits / 8)))
+              case None => MediaInfo(id, "unknown", 0, 0, 0, 0, 0.0)
+            }
+        }
+      })
+  }
+
+  /** Batched decode + featurize over binary payloads: BMP and WAV route
+    * to the real decoders above; everything else falls through to the
+    * stub.
     *
-    * ??? STUB ???  The real implementation would decode the payload
-    * (image decode / audio resample / video frame-sample) inside
-    * `decodeStub`. Here it derives a deterministic 8-dim fake feature
-    * from the payload's md5 so the distributed plumbing (partition-level
-    * batching, fixed-size output schema, skew-neutral repartition) is
-    * real and testable without codecs.
+    * ??? STUB (fallback only) ??? Compressed formats (JPEG/PNG/MP4)
+    * would decode here; this container ships no codecs, so those derive
+    * a deterministic 8-dim fake feature from the payload's md5 — keeping
+    * the distributed plumbing (partition-level batching, fixed-size
+    * output schema, skew-neutral repartition) real and testable.
     */
   def featurize(
       df: DataFrame,
@@ -53,15 +202,18 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // One digest instance per partition — the "per-batch model load"
-        // slot a real decoder/model would occupy.
+        // slot a real compressed-format decoder/model would occupy.
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { case (id, payload) =>
-          MediaFeature(id, decodeStub(md, payload))
+          val feature = decodeBmpFeatures(payload)
+            .orElse(decodeWavFeatures(payload))
+            .getOrElse(decodeStub(md, payload))
+          MediaFeature(id, feature)
         }
       }
   }
 
-  /** ??? deterministic fake decode — replace with a real codec. */
+  /** ??? deterministic fake decode — the slot a real codec would fill. */
   private def decodeStub(
       md: java.security.MessageDigest,
       payload: Array[Byte]): Array[Float] = {
