@@ -93,12 +93,16 @@ object TextDedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sigs = minHashSignature(docs, textCol, idCol, shingleK, numHashes)
+    // Persisted: the self-join consumes this frontier twice, and Spark
+    // does not share common subplans across join inputs — without the
+    // persist the whole shingle→md5→signature pipeline runs twice.
     val banded = sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
     l.join(r, Seq("band", "bucket"))
@@ -115,8 +119,10 @@ object TextDedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // Persisted: read three times (sizes once, token join twice).
     val sh = docs.select(col(idCol),
-      shingles(col(textCol), shingleK).as("sh"))
+        shingles(col(textCol), shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
     val toks = sh.select(col(idCol), explode(col("sh")).as("s"))
     val interCount = candidates
@@ -171,7 +177,12 @@ object TextDedup {
     val bits = 60
     val chunks = math.min(maxHamming + 1, bits)
     val bounds = (0 to chunks).map(c => c * bits / chunks)
-    val banded = fingerprints.select(col(idCol),
+    // Persisted: consumed four times (chunk join both sides + the two
+    // fingerprint re-attachments) — otherwise the 60-bit aggregation
+    // upstream runs four times.
+    val fp = fingerprints
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(col(idCol),
       posexplode(array((0 until chunks).map { c =>
         val lo = bounds(c)
         val mask = (1L << (bounds(c + 1) - lo)) - 1L
@@ -181,9 +192,9 @@ object TextDedup {
     val r = banded.select(col("chunk"), col("ckey"), col(idCol).as("b_id"))
     val cand = l.join(r, Seq("chunk", "ckey"))
       .where(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
-    val fa = fingerprints.select(col(idCol).as("a_id"),
+    val fa = fp.select(col(idCol).as("a_id"),
       col("simhash").as("ha"))
-    val fb = fingerprints.select(col(idCol).as("b_id"),
+    val fb = fp.select(col(idCol).as("b_id"),
       col("simhash").as("hb"))
     cand.join(fa, "a_id").join(fb, "b_id")
       .withColumn("hamming",
