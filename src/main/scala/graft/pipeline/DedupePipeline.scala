@@ -220,7 +220,9 @@ object DedupePipeline {
       m.count()
       m
     }
-    val (mapped, um) = apply(em, eu, src, cfg)
+    val (mapped, um0) = apply(em, eu, src, cfg)
+    val um = um0.persist(StorageLevel.MEMORY_AND_DISK)
+    timed("apply")(um.count())
     Result(eu, bm, pairs, scored, em, mapped, um, model, predicates)
   }
 }
