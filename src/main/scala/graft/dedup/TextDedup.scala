@@ -152,13 +152,25 @@ object TextDedup {
         t => t =!= ""))).as("tok"))
     val hashed = toks.withColumn("h",
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bitCols = (0 until 60).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
+    // Bit-vote aggregation with 3 ones-counters PACKED per long (20-bit
+    // lanes): 21 aggregate columns instead of 60. Bit j is set when
+    // 2·ones_j > n (equivalent to the ±1-vote sign: sum = 2·ones − n).
+    // Lane bound: 2²⁰ ≈ 1M distinct whitespace tokens per document
+    // before a lane overflows — beyond any real document's vocabulary.
+    val lanes = 3
+    val laneBits = 20
+    val packedCols = (0 until 60 / lanes).map { g =>
+      sum((0 until lanes).map { k =>
+        val j = g * lanes + k
+        shiftleft(shiftright(col("h"), j).bitwiseAND(1), laneBits * k)
+      }.reduce(_ + _)).as(s"p$g")
     }
-    val agg = hashed.groupBy(idCol).agg(bitCols.head, bitCols.tail: _*)
+    val agg = hashed.groupBy(idCol)
+      .agg(count(lit(1)).as("n"), packedCols: _*)
     val fp = (0 until 60).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val ones = shiftright(col(s"p${j / lanes}"), laneBits * (j % lanes))
+        .bitwiseAND((1L << laneBits) - 1L)
+      when(ones * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col(idCol), fp.as("simhash"))
   }

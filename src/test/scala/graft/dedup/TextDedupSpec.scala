@@ -48,6 +48,33 @@ class TextDedupSpec extends SparkSpec {
     assert(!scores.contains((1L, 4L)))
   }
 
+  test("simhash matches a driver-side reference bit-vote implementation") {
+    def refSimHash(text: String): Long = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).distinct
+      val votes = new Array[Int](60)
+      toks.foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L)
+        .foldLeft(0L)(_ | _)
+    }
+    val expected = docs.collect()
+      .map(r => r.getLong(0) -> refSimHash(r.getString(1))).toMap
+    val actual = TextDedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected,
+      s"packed-lane fingerprints diverge: ${actual.toSeq.sorted} vs " +
+        s"${expected.toSeq.sorted}")
+  }
+
   test("simhash hamming distance separates near-dups from noise") {
     val fp = TextDedup.simHash(docs)
     val cand = TextDedup.simHashCandidates(fp, maxHamming = 16)
