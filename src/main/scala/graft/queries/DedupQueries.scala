@@ -100,6 +100,49 @@ object DedupQueries {
         WHERE CAST(coalesce(i.i, 0) AS DOUBLE) /
           CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) >= $minJaccard)"""
 
+  /** q37's oracle: the SimHash bit-vote fingerprint, pigeonhole chunk
+    * join, and Hamming filter in DuckDB bit arithmetic — chunk bounds
+    * and the 2·ones > n vote rule generated from the same constants as
+    * TextDedup.simHash / simHashCandidates.
+    */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val bits = 60
+    val chunks = math.min(maxHamming + 1, bits)
+    val bounds = (0 to chunks).map(c => c * bits / chunks)
+    val ones = (0 until bits)
+      .map(j => s"sum((h >> $j) & 1) AS o$j").mkString(", ")
+    val fpExpr = (0 until bits).map(j =>
+      s"(CASE WHEN 2*o$j > n THEN CAST(1 AS BIGINT) << $j ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until chunks).map { c =>
+      val lo = bounds(c)
+      val mask = (1L << (bounds(c + 1) - lo)) - 1L
+      s"SELECT doc_id, $c AS chunk, (simhash >> $lo) & $mask AS ckey FROM fp"
+    }.mkString(" UNION ALL ")
+    s"""WITH utoks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) WHERE tok <> ''),
+      hashed AS (
+        SELECT doc_id,
+          CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM utoks),
+      agg AS (
+        SELECT doc_id, count(*) AS n, $ones FROM hashed GROUP BY doc_id),
+      fp AS (SELECT doc_id, $fpExpr AS simhash FROM agg),
+      banded AS ($bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b USING (chunk, ckey)
+        WHERE a.doc_id < b.doc_id)
+      SELECT c.a_id, c.b_id,
+        CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN fp fa ON fa.doc_id = c.a_id
+      JOIN fp fb ON fb.doc_id = c.b_id
+      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $maxHamming"""
+  }
+
   private val keyedSql =
     """keyed AS (
         SELECT DISTINCT 'token:text:' || tok AS block_key, doc_id AS _unique_id
@@ -256,15 +299,17 @@ object DedupQueries {
         SELECT a_id, b_id, round(jaccard, 6) AS jaccard FROM verified""")),
 
     // 60-bit SimHash + Hamming-bucketed near-dup pairs (pigeonhole:
-    // maxHamming=3 → 4 chunks of 15 bits, recall-exact). Bit packing
-    // isn't portably SQL-expressible → no oracle (rows-only check).
+    // maxHamming=3 → 4 chunks of 15 bits, recall-exact). The oracle
+    // reproduces the full bit-vote → pack → chunk-join → bit_count(xor)
+    // dataflow in DuckDB bit arithmetic, generated from the same
+    // bounds/constants as the engine (simhashOracleSql).
     QueryDef(
       "q37_simhash_pairs",
       (s, dir) => {
         val fp = TextDedup.simHash(Tables.load(s, dir, "documents"))
         TextDedup.simHashCandidates(fp, maxHamming = 3)
       },
-      None),
+      Some(simhashOracleSql(3))),
 
     // Near-dup canonicalization: connected components over candidate
     // pairs, keep min id per component (D9/D10 reused for doc dedup).
