@@ -48,6 +48,32 @@ object TextAnnQueries {
         FROM sm"""
   }
 
+  /** Exact cosine top-3 for queries vec_id < 20 — the oracle for BOTH
+    * q44 (brute force) and q49 (IVF at full probe, which searches every
+    * cell and is therefore exactly the brute-force answer; the suite
+    * asserts this equivalence too, KnnSpec).
+    */
+  private val exactTopKOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.qv) + 1),
+            i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+              i -> CAST(c.embedding[i] AS DOUBLE) *
+                CAST(c.embedding[i] AS DOUBLE))))) AS cosine
+        FROM q CROSS JOIN embeddings c
+        WHERE q.query_id <> c.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 3"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting (whitespace); the BPE-ish subtoken count needs
@@ -115,25 +141,7 @@ object TextAnnQueries {
         Knn.bruteForceTopK(emb, emb.where(col("vec_id") < 20), k = 3)
           .select("query_id", "neighbor_id", "rank")
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 20),
-        scored AS (
-          SELECT q.query_id, c.vec_id AS neighbor_id,
-            list_sum(list_transform(range(1, len(q.qv) + 1),
-              i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-                i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
-               sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
-                i -> CAST(c.embedding[i] AS DOUBLE) *
-                  CAST(c.embedding[i] AS DOUBLE))))) AS cosine
-          FROM q CROSS JOIN embeddings c
-          WHERE q.query_id <> c.vec_id)
-        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-          SELECT query_id, neighbor_id,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, neighbor_id ASC) AS rank
-          FROM scored)
-        WHERE rank <= 3""")),
+      Some(exactTopKOracleSql)),
 
     // LSH-bucketed ANN (deterministic hyperplanes) — the scale path;
     // bucketing math isn't portably SQL-expressible → rows-only.
@@ -146,7 +154,9 @@ object TextAnnQueries {
       },
       None),
 
-    // IVF-partitioned ANN (MLlib KMeans coarse quantizer) — rows-only.
+    // IVF-partitioned ANN (MLlib KMeans coarse quantizer) at nprobe <
+    // nlist — approximate by design → rows-only (recall gated in
+    // KnnSpec).
     QueryDef(
       "q46_knn_ivf",
       (s, dir) => {
@@ -156,6 +166,20 @@ object TextAnnQueries {
           .select("query_id", "neighbor_id", "rank")
       },
       None),
+
+    // IVF at FULL probe: every cell is searched, so the result is
+    // exactly the brute-force answer — the IVF code path (KMeans
+    // assignment, centroid pruning window, per-cell re-rank) gets a
+    // hash-checked oracle, and only the nprobe cut stays approximate.
+    QueryDef(
+      "q49_knn_ivf_fullprobe",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Knn.ivfTopK(emb, emb.where(col("vec_id") < 20), k = 3,
+            nlist = 8, nprobe = 8)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      Some(exactTopKOracleSql)),
 
     // Embedding-cosine near-dup canonicalization: cosine >= 0.44 pairs
     // (threshold chosen inside a gap of the pair-cosine distribution so
