@@ -62,7 +62,7 @@ object Knn {
     * values travel into the plan as literals (previously this md5 was a
     * Spark expression re-evaluated per element per row).
     */
-  private def planeComponent(p: Int, d: Int): Double = {
+  def planeComponent(p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane$p#$d".getBytes("UTF-8"))
       .take(4).map(b => f"${b & 0xff}%02x").mkString

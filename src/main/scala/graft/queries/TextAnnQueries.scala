@@ -74,6 +74,54 @@ object TextAnnQueries {
         FROM scored)
       WHERE rank <= 3"""
 
+  /** q45's oracle: the hyperplane-LSH bucket join in plain SQL, with the
+    * engine's deterministic plane weights inlined as literals (shortest
+    * round-trip decimal → identical doubles in DuckDB). Projections sum
+    * dims in the same order as the engine's UDF loop, so sign bits are
+    * bit-exact; candidates then re-rank by exact cosine like q44.
+    */
+  private def lshOracleSql(numPlanes: Int, numTables: Int,
+      dim: Int): String = {
+    def sigExpr(t: Int): String = (0 until numPlanes).map { p =>
+      val proj = (0 until dim).map { d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE)*" +
+          s"${Knn.planeComponent(t * numPlanes + p, d)}"
+      }.mkString("+")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("+")
+    val sigCols = (0 until numTables)
+      .map(t => s"(${sigExpr(t)}) AS s$t").mkString(", ")
+    val bandSelects = (0 until numTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, s$t AS sig FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH sigs AS (SELECT vec_id, $sigCols FROM embeddings),
+      banded AS ($bandSelects),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM banded q JOIN banded c USING (tbl, sig)
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          list_sum(list_transform(range(1, len(q.embedding) + 1),
+            i -> CAST(q.embedding[i] AS DOUBLE) *
+              CAST(c.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> CAST(q.embedding[i] AS DOUBLE) *
+                CAST(q.embedding[i] AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+              i -> CAST(c.embedding[i] AS DOUBLE) *
+                CAST(c.embedding[i] AS DOUBLE))))) AS cosine
+        FROM cand cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 3"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting (whitespace); the BPE-ish subtoken count needs
@@ -143,16 +191,19 @@ object TextAnnQueries {
       },
       Some(exactTopKOracleSql)),
 
-    // LSH-bucketed ANN (deterministic hyperplanes) — the scale path;
-    // bucketing math isn't portably SQL-expressible → rows-only.
+    // LSH-bucketed ANN (deterministic hyperplanes) — the scale path.
+    // Oracle-checked: the plane weights are deterministic literals, so
+    // the sign-bit bucketing and candidate re-rank replay exactly in
+    // DuckDB (see lshOracleSql).
     QueryDef(
       "q45_knn_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        Knn.lshTopK(emb, emb.where(col("vec_id") < 20), k = 3)
+        Knn.lshTopK(emb, emb.where(col("vec_id") < 20), k = 3,
+            numPlanes = 4, numTables = 16)
           .select("query_id", "neighbor_id", "rank")
       },
-      None),
+      Some(lshOracleSql(numPlanes = 4, numTables = 16, dim = 64))),
 
     // IVF-partitioned ANN (MLlib KMeans coarse quantizer) at nprobe <
     // nlist — approximate by design → rows-only (recall gated in
