@@ -61,11 +61,16 @@ object PredicateLearner {
         def vals(frame: DataFrame, c: String) =
           frame.select(col(c).as("value"))
             .where(col("value").isNotNull && col("value") =!= "")
+        val pairValues = vals(matchPairs, s"l_${p.field}")
+          .union(vals(matchPairs, s"r_${p.field}"))
+          .distinct()
+        // Fit on the full corpus (idf / canopy neighborhoods need every
+        // value) but keep only the pair values' rows: the coverage join
+        // never reads corpus-only rows, and this bounds the broadcast by
+        // the training-file size instead of the corpus size.
         val indexed = p.keysByValue(
-          vals(records, p.field)
-            .union(vals(matchPairs, s"l_${p.field}"))
-            .union(vals(matchPairs, s"r_${p.field}"))
-            .distinct())
+          vals(records, p.field).union(pairValues).distinct())
+          .join(broadcast(pairValues), "value")
         def attach(side: String) = broadcast(indexed.select(
           col("value").as(s"${side}v$i"), col("keys").as(s"${side}k$i")))
         df = df

@@ -54,9 +54,12 @@ object Multimodal {
       val w = le32(b, 18); val h = le32(b, 22)
       val bpp = le16(b, 28); val compression = le32(b, 30)
       val off = le32(b, 10)
-      val stride = ((w * 3 + 3) / 4) * 4
-      if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
-        off + stride.toLong * h > b.length) None
+      // Size arithmetic in Long: a crafted w near 2^30 overflows w*3 in
+      // Int, sneaking a negative stride past the bounds check and then
+      // throwing AIOOBE in the pixel loop instead of returning None.
+      val stride = ((w.toLong * 3 + 3) / 4) * 4
+      if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 || off < 54 ||
+        off.toLong + stride * h.toLong > b.length) None
       else Some((w, h, off))
     }
 
@@ -107,17 +110,24 @@ object Multimodal {
       !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
       !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
       return None
-    var pos = 12
+    // Chunk walk in Long: a crafted size near 2^31 overflows
+    // `pos + 8 + size` in Int, passing the bounds check with a negative
+    // sum and reading out of bounds. pos.toInt is safe once
+    // `pos + 8 <= b.length` holds.
+    var pos: Long = 12
     var fmt: Option[(Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None
     while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = new String(b, pos, 4, "US-ASCII")
-      val size = le32(b, pos + 4)
+      val p = pos.toInt
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = le32(b, p + 4)
       if (size < 0 || pos + 8 + size > b.length) return None
-      if (id == "fmt " && size >= 16)
-        fmt = Some((le32(b, pos + 12), le16(b, pos + 10), le16(b, pos + 22)))
-      else if (id == "data") data = Some((pos + 8, size))
-      pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+      // audioFormat (le16 at +8) must be 1 = integer PCM; the sample loop
+      // would misread float/compressed payloads as PCM otherwise.
+      if (id == "fmt " && size >= 16 && le16(b, p + 8) == 1)
+        fmt = Some((le32(b, p + 12), le16(b, p + 10), le16(b, p + 22)))
+      else if (id == "data") data = Some((p + 8, size))
+      pos += 8L + size + (size & 1) // chunks are 2-byte aligned
     }
     for ((rate, ch, bits) <- fmt; (off, n) <- data
       if rate > 0 && ch > 0 && (bits == 8 || bits == 16))
