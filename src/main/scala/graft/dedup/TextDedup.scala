@@ -11,8 +11,30 @@ import org.apache.spark.sql.functions._
   *
   * All operators are pure column expressions + joins — no UDFs — so the
   * whole family stays inside whole-stage codegen and scales by shuffle.
+  *
+  * Persist lifecycle: the candidate-generation operators below
+  * (`minHashCandidates`, `jaccardVerify`, `simHashCandidates`) each cache
+  * an expensive internal frontier that their plan reads more than once.
+  * That frontier is materialized, consumed, and UNPERSISTED before the
+  * function returns — no internal block outlives the call. What the
+  * caller receives is the (small) result frame, persisted MEMORY_AND_DISK
+  * so downstream actions don't recompute the whole pipeline; call
+  * `.unpersist()` on it when done (one handle releases everything).
   */
 object TextDedup {
+
+  private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Materialize `result` (persisted) while `frontiers` are still cached,
+    * then release the frontiers. The returned frame is the ONLY block
+    * left pinned, and it is the caller's handle.
+    */
+  private def sealResult(result: DataFrame, frontiers: DataFrame*): DataFrame = {
+    val out = result.persist(Disk)
+    out.count() // materialize now, while the frontiers are cached
+    frontiers.foreach(_.unpersist(false))
+    out
+  }
 
   /** Exact dedup by content hash (md5 over the text column): keeps the
     * minimum doc_id per identical text. One hash-aggregation shuffle;
@@ -96,19 +118,22 @@ object TextDedup {
     // Persisted: the self-join consumes this frontier twice, and Spark
     // does not share common subplans across join inputs — without the
     // persist the whole shingle→md5→signature pipeline runs twice.
+    // Released by sealResult before return.
     val banded = sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Disk)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
+    sealResult(
+      l.join(r, Seq("band", "bucket"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct(),
+      banded)
   }
 
   /** n-gram Jaccard similarity for candidate pairs, computed by re-joining
@@ -120,24 +145,27 @@ object TextDedup {
       textCol: String = "text", idCol: String = "doc_id",
       shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     // Persisted: read three times (sizes once, token join twice).
+    // Released by sealResult before return.
     val sh = docs.select(col(idCol),
         shingles(col(textCol), shingleK).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Disk)
     val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
     val toks = sh.select(col(idCol), explode(col("sh")).as("s"))
     val interCount = candidates
       .join(toks.select(col(idCol).as("a_id"), col("s")), "a_id")
       .join(toks.select(col(idCol).as("b_id"), col("s")), Seq("b_id", "s"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    candidates
-      .join(interCount, Seq("a_id", "b_id"), "left_outer")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
-      .withColumn("jaccard",
-        col("inter") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select("a_id", "b_id", "jaccard")
+    sealResult(
+      candidates
+        .join(interCount, Seq("a_id", "b_id"), "left_outer")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("jaccard",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= minJaccard)
+        .select("a_id", "b_id", "jaccard"),
+      sh)
   }
 
   /** 60-bit SimHash over whitespace tokens: per token take the first 15
@@ -191,9 +219,8 @@ object TextDedup {
     val bounds = (0 to chunks).map(c => c * bits / chunks)
     // Persisted: consumed four times (chunk join both sides + the two
     // fingerprint re-attachments) — otherwise the 60-bit aggregation
-    // upstream runs four times.
-    val fp = fingerprints
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // upstream runs four times. Released by sealResult before return.
+    val fp = fingerprints.persist(Disk)
     val banded = fp.select(col(idCol),
       posexplode(array((0 until chunks).map { c =>
         val lo = bounds(c)
@@ -208,11 +235,13 @@ object TextDedup {
       col("simhash").as("ha"))
     val fb = fp.select(col(idCol).as("b_id"),
       col("simhash").as("hb"))
-    cand.join(fa, "a_id").join(fb, "b_id")
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+    sealResult(
+      cand.join(fa, "a_id").join(fb, "b_id")
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .where(col("hamming") <= maxHamming)
+        .select("a_id", "b_id", "hamming"),
+      fp)
   }
 
   /** Embedding near-dup: cosine ≥ threshold via brute-force within LSH

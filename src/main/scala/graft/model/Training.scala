@@ -89,8 +89,22 @@ object Training {
     * `train`).
     */
   def toTrainingJson(labeled: DataFrame, cfg: DedupeConfig): String = {
-    def q(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JSON string escaping including U+0000–U+001F (the reference's
+    // json.dump escapes control characters too) — a newline or tab in a
+    // field value must round-trip through parseTrainingJson.
+    def q(s: String): String = {
+      val sb = new StringBuilder(s.length + 2).append('"')
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
     def rec(r: Row, side: String) = cfg.columns.map { c =>
       val v = r.getAs[String](s"${side}_$c")
       s"${q(c)}: ${if (v == null) "null" else q(v)}"
