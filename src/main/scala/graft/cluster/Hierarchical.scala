@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * `groupByKey(component).flatMapGroups(hacOnGroup)`. The in-group
   * agglomeration is sparse: memory is O(V + E) in the component's
   * observed edges (never a dense n×n matrix), so a `maxComponentSize`
-  * guard is only needed against adversarially dense components — it
-  * degrades those to a single cluster (connected-component semantics)
-  * rather than OOMing an executor, and such fallbacks keep all rows (no
-  * silent caps).
+  * guard is only needed against giant components (a hot blocking key
+  * chaining thousands of records). Oversized components are SPLIT on
+  * their weakest edges into capped pieces (Kruskal with a size cap) and
+  * each piece agglomerated for real — never mass-merged into one
+  * cluster — and the split is logged (no silent caps).
   */
 object Hierarchical {
 
@@ -59,17 +60,8 @@ object Hierarchical {
       .flatMap(e => Iterator(e.lId, e.rId)).toArray.distinct.sorted
     val n = ids.length
     if (n < 2) return Iterator.empty
-    if (n > maxComponentSize) {
-      // Degenerate giant component: keep it as one cluster (single-link
-      // semantics) instead of running the agglomeration. Logged loudly —
-      // this is a semantic downgrade, never a silent cap.
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"HAC component of $n members exceeds maxComponentSize=" +
-          s"$maxComponentSize; degraded to a single cluster " +
-          "(connected-component semantics) instead of agglomerating")
-      val canon = ids.min
-      return ids.iterator.map(Assignment(_, canon, threshold))
-    }
+    if (n > maxComponentSize)
+      return splitOversized(edges, ids, threshold, maxComponentSize)
     val idx = ids.zipWithIndex.toMap
     val cutoff = 1.0 - threshold
 
@@ -203,6 +195,79 @@ object Hierarchical {
       }
     }
     out.iterator
+  }
+
+  /** Oversized-component fallback: split on the WEAKEST edges, then run
+    * the real agglomeration inside each capped piece. Equivalent to
+    * Kruskal with a size cap — edges are admitted strongest-first into a
+    * union-find, skipping any union that would grow a piece past
+    * `maxComponentSize` — so the cut set is exactly the weakest edges
+    * whose removal bounds every piece. Each piece then recurses into
+    * `hacOnGroup` (guaranteed ≤ cap, so it agglomerates for real). This
+    * replaces the old single-cluster collapse: a hot blocking key that
+    * chains thousands of records no longer mass-merges them; cross-piece
+    * (weak) edges are the only evidence dropped, and the drop is logged.
+    *
+    * Memory stays O(V + E) in the component's observed edges, same as the
+    * main path — the guard is against quadratic agglomeration time and
+    * mass false-merges, not against holding the edge list.
+    */
+  private def splitOversized(
+      edges: Seq[Edge],
+      ids: Array[Long],
+      threshold: Double,
+      maxComponentSize: Int): Iterator[Assignment] = {
+    val n = ids.length
+    val idx = ids.zipWithIndex.toMap
+    // Best score per vertex pair (duplicate edges keep the best), then
+    // strongest-first with deterministic ties on the original id pair.
+    val best = mutable.HashMap.empty[(Int, Int), Double]
+    edges.foreach { e =>
+      if (e.lId != e.rId) {
+        val a = idx(e.lId); val b = idx(e.rId)
+        val k = if (a < b) (a, b) else (b, a)
+        if (e.score > best.getOrElse(k, Double.MinValue)) best(k) = e.score
+      }
+    }
+    val sorted = best.toArray
+      .sortBy { case ((a, b), s) => (-s, ids(a), ids(b)) }
+    val parent = Array.tabulate(n)(identity)
+    val psize = Array.fill(n)(1)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    sorted.foreach { case ((a, b), _) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb && psize(ra) + psize(rb) <= maxComponentSize) {
+        val (keep, gone) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(gone) = keep
+        psize(keep) += psize(gone)
+      }
+    }
+    // Regroup the ORIGINAL edges by piece (both endpoints in the same
+    // piece); cross-piece edges are the weakest-cut evidence we drop.
+    val byPiece = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Edge]]
+    var dropped = 0L
+    edges.foreach { e =>
+      if (e.lId != e.rId) {
+        val ra = find(idx(e.lId))
+        if (ra == find(idx(e.rId)))
+          byPiece.getOrElseUpdate(ra, mutable.ArrayBuffer.empty) += e
+        else dropped += 1
+      }
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"HAC component of $n members exceeds maxComponentSize=" +
+        s"$maxComponentSize; split on weakest edges into " +
+        s"${byPiece.size} capped sub-components ($dropped cross-piece " +
+        "edge observations dropped) and agglomerated each piece")
+    byPiece.toArray.sortBy(_._1).iterator.flatMap { case (_, es) =>
+      hacOnGroup(es.toSeq, threshold, maxComponentSize)
+    }
   }
 
   /** Cluster scored pairs: components, then per-component HAC. Returns the

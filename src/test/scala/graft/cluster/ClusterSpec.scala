@@ -71,12 +71,44 @@ class ClusterSpec extends SparkSpec {
     assert(out.forall(_.cluster_score > 0.8))
   }
 
-  test("HAC giant-component guard degrades to single cluster") {
+  test("HAC giant-component guard splits into capped pieces, loses no row") {
+    // A uniform 10-clique over cap 5: no weak edges to prefer, but the
+    // split must still bound every piece at the cap and keep all members.
     val edges = for (a <- 1L to 10L; b <- (a + 1) to 10L)
       yield Hierarchical.Edge(1L, a, b, 0.8)
     val out = Hierarchical.hacOnGroup(edges.toSeq, 0.5, 5).toSeq
-    assert(out.map(_.canon_id).distinct == Seq(1L))
-    assert(out.length == 10)
+    assert(out.map(_._unique_id).sorted == (1L to 10L))
+    val sizes = out.groupBy(_.canon_id).values.map(_.size)
+    assert(sizes.forall(_ <= 5), s"piece sizes $sizes exceed the cap")
+  }
+
+  test("HAC giant barbell splits on its weakest edge into the two halves") {
+    // Two tight 4-cliques (scores 0.9) joined by a single weak bridge
+    // (0.55): 8 members over cap 4 must split exactly at the bridge, each
+    // half agglomerating into its own cluster — not collapse to one.
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L)
+      yield Hierarchical.Edge(1L, a, b, 0.9)
+    val cliqueB = for (a <- 5L to 8L; b <- (a + 1) to 8L)
+      yield Hierarchical.Edge(1L, a, b, 0.9)
+    val bridge = Seq(Hierarchical.Edge(1L, 4L, 5L, 0.55))
+    val out = Hierarchical.hacOnGroup(
+      cliqueA ++ cliqueB ++ bridge, threshold = 0.5,
+      maxComponentSize = 4).toSeq
+    val byCluster = out.groupBy(_.canon_id).view.mapValues(
+      _.map(_._unique_id).sorted).toMap
+    assert(byCluster == Map(1L -> Seq(1L, 2L, 3L, 4L),
+      5L -> Seq(5L, 6L, 7L, 8L)), s"got $byCluster")
+    assert(out.forall(_.cluster_score > 0.8))
+  }
+
+  test("HAC oversized split is deterministic across shuffled edge order") {
+    val edges = (for (a <- 1L to 12L; b <- (a + 1) to 12L)
+      yield Hierarchical.Edge(1L, a, b,
+        0.6 + 0.4 * (((a * 31 + b * 17) % 97) / 97.0))).toSeq
+    val out1 = Hierarchical.hacOnGroup(edges, 0.5, 6).toSeq.sortBy(_._unique_id)
+    val out2 = Hierarchical.hacOnGroup(scala.util.Random.shuffle(edges),
+      0.5, 6).toSeq.sortBy(_._unique_id)
+    assert(out1 == out2)
   }
 
   test("cluster() end-to-end over a scored-pairs DataFrame") {
