@@ -89,18 +89,49 @@ object Knn {
       signBit(v, Array.tabulate(dim)(planeComponent(p, _)), p)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Planes needed so the EXPECTED bucket population n / 2^planes stays
+    * at or under `targetBucket`: ceil(log₂(n / targetBucket)), floored at
+    * 4 (the recall-tuned small-corpus setting) and capped at 24 (16M
+    * buckets — beyond that the signature join key stops paying for
+    * itself before petabyte-scale corpora). This is what bounds the
+    * bucket self-join: per table, candidate work is Σ over buckets of
+    * |bucket|² ≈ n · targetBucket — LINEAR in n for a fixed target —
+    * whereas any fixed plane count degenerates to (n / 2^planes)² =
+    * quadratic once n outgrows it.
+    */
+  def derivePlanes(n: Long, targetBucket: Long = 4096L): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1L, targetBucket))
+    math.min(24, math.max(4,
+      math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** The plane count `lshTopK` actually uses: the caller's explicit
+    * choice when > 0, else derived from the corpus size. */
+  def effectivePlanes(numPlanes: Int, n: => Long, targetBucket: Long): Int =
+    if (numPlanes > 0) numPlanes else derivePlanes(n, targetBucket)
+
   /** LSH-bucketed top-k: signatures over `numPlanes` hyperplanes,
     * `numTables` independent tables (banded planes); candidates = rows
     * sharing a (table, signature) bucket; exact cosine re-rank within
-    * candidates. Recall grows with tables; cost stays near-linear.
+    * candidates.
     *
-    * Default parameters (4 planes × 16 tables) are sized for the HARD
-    * case — general top-k where true neighbors sit at cosine ≈ 0.3
-    * (per-plane agreement p = 1 − θ/π ≈ 0.61, per-table collision p⁴ ≈
-    * 0.14, 16 tables → ≈ 0.95 recall; measured 0.967 on the sf0.01
-    * embeddings, gated ≥ 0.9 in KnnSpec). Near-dup workloads (cosine ≥
-    * 0.9) collide almost surely per table, so fewer tables suffice there
-    * — tune down for cost, never up for recall.
+    * Cost bound: with `numPlanes = 0` (the default) the plane count is
+    * derived per-corpus as ceil(log₂(n / targetBucketSize)) — see
+    * [[derivePlanes]] — so expected bucket population stays ≈
+    * `targetBucketSize` and per-table candidate generation stays ≈
+    * n · targetBucketSize, linear in n. A FIXED plane count is only safe
+    * while n ≲ targetBucket · 2^planes; past that the bucket self-join
+    * tends toward (n / 2^planes)², which is why the default derives.
+    *
+    * Recall: per-plane sign agreement p = 1 − θ/π, per-table collision
+    * p^planes, overall 1 − (1 − p^planes)^tables. More planes (bigger
+    * corpus) therefore needs more tables for the same recall at a given
+    * similarity — recall-critical callers at a known scale should pin
+    * BOTH explicitly, as q45 does (4 planes × 16 tables on 500 vectors:
+    * per-table collision at cosine ≈ 0.3 is p⁴ ≈ 0.14, 16 tables → ≈
+    * 0.95 recall; measured 0.967 on the sf0.01 embeddings, gated ≥ 0.9
+    * in KnnSpec). Near-dup workloads (cosine ≥ 0.9) collide almost
+    * surely per table, so table count matters far less there.
     *
     * The bucket join carries (table, sig, id) only — 24 bytes per row —
     * and the distinct runs on bare id pairs; full vectors are re-attached
@@ -112,18 +143,20 @@ object Knn {
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      numPlanes: Int = 4,
+      numPlanes: Int = 0, // 0 = derive from corpus size (derivePlanes)
       numTables: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      targetBucketSize: Long = 4096L): DataFrame = {
+    val np = effectivePlanes(numPlanes, corpus.count(), targetBucketSize)
     val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val planes = Array.tabulate(numTables * numPlanes, dim)(planeComponent)
+    val planes = Array.tabulate(numTables * np, dim)(planeComponent)
     // All-table signatures in ONE primitive-loop UDF over the closure-
     // captured plane matrix: a literal expanded-sum expression tree
     // (numTables × numPlanes × dim ≈ 16k nodes) costs tens of seconds in
     // optimizer/codegen time alone; the UDF keeps the plan tiny and does
     // numTables·numPlanes·dim flops per row with no allocation.
-    val nt = numTables; val np = numPlanes
+    val nt = numTables
     val sigUdf = udf { (v: Seq[Float]) =>
       val out = new Array[Long](nt)
       var t = 0

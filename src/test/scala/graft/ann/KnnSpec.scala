@@ -75,6 +75,63 @@ class KnnSpec extends SparkSpec {
         s"extra=${(ivf -- brute).take(5)}")
   }
 
+  test("derivePlanes bounds expected bucket population at the target") {
+    // Small corpora keep the recall-tuned floor; planes then grow
+    // ~log2(n/target) so n / 2^planes stays <= target.
+    assert(Knn.derivePlanes(500) == 4)
+    assert(Knn.derivePlanes(50000, 1024) == 6)
+    assert(Knn.derivePlanes(50000, 256) == 8)
+    assert(Knn.derivePlanes(10000000000L, 4096) == 22)
+    assert(Knn.derivePlanes(1000000000000L, 4096) == 24) // cap
+    val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+    val planes = ns.map(Knn.derivePlanes(_))
+    assert(planes == planes.sorted, s"not monotonic: $planes")
+    ns.foreach { n =>
+      val p = Knn.derivePlanes(n)
+      assert(p == 24 || n.toDouble / math.pow(2, p) <= 4096.0,
+        s"n=$n planes=$p expected bucket ${n / math.pow(2, p)} > 4096")
+    }
+    // Explicit plane counts must never force a corpus count (by-name n).
+    assert(Knn.effectivePlanes(4, sys.error("must not be forced"), 4096) == 4)
+  }
+
+  test("derived planes keep real bucket population bounded on a 50k corpus") {
+    // 50k deterministic pseudo-random 8-dim vectors. With the derived
+    // plane count (8 for target 256) the measured buckets must stay near
+    // the target; a fixed 4-plane signature over the same corpus would
+    // put ~3125 rows in the AVERAGE bucket and fail both bounds.
+    val n = 50000L
+    val target = 256L
+    val dim = 8
+    val planesN = Knn.derivePlanes(n, target)
+    assert(planesN == 8)
+    val vecs = spark.range(n).select(col("id"),
+      array((0 until dim).map(d =>
+        ((pmod(xxhash64(col("id") * lit(dim) + lit(d)), lit(2000L))
+          - lit(1000L)).cast("double") / lit(1000.0)).cast("float")): _*)
+        .as("embedding"))
+    val buckets = vecs
+      .select(Knn.hyperplaneSignature(col("embedding"), planesN, dim)
+        .as("sig"))
+      .groupBy("sig").count()
+      .agg(max("count").as("maxb"), sum(col("count") * col("count"))
+        .as("sumsq"), count(lit(1)).as("nbuckets"))
+      .head()
+    val maxBucket = buckets.getLong(0)
+    val sumSq = buckets.getLong(1)
+    // Cube-distributed test vectors skew sign patterns ~10x (corners
+    // align with specific sign combinations), so the max bound is loose;
+    // it still sits well under the 4-plane default's AVERAGE bucket of
+    // ~3125, and the sum-of-squares bound below is the real cost gate.
+    assert(maxBucket <= 16 * target,
+      s"max bucket $maxBucket > ${16 * target} (target $target)")
+    // Candidate-join work per table is sum over buckets of |b|^2; the
+    // linear-in-n bound the scaladoc promises is n * O(target).
+    assert(sumSq <= n * 4 * target,
+      s"sum(|b|^2) = $sumSq > ${n * 4 * target} — bucket join no longer " +
+        "linear in corpus size")
+  }
+
   test("IVF top-k matches brute force with full probing (toy)") {
     val brute = Knn.bruteForceTopK(vectors, vectors, k = 1).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
