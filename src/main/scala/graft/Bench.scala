@@ -3,6 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: headline queries at SPARK_GRAFT_SF_DIR, one JSON line.
   * Prints total wall-clock like the reference does (pgdedupe/cli.py:67).
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) — single
+  * samples on this host swing 2–3× run-to-run, so gate decisions need a
+  * median. The JSON line reports the per-query MEDIAN under "queries"
+  * (the field the driver reads), plus per-query {min,max} under "spread"
+  * and the flagship pipeline's per-phase seconds under "phases".
   */
 object Bench {
 
@@ -18,10 +24,16 @@ object Bench {
     "q44_knn_bruteforce", "q45_knn_lsh",
     "q50_dedupe_pipeline")
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2) // odd rep counts: the true middle sample
+  }
+
   def main(args: Array[String]): Unit = {
     val start = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,19 +49,34 @@ object Bench {
     // timed query doesn't absorb session startup (~3 s of noise).
     Tables.load(spark, sfDir, "region")
       .groupBy("r_name").count().count()
+    var phases = Map.empty[String, Double]
     val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { rep =>
+        val t0 = System.nanoTime()
+        try { qs(name)(spark, sfDir).count() }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name rep $rep failed: ${e.getMessage}")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name rep $rep/$reps: $secs%.3f s")
+        val ph = graft.pipeline.PhaseLog.drain()
+        if (ph.nonEmpty) phases = ph // keep the last recorded rep's phases
+        secs
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, median(times), times.min, times.max)
     }
-    val qj = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def fmtMap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qj = fmtMap(results.map { case (k, m, _, _) => k -> f"$m%.3f" })
+    val spreadJ = fmtMap(results.map { case (k, _, lo, hi) =>
+      k -> f"""{"min":$lo%.3f,"max":$hi%.3f}"""
+    })
+    val phaseJ = fmtMap(phases.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> f"$v%.3f" })
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qj,"spread":$spreadJ,"phases":$phaseJ,"sf":"$sfDir"}""")
     System.err.println(f"ran in ${(System.nanoTime() - start) / 1e9}%.1f s")
     spark.stop()
   }

@@ -41,7 +41,7 @@ object Profile {
     val eu = DedupePipeline.preprocess(entries, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("preprocess")(println(s"  entries_unique=${eu.count()}"))
-    val (bm, sc) = DedupePipeline.block(eu, cfg, predicates)
+    val (bm, sc, _) = DedupePipeline.block(eu, cfg, predicates)
     time("blocking_map")(println(s"  bm=${bm.count()}"))
     time("smaller_coverage")(println(s"  sc=${sc.count()}"))
     val (pairs, scored0) = DedupePipeline.scorePairs(eu, sc, cfg, model)

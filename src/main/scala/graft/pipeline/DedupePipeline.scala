@@ -30,7 +30,18 @@ object DedupePipeline {
       mapped: DataFrame, // _unique_id grain with dedupe_id
       uniqueMap: DataFrame, // source-key grain with dedupe_id
       model: LogisticModel,
-      predicates: Seq[Predicate])
+      predicates: Seq[Predicate],
+      cached: Seq[DataFrame] = Nil) {
+
+    /** Unpersist every frontier `run` pinned, except the `keep` frames
+      * (by reference) the caller still reads — so a loop over corpora /
+      * repeated bench reps doesn't accumulate storage blocks for the
+      * session lifetime.
+      */
+    def release(keep: DataFrame*): Unit =
+      cached.filterNot(f => keep.exists(_ eq f))
+        .foreach(_.unpersist(false))
+  }
 
   /** Static default predicate set when no learned settings exist — legal
     * predicate shapes from the reference's learner (ref: SURVEY.md D5):
@@ -87,17 +98,19 @@ object DedupePipeline {
   def block(
       entriesUnique: DataFrame,
       cfg: DedupeConfig,
-      predicates: Seq[Predicate]): (DataFrame, DataFrame) = {
+      predicates: Seq[Predicate]): (DataFrame, DataFrame, DataFrame) = {
     val bm = Blocker.blockingMap(entriesUnique, predicates)
     val pk = RelationalOps.pluralKeys(bm, cfg.maxBlockSize.toLong)
     val pb = RelationalOps.pluralBlocks(bm, pk)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val covered = RelationalOps.coveredBlocks(pb)
     // Persist: kolbPairs self-joins this (two scans), and without the
-    // persist each scan recomputes the groupBy+join lineage.
+    // persist each scan recomputes the groupBy+join lineage. Both
+    // handles are returned so run() can track them in Result.cached —
+    // a dropped handle is a storage block pinned until session end.
     val sc = RelationalOps.smallerCoverage(pb, covered)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    (bm, sc)
+    (bm, sc, pb)
   }
 
   /** cluster phase part 1 (ref run.py:362-379): redundant-free pairs with
@@ -207,7 +220,7 @@ object DedupePipeline {
     lazy val trained = trainOrLoad(eu, cfg)
     val model = timed("train")(modelOpt.getOrElse(trained._1))
     val predicates = predicatesOpt.getOrElse(trained._2)
-    val (bm, sc) = block(eu, cfg, predicates)
+    val (bm, sc, pb) = block(eu, cfg, predicates)
     val (pairs, scored0) = scorePairs(eu, sc, cfg, model)
     // Persist only the (l_id, r_id, score) projection the clustering and
     // merge passes actually read — caching the wide pair rows (all l_/r_
@@ -223,6 +236,7 @@ object DedupePipeline {
     val (mapped, um0) = apply(em, eu, src, cfg)
     val um = um0.persist(StorageLevel.MEMORY_AND_DISK)
     timed("apply")(um.count())
-    Result(eu, bm, pairs, scored, em, mapped, um, model, predicates)
+    Result(eu, bm, pairs, scored, em, mapped, um, model, predicates,
+      cached = Seq(src, eu, pb, sc, scored, em, um))
   }
 }

@@ -110,8 +110,14 @@ object PipelineQueries {
       "q50_dedupe_pipeline",
       (s, dir) => {
         val result = DedupePipeline.run(personEntries(s, dir), personConfig,
-          onPhase = (name, secs) =>
-            System.err.println(f"[q50-phase] $name%-12s $secs%8.2f s"))
+          onPhase = (name, secs) => {
+            graft.pipeline.PhaseLog.record(name, secs)
+            System.err.println(f"[q50-phase] $name%-12s $secs%8.2f s")
+          })
+        // Every phase output is already materialized into uniqueMap's
+        // cache; release the upstream frontiers so repeated invocations
+        // (bench reps, loops over corpora) don't pin storage blocks.
+        result.release(result.uniqueMap)
         result.uniqueMap
       },
       None),

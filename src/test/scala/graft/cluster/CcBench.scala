@@ -36,7 +36,7 @@ object CcBench {
     val eu = DedupePipeline.preprocess(
       PipelineQueries.personEntries(spark, dir), cfg)
       .persist()
-    val (_, sc) = DedupePipeline.block(eu, cfg,
+    val (_, sc, _) = DedupePipeline.block(eu, cfg,
       DedupePipeline.defaultPredicates(cfg))
     val (_, scored0) = DedupePipeline.scorePairs(eu, sc, cfg,
       LogisticModel.default(cfg))

@@ -44,6 +44,26 @@ class DedupePipelineSpec extends SparkSpec {
       s"merged too much: $entities entities for ~$nPersons persons")
   }
 
+  test("release() frees every pinned frontier — no storage growth per run") {
+    import org.apache.spark.storage.StorageLevel
+    val entries = FakePersons.population(spark, 100, seed = 31L)
+    val result = DedupePipeline.run(entries, cfg)
+    // run() pins 7 frontiers (src, eu, pb, sc, scored, em, um) and every
+    // handle must be tracked — a persist() outside Result.cached is a
+    // session-lifetime leak (the round-7 TextDedup defect class).
+    assert(result.cached.size == 7)
+    assert(result.cached.forall(_.storageLevel != StorageLevel.NONE),
+      "run() should have pinned its frontiers")
+    result.release(result.uniqueMap)
+    assert(result.cached.filter(_ ne result.uniqueMap)
+        .forall(_.storageLevel == StorageLevel.NONE),
+      "release() left a frontier pinned")
+    assert(result.uniqueMap.storageLevel != StorageLevel.NONE,
+      "release(keep) must not unpersist the kept frame")
+    result.release()
+    assert(result.cached.forall(_.storageLevel == StorageLevel.NONE))
+  }
+
   test("reproducibility: same seed, identical cluster assignment") {
     val e1 = FakePersons.population(spark, 150, seed = 7L)
     val e2 = FakePersons.population(spark, 150, seed = 7L)
