@@ -44,4 +44,34 @@ object Tables {
     */
   def sinkCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JDBC partitioned ingest (S1 alternate mapping — the reference reads
+    * its entries table straight from a Postgres connection,
+    * pgdedupe/run.py:138-144). Partitioning is REQUIRED, not optional: a
+    * numeric `partitionColumn` with bounds and `numPartitions` makes the
+    * scan issue that many parallel range queries; the no-partitioning
+    * overload Spark also offers is a single serial cursor, unusable at
+    * scale, so this loader deliberately doesn't expose it. Filters and
+    * column pruning push down into the generated SQL (JDBCScan shows
+    * PushedFilters), so a projected/filtered read ships only what it
+    * needs.
+    */
+  def loadJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .options(options)
+      .load()
 }
