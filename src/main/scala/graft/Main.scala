@@ -47,6 +47,7 @@ object Main {
     println(s"model hash = ${Settings.modelHash(cfg, result.model)}")
     result.uniqueMap.write.mode("overwrite").parquet(s"$output/unique_map")
     result.mapped.write.mode("overwrite").parquet(s"$output/entries_unique")
+    result.release() // both sinks written; free every pinned frontier
     println(f"ran in ${(System.nanoTime() - start) / 1e9}%.1f seconds")
     spark.stop()
   }

@@ -20,6 +20,7 @@ object SparkEntry {
     val result = graft.pipeline.DedupePipeline.run(
       PipelineQueries.personEntries(spark, "/root/testdata/sf0.001"),
       PipelineQueries.personConfig)
+    result.release(result.uniqueMap) // uniqueMap cache is materialized
     result.uniqueMap
   }
 

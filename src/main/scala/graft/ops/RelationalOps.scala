@@ -25,12 +25,18 @@ object RelationalOps {
     */
   def denseIds(df: DataFrame, order: Seq[Column], idName: String): DataFrame = {
     val spark = df.sparkSession
-    // Persist the range-partitioned sort: zipWithIndex runs an eager
-    // per-partition count job, and downstream actions read the result
-    // again — without the persist both passes (and every later consumer)
-    // would recompute the full upstream lineage.
+    // The `.rdd` seam below deliberately ends Catalyst's view of the plan:
+    // AQE + whole-stage codegen cover the upstream exchange and sort, and
+    // the numbering needs a FIXED partitioning underneath zipWithIndex
+    // (AQE re-planning between the count job and a consumer would shift
+    // ids). The seam is materialized ONCE — zipWithIndex's eager
+    // per-partition count job computes the exchange, and every downstream
+    // action reuses its shuffle files (Spark keeps shuffle output of a
+    // live RDD), so no persist handle is needed here. An earlier revision
+    // pinned the sorted frame MEMORY_AND_DISK and never released it — a
+    // session-lifetime storage leak; the only repeated work without the
+    // cache is the in-partition sort above the reused shuffle files.
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema.add(idName, LongType, nullable = false)
     val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
