@@ -10,13 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped — WITHOUT a lambda: higher-order
+    * functions are CodegenFallback, and one in a projection drops the
+    * whole stage out of whole-stage codegen (PlanSpec gates this). A
+    * regexp trim kills the leading/trailing empties `split` would emit
+    * (Spark's split keeps trailing empties, unlike Java's), and interior
+    * empties can't occur when splitting on `\s+`; the empty-string guard
+    * covers all-whitespace docs.
+    */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    splitNonEmpty(text, "\\s+")
+
+  private def splitNonEmpty(text: Column, sep: String): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(t === "", array().cast("array<string>")).otherwise(split(t, sep))
+  }
 
   /** BPE-ish subword count: words + digit runs + punctuation runs counted
     * separately (a cheap proxy for BPE token counts: ~= words*1.3 for
-    * English; the regex splits on letter/digit/punct class boundaries).
+    * English; the regex splits on letter/digit/punct class boundaries —
+    * the boundaries are zero-width lookarounds, so only whitespace edges
+    * could produce empties, and splitNonEmpty trims those).
     */
   def tokenStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -25,8 +39,8 @@ object TextAnalysis {
       col(idCol),
       size(tokens(t)).as("n_words"),
       length(t).as("n_chars"),
-      size(filter(split(t, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\\s])" +
-        "|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])|\\s+"), x => x =!= ""))
+      size(splitNonEmpty(t, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\\s])" +
+        "|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])|\\s+"))
         .as("n_subtokens"))
   }
 
@@ -70,7 +84,11 @@ object TextAnalysis {
     val toks = tokens(lower(col(textCol)))
     val nTok = greatest(size(toks), lit(1)).cast("double")
     val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, sws) =>
-      val hits = size(filter(toks, t => t.isin(sws: _*)))
+      // Occurrence count per stopword via size-delta of array_remove —
+      // array_intersect would dedupe, and a filter(λ) would knock the
+      // projection out of codegen (see tokens()).
+      val hits = sws.map(w => size(toks) - size(array_remove(toks, w)))
+        .reduce(_ + _)
       struct((hits.cast("double") / nTok).as("score"), lit(lang).as("lang"))
     }
     // array_max on struct(score, lang): max score, ties → max lang; to get

@@ -1,0 +1,90 @@
+package graft
+
+/** Physical-plan assertions for the headline queries: the properties that
+  * make these plans survive a 100× scale-up are checked here, not just
+  * eyeballed via PlanAudit — filter pushdown and column pruning at the
+  * parquet scan, broadcast joins for dimension tables, map-side partial
+  * aggregation, whole-stage codegen on the hot paths, and NO cartesian
+  * product anywhere except the two declared brute-force exactness oracles.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Execute (cheap at sf0.001) so AQE finalizes, then return the final
+    * physical plan string. Must run THIS QueryExecution's RDD —
+    * `df.count()` would build a fresh one and leave this plan
+    * isFinalPlan=false with codegen stages unassigned. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Whole-stage codegen shows as `*(id)` node prefixes in the simple
+    * plan string. */
+  private def inCodegen(plan: String, node: String): Boolean =
+    ("""\*\(\d+\) """ + node).r.findFirstIn(plan).isDefined
+
+  test("q01 pushes its filter and prunes columns at the parquet scan") {
+    val p = finalPlan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: ["),
+      s"no pushed filters in q01 plan:\n$p")
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"q01 pushed-filter list is EMPTY:\n$p")
+    // Projection is 3 columns; a ReadSchema hauling l_comment means
+    // pruning broke and the scan reads the wide payload for nothing.
+    assert(!p.contains("l_comment"),
+      s"q01 reads unprojected columns (pruning broke):\n$p")
+  }
+
+  test("q09 joins dimension tables via broadcast, not shuffle") {
+    val p = finalPlan("q09_join_inner")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q09 dimension join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q09 shuffles a dimension join:\n$p")
+  }
+
+  test("q20 aggregates map-side before the shuffle, inside codegen") {
+    val p = finalPlan("q20_pricing_summary")
+    assert(p.contains("partial_"),
+      s"q20 has no partial (map-side) aggregation:\n$p")
+    assert(inCodegen(p, "HashAggregate"),
+      s"q20 aggregation fell out of whole-stage codegen:\n$p")
+  }
+
+  test("hot single-table text paths keep their Project inside codegen") {
+    // These are pure scan+project queries: the projection IS the work,
+    // so a lambda higher-order function (CodegenFallback) sneaking into
+    // TextAnalysis drops the entire hot loop to interpreted eval.
+    Seq("q40_token_stats", "q41_quality_score", "q42_language_id",
+      "q43_fingerprint").foreach { q =>
+      val p = finalPlan(q)
+      assert(inCodegen(p, "Project"),
+        s"$q's projection fell out of whole-stage codegen:\n$p")
+    }
+  }
+
+  test("candidate generation is equi-join bucketed — never cartesian") {
+    // The dedup/ANN family's scale story is bucketed equi-joins; a
+    // CartesianProduct appearing in any of these means a join key was
+    // lost (e.g. a renamed column silently turning an equi-join into a
+    // cross join).
+    Seq("q32_candidate_pairs", "q35_minhash_candidates",
+      "q37_simhash_pairs", "q39_kolb_pairs", "q45_knn_lsh",
+      "q12_exact_match_edges").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n$p")
+    }
+  }
+
+  test("q44 is the DECLARED brute-force exactness oracle (cartesian)") {
+    // Documents intent: the O(Q·N) scoring oracle is the one place a
+    // cartesian product is correct. If this starts failing because the
+    // plan changed, the oracle's exactness claim needs re-review.
+    val p = finalPlan("q44_knn_bruteforce")
+    assert(p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"q44's brute-force oracle no longer scans all pairs:\n$p")
+  }
+}
