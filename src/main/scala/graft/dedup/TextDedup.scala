@@ -49,9 +49,14 @@ object TextDedup {
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("dup_count"),
         sort_array(collect_list(idCol)).as("member_ids"))
 
-  /** Whitespace word shingles of size k, distinct, as array<string>. */
+  /** Whitespace word shingles of size k, distinct, as array<string>.
+    * Tokenization is the codegen'd trim+split (TextAnalysis.tokens); the
+    * sliding window itself needs the `transform` HOF, which is
+    * CodegenFallback — acceptable here because it runs once per DOCUMENT
+    * before the explode, not once per shingle row.
+    */
   def shingles(text: Column, k: Int): Column = {
-    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    val toks = graft.text.TextAnalysis.tokens(text)
     when(size(toks) < k, array().cast("array<string>")).otherwise(
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
@@ -175,9 +180,11 @@ object TextDedup {
     */
   def simHash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // Codegen'd tokenization (no lambda HOF) — this projection feeds the
+    // q37 hot path's explode.
     val toks = docs.select(col(idCol),
-      explode(array_distinct(filter(split(col(textCol), "\\s+"),
-        t => t =!= ""))).as("tok"))
+      explode(array_distinct(graft.text.TextAnalysis.tokens(col(textCol))))
+        .as("tok"))
     val hashed = toks.withColumn("h",
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     // Bit-vote aggregation with 3 ones-counters PACKED per long (20-bit
