@@ -139,25 +139,15 @@ object Knn {
     * embedding payload crosses the wire once per surviving candidate,
     * not once per bucket collision.
     */
-  def lshTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      numPlanes: Int = 0, // 0 = derive from corpus size (derivePlanes)
-      numTables: Int = 16,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      targetBucketSize: Long = 4096L): DataFrame = {
-    val np = effectivePlanes(numPlanes, corpus.count(), targetBucketSize)
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val planes = Array.tabulate(numTables * np, dim)(planeComponent)
-    // All-table signatures in ONE primitive-loop UDF over the closure-
-    // captured plane matrix: a literal expanded-sum expression tree
-    // (numTables × numPlanes × dim ≈ 16k nodes) costs tens of seconds in
-    // optimizer/codegen time alone; the UDF keeps the plan tiny and does
-    // numTables·numPlanes·dim flops per row with no allocation.
-    val nt = numTables
-    val sigUdf = udf { (v: Seq[Float]) =>
+  /** All-table signatures in ONE primitive-loop UDF over the closure-
+    * captured plane matrix: a literal expanded-sum expression tree
+    * (numTables × numPlanes × dim ≈ 16k nodes) costs tens of seconds in
+    * optimizer/codegen time alone; the UDF keeps the plan tiny and does
+    * numTables·numPlanes·dim flops per row with no allocation.
+    */
+  private def signatureUdf(nt: Int, np: Int, dim: Int) = {
+    val planes = Array.tabulate(nt * np, dim)(planeComponent)
+    udf { (v: Seq[Float]) =>
       val out = new Array[Long](nt)
       var t = 0
       while (t < nt) {
@@ -177,6 +167,20 @@ object Knn {
       }
       out
     }
+  }
+
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 0, // 0 = derive from corpus size (derivePlanes)
+      numTables: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetBucketSize: Long = 4096L): DataFrame = {
+    val np = effectivePlanes(numPlanes, corpus.count(), targetBucketSize)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val sigUdf = signatureUdf(numTables, np, dim)
     def sigs(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
         posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
@@ -197,6 +201,55 @@ object Knn {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** All id pairs with cosine ≥ `threshold`, generated through hyperplane
+    * buckets instead of a cross join — the scale path for embedding
+    * near-dup canonicalization (q48's demo uses brute-force pair
+    * generation only so the DuckDB oracle can replicate the dataflow).
+    *
+    * Candidates = id pairs sharing ANY (table, signature) bucket, each
+    * verified with the exact cosine before emission: precision is exact;
+    * recall is the LSH collision probability 1 − (1 − p^planes)^tables
+    * with p = 1 − θ/π at the threshold angle. Size `numTables` for the
+    * threshold — at cosine 0.44 (p ≈ 0.64), 4 planes × 48 tables puts
+    * the per-edge miss probability near 1e-4; at near-dup thresholds
+    * (≥ 0.9) a handful of tables suffices. The planes are deterministic,
+    * so a given (corpus, parameters) always yields the same pair set —
+    * which is what lets q52 share q48's exactness oracle.
+    *
+    * Plan shape matches lshTopK: the bucket self-join carries
+    * (table, sig, id) only; vectors are re-attached to the DISTINCT
+    * surviving id pairs for the verify, so the wide embedding payload
+    * crosses the wire once per candidate, not once per bucket collision.
+    */
+  def lshSimilarPairs(
+      vectors: DataFrame,
+      threshold: Double,
+      numPlanes: Int = 0, // 0 = derive from corpus size (derivePlanes)
+      numTables: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetBucketSize: Long = 4096L): DataFrame = {
+    val np = effectivePlanes(numPlanes, vectors.count(), targetBucketSize)
+    val dim = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val sigUdf = signatureUdf(numTables, np, dim)
+    val sigs = vectors.select(col(idCol).as("id"),
+      posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+    val cand = sigs.select(col("table"), col("sig"), col("id").as("a_id"))
+      .join(sigs.select(col("table"), col("sig"), col("id").as("b_id")),
+        Seq("table", "sig"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    cand
+      .join(vectors.select(col(idCol).as("a_id"), col(vecCol).as("va")),
+        "a_id")
+      .join(vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb")),
+        "b_id")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
   }
 
   /** IVF-style partitioned search: cluster the corpus with MLlib KMeans

@@ -74,6 +74,41 @@ object TextAnnQueries {
         FROM scored)
       WHERE rank <= 3"""
 
+  /** Shared exactness oracle for q48 (brute-force pair demo) and q52
+    * (the hyperplane-bucket scale path): cosine ≥ 0.44 pairs →
+    * recursive-CTE connected components → min-id canonical. q52 may
+    * share an EXACTNESS oracle because its candidate generation is
+    * recall-complete at the registered parameters (deterministic
+    * planes, 4×48 tables ⇒ per-edge miss ~1e-4 at cosine 0.44, every
+    * candidate exact-verified; KnnSpec asserts the brute/LSH
+    * canonicalization equality on the sf0.01 embeddings).
+    */
+  private val nearDupOracleSql: String = """WITH RECURSIVE scored AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) *
+                CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) *
+                  CAST(a.embedding[i] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                i -> CAST(b.embedding[i] AS DOUBLE) *
+                  CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM scored WHERE cosine >= 0.44
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM scored WHERE cosine >= 0.44),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+          CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS canonical_id,
+          coalesce(c.component, e.vec_id) = e.vec_id AS is_canonical
+        FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id"""
+
   /** q45's oracle: the hyperplane-LSH bucket join in plain SQL, with the
     * engine's deterministic plane weights inlined as literals (shortest
     * round-trip decimal → identical doubles in DuckDB). Projections sum
@@ -257,31 +292,29 @@ object TextAnnQueries {
             pairs, emb.select("vec_id"), "vec_id")
           .select("vec_id", "canonical_id", "is_canonical")
       },
-      Some("""WITH RECURSIVE scored AS (
-          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-            list_sum(list_transform(range(1, len(a.embedding) + 1),
-              i -> CAST(a.embedding[i] AS DOUBLE) *
-                CAST(b.embedding[i] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                i -> CAST(a.embedding[i] AS DOUBLE) *
-                  CAST(a.embedding[i] AS DOUBLE)))) *
-               sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-                i -> CAST(b.embedding[i] AS DOUBLE) *
-                  CAST(b.embedding[i] AS DOUBLE))))) AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-        edges AS (
-          SELECT a_id AS src, b_id AS dst FROM scored WHERE cosine >= 0.44
-          UNION
-          SELECT b_id AS src, a_id AS dst FROM scored WHERE cosine >= 0.44),
-        reach(id, r) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-          CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS canonical_id,
-          coalesce(c.component, e.vec_id) = e.vec_id AS is_canonical
-        FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id""")),
+      Some(nearDupOracleSql)),
+
+    // The SCALE PATH for the same decision: pairs through hyperplane
+    // buckets + exact-cosine verify (Knn.lshSimilarPairs) instead of a
+    // cross join, then the identical CC kernel. 4 planes × 48 tables
+    // puts the per-edge miss probability near 1e-4 at cosine 0.44, the
+    // planes are deterministic, and every surviving pair is
+    // exact-verified — so this shares q48's recursive-CTE exactness
+    // oracle (KnnSpec separately proves brute/LSH canonicalization
+    // equality on the sf0.01 embeddings).
+    QueryDef(
+      "q52_embedding_neardup_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val pairs = Knn.lshSimilarPairs(emb, threshold = 0.44,
+            numPlanes = 4, numTables = 48)
+          .select("a_id", "b_id")
+        graft.dedup.TextDedup.keepCanonical(
+            pairs, emb.select("vec_id"), "vec_id")
+          .select("vec_id", "canonical_id", "is_canonical")
+      },
+      Some(nearDupOracleSql)),
 
     // Multimodal plumbing: opaque binary column + typed metadata
     // (decode stubbed per harness instructions; the byte-level plumbing

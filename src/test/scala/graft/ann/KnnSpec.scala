@@ -132,6 +132,39 @@ class KnnSpec extends SparkSpec {
         "linear in corpus size")
   }
 
+  test("LSH similar-pairs scale path reproduces brute-force near-dup " +
+      "canonicalization on sf0.01") {
+    // q48's demo generates pairs by cross join so the oracle can run the
+    // identical SQL; this gate proves the DECLARED scale path (hyperplane
+    // buckets + exact verify + the same CC kernel) reaches the same
+    // canonicalization. Deterministic planes → a pass here is stable, and
+    // q52 can share q48's exactness oracle.
+    val (emb, _) = sfEmbeddings
+    val l = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val r = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val brutePairs = l.crossJoin(r)
+      .where(col("a_id") < col("b_id"))
+      .where(Knn.cosine(col("va"), col("vb")) >= 0.44)
+      .select("a_id", "b_id")
+    val lshPairs = Knn.lshSimilarPairs(emb, threshold = 0.44,
+        numPlanes = 4, numTables = 48)
+      .select("a_id", "b_id")
+    def canon(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.dedup.TextDedup.keepCanonical(pairs, emb.select("vec_id"),
+          "vec_id")
+        .select(col("vec_id").cast("long"), col("canonical_id").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = canon(brutePairs)
+    val s = canon(lshPairs)
+    assert(b.nonEmpty && b.exists { case (k, v) => k != v },
+      "fixture has no near-dup pairs — gate is vacuous")
+    assert(s == b, {
+      val diff = (b.toSet diff s.toSet) ++ (s.toSet diff b.toSet)
+      s"scale-path canonicalization diverges on ${diff.size} rows: " +
+        diff.take(10).toString
+    })
+  }
+
   test("IVF top-k matches brute force with full probing (toy)") {
     val brute = Knn.bruteForceTopK(vectors, vectors, k = 1).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
