@@ -89,9 +89,13 @@ object Training {
     * `train`).
     */
   def toTrainingJson(labeled: DataFrame, cfg: DedupeConfig): String = {
-    // JSON string escaping including U+0000–U+001F (the reference's
-    // json.dump escapes control characters too) — a newline or tab in a
-    // field value must round-trip through parseTrainingJson.
+    // JSON string escaping for every character the READER can reject,
+    // not just U+0000–U+001F: parseTrainingJson goes through a YAML
+    // parser whose printable set also excludes DEL, the C1 controls
+    // (U+007F–U+009F), and the non-characters — all of which Python's
+    // json.dump(ensure_ascii=True) escapes too. A field value containing
+    // any of them must round-trip, not crash the reader (found by the
+    // hostile-value round-trip property test).
     def q(s: String): String = {
       val sb = new StringBuilder(s.length + 2).append('"')
       s.foreach {
@@ -100,7 +104,10 @@ object Training {
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c if c < 0x20 || (c >= 0x7f && c <= 0x9f) ||
+            c == '\u2028' || c == '\u2029' || // line/para separators
+            c == '\ufffe' || c == '\uffff' => // non-characters
+          sb.append(f"\\u${c.toInt}%04x")
         case c => sb.append(c)
       }
       sb.append('"').toString

@@ -108,6 +108,51 @@ class TrainingSpec extends SparkSpec {
     assert(Training.train(cfg, reparsed) == Training.train(cfg, labeled))
   }
 
+  test("toTrainingJson round-trips hostile field values (control chars, " +
+      "quotes, YAML look-alikes)") {
+    // The reference's json.dump escapes U+0000–U+001F; a writer that
+    // doesn't emits invalid JSON a reader cannot parse back. Exercise
+    // every control character, JSON metacharacters, YAML-dangerous
+    // scalars (parseTrainingJson reads JSON through a YAML parser), and
+    // seeded random unicode.
+    val nasty: Seq[String] =
+      (0 until 0x20).map(c => s"x${c.toChar}y") ++ Seq(
+        "", " ", "  padded  ", "\"quoted\"", "back\\slash", "\\u0041",
+        "null", "true", "false", "123", "1.5e3", "0x1f", "~", "-",
+        "- item", "{a: b}", "[1, 2]", "# comment", "key: value",
+        "line1\nline2\ttab\rcr", "é漢字", "  ", "'single'")
+    val rnd = new scala.util.Random(42)
+    val randoms = Seq.fill(40)(
+      (0 until 12).map(_ => rnd.nextInt(0x300).toChar).mkString)
+    val values = (nasty ++ randoms) :+ null
+    // Pair value i with value i+1, alternating labels, null sex on every
+    // third row — all three fields carry hostile payloads.
+    val rows = values.zip(values.tail ++ values.headOption).zipWithIndex
+      .map { case ((a, b), i) =>
+        org.apache.spark.sql.Row(a, b, b, a,
+          if (i % 3 == 0) null else a, b,
+          if (i % 2 == 0) 1.0 else 0.0)
+      }
+    val schema = org.apache.spark.sql.types.StructType(
+      (cfg.columns.map(c =>
+        org.apache.spark.sql.types.StructField(s"l_$c",
+          org.apache.spark.sql.types.StringType)) ++
+        cfg.columns.map(c =>
+          org.apache.spark.sql.types.StructField(s"r_$c",
+            org.apache.spark.sql.types.StringType))) :+
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.DoubleType, nullable = false))
+    val labeled = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val reparsed = Training.parseTrainingJson(
+      spark, Training.toTrainingJson(labeled, cfg), cfg)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.collect().toSeq
+        .map(_.toSeq.map(v => Option(v).map(_.toString).orNull))
+        .sortBy(_.mkString(""))
+    assert(canon(reparsed) == canon(labeled))
+  }
+
   test("model hash is stable and config-sensitive") {
     val labeled = Training.parseTrainingJson(spark, trainingJson, cfg)
     val model = Training.train(cfg, labeled)
