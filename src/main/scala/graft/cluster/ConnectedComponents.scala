@@ -16,6 +16,74 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Size-adaptive kernel selection. The distributed kernels pay
+    * O(log² n) rounds of shuffle + eager localCheckpoint as FIXED cost
+    * regardless of graph size — ≈10 s on a 500-vertex graph at 32
+    * shuffle partitions — so a graph that fits comfortably on the driver
+    * (≤ `smallEdgeCap` edges, ≤ 16 MB at the default cap) is solved with
+    * a local min-union union-find instead: one collect, zero rounds,
+    * identical labels (component = min reachable id, same as `run` and
+    * `runStar`). Beyond the cap it is `runStar`. The reference walks
+    * edges with a driver DFS UNCONDITIONALLY
+    * (pgdedupe/exact_matches.py:9-50); this keeps that fast path for
+    * reference-scale graphs without inheriting its memory ceiling — the
+    * cap is explicit, logged, and the fallback is the distributed
+    * kernel, never an error.
+    */
+  def auto(
+      edges: DataFrame,
+      srcCol: String = "l_id",
+      dstCol: String = "r_id",
+      smallEdgeCap: Long = 1000000L): DataFrame = {
+    // The size probe and the consumer (collect or runStar's eager first
+    // checkpoint) are two actions over a possibly expensive lineage —
+    // pin it across the branch. Both branches materialize eagerly, so
+    // the handle is released before returning (no storage leak).
+    val proj = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = proj.count()
+    val out = if (n > smallEdgeCap) runStar(proj, "src", "dst")
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"CC: $n edges <= $smallEdgeCap — driver union-find " +
+          "(zero shuffle rounds); distributed runStar above the cap")
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val raw = proj.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      val ids = scala.collection.mutable.TreeSet.empty[Long]
+      raw.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        ids += a; ids += b
+        if (a != b) {
+          val ra = find(a); val rb = find(b)
+          // Min-union keeps every root the minimum id of its component,
+          // matching the distributed kernels' labels exactly.
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      // LocalRelation output: the optimizer can broadcast it into the
+      // consuming join, which is exactly right at this size.
+      spark.createDataset(ids.toSeq.map(id => (id, find(id))))
+        .toDF("id", "component")
+    }
+    proj.unpersist(false)
+    out
+  }
+
   /** edges: two long columns (src, dst), undirected. Returns
     * `(id, component)` where component = min reachable id.
     */

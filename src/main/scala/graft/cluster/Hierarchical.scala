@@ -281,10 +281,11 @@ object Hierarchical {
     val spark = scoredPairs.sparkSession
     import spark.implicits._
     val above = scoredPairs.where(col("score") >= threshold)
-    // runStar: 1.8× faster than min-label on the sf0.1 person edge set
-    // (11.9 s vs 21.9 s, identical labels — CcBench) and round count is
-    // O(log² n) regardless of component diameter.
-    val comps = ConnectedComponents.runStar(above)
+    // auto: driver union-find below the edge cap (zero shuffle rounds),
+    // else runStar — 1.8× faster than min-label on the sf0.1 person edge
+    // set (11.9 s vs 21.9 s, identical labels — CcBench) with O(log² n)
+    // rounds regardless of component diameter.
+    val comps = ConnectedComponents.auto(above)
     val withComp = above
       .join(comps.withColumnRenamed("id", "l_id"), "l_id")
       .select(col("component"), col("l_id").as("lId"),

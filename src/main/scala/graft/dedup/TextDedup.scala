@@ -257,7 +257,7 @@ object TextDedup {
     */
   def keepCanonical(pairs: DataFrame, all: DataFrame,
       idCol: String): DataFrame = {
-    val comps = graft.cluster.ConnectedComponents.runStar(pairs, "a_id", "b_id")
+    val comps = graft.cluster.ConnectedComponents.auto(pairs, "a_id", "b_id")
     all.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
       .withColumn("canonical_id",
         coalesce(col("component"), col(idCol)))

@@ -39,6 +39,27 @@ class ClusterSpec extends SparkSpec {
     assert(a == b, s"min-label $a vs star $b")
   }
 
+  test("auto CC: driver union-find below the cap, runStar above — " +
+      "identical labels") {
+    import spark.implicits._
+    val edges = Seq(
+      (9L, 2L), (2L, 3L), (3L, 9L), (4L, 7L), (7L, 2L), // one component
+      (10L, 11L), (11L, 10L), // duplicate + reversed edges
+      (30L, 31L), (31L, 32L), (40L, 40L) // chain + self-loop island
+    ).toDF("l_id", "r_id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = toMap(ConnectedComponents.runStar(edges))
+    val driver = toMap(ConnectedComponents.auto(edges)) // under cap
+    val dist = toMap(ConnectedComponents.auto(edges, smallEdgeCap = 2L))
+    assert(driver.get(9L).contains(2L) && driver.get(7L).contains(2L))
+    assert(dist == star, s"above-cap auto $dist vs runStar $star")
+    // runStar drops pure self-loop islands (40) — the driver path labels
+    // every id it sees; on shared ids the labels must agree exactly.
+    assert(star.keySet.forall(k => driver.get(k) == star.get(k)),
+      s"driver $driver vs star $star")
+  }
+
   test("star CC collapses a long path in few rounds") {
     import spark.implicits._
     // Diameter 63: min-label would need ~63 rounds; star needs O(log²).
