@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Two paths:
   *  - brute-force cosine top-k (the exactness baseline): a join + window,
-  *    O(Q·N) dot products, fully codegen'd via `zip_with`/`aggregate`
-  *    (no UDF). Correct at any scale, quadratic cost — the oracle.
+  *    O(Q·N) dot products via the fused primitive-loop `cosineUdf`
+  *    (bit-identical to the `cosine` expression form; the zip_with /
+  *    aggregate HOFs are CodegenFallback, so the UDF is strictly
+  *    faster). Correct at any scale, quadratic cost — the oracle.
   *  - LSH-bucketed (random-hyperplane signatures): dot products only
   *    within matching sign-buckets. The hyperplanes are deterministic
   *    (seeded hash arithmetic, no RNG state) so results are reproducible
@@ -31,6 +33,27 @@ object Knn {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Primitive-loop cosine over two float vectors — the ANN hot loop.
+    * Summation is ascending-index like the Column-expression `cosine`,
+    * so the doubles (and therefore oracle hashes) are bit-identical; but
+    * the expression form's zip_with + aggregate HOFs are CodegenFallback
+    * and allocate an intermediate array per row, which dominates the
+    * candidate-verify step once candidates number in the 100k+. One
+    * fused loop, no allocation.
+    */
+  val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      val n = math.min(a.length, b.length)
+      var d = 0.0d; var na = 0.0d; var nb = 0.0d
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows by cosine similarity (excluding self-matches by id).
     * Deterministic ordering: similarity desc, then neighbor id asc.
@@ -47,7 +70,7 @@ object Knn {
       col(vecCol).as("c_vec"))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineUdf(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -197,7 +220,7 @@ object Knn {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     withVecs
-      .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("cosine", cosineUdf(col("query_vec"), col("neighbor_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -247,7 +270,7 @@ object Knn {
         "a_id")
       .join(vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb")),
         "b_id")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", cosineUdf(col("va"), col("vb")))
       .where(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
@@ -298,7 +321,7 @@ object Knn {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probed.join(assigned, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineUdf(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
