@@ -215,8 +215,14 @@ object DedupePipeline {
       r
     }
     val src = entries.persist(StorageLevel.MEMORY_AND_DISK)
-    val eu = preprocess(src, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    timed("preprocess")(eu.count())
+    // Built INSIDE the timed block: preprocess's denseIds seam runs its
+    // zipWithIndex jobs eagerly at DataFrame-build time, and timing only
+    // the count() under-reported the phase by those jobs' wall-clock.
+    val eu = timed("preprocess") {
+      val e = preprocess(src, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
     lazy val trained = trainOrLoad(eu, cfg)
     val model = timed("train")(modelOpt.getOrElse(trained._1))
     val predicates = predicatesOpt.getOrElse(trained._2)

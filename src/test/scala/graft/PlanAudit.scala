@@ -20,7 +20,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_scan_filter_project", "q06_rowid", "q25_csv_roundtrip",
-        "q30_blocking_map", "q35_minhash_candidates", "q44_knn_bruteforce")
+        "q30_blocking_map", "q35_minhash_candidates", "q37_simhash_pairs",
+        "q44_knn_bruteforce", "q45_knn_lsh", "q52_embedding_neardup_lsh")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
