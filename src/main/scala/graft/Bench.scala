@@ -26,7 +26,8 @@ object Bench {
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2) // odd rep counts: the true middle sample
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -51,32 +52,58 @@ object Bench {
       .groupBy("r_name").count().count()
     var phases = Map.empty[String, Double]
     val results = headline.filter(qs.contains).map { name =>
-      val times = (1 to reps).map { rep =>
+      val samples = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name rep $rep failed: ${e.getMessage}")
-        }
+        val ok =
+          try {
+            val df = qs(name)(spark, sfDir)
+            df.count()
+            // The returned frame may be the query's own cached handle
+            // (q50 returns its pinned uniqueMap); drop it so repeated
+            // reps don't accumulate storage blocks for the session
+            // lifetime. No-op for uncached frames.
+            df.unpersist(false)
+            true
+          } catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] $name rep $rep failed: ${e.getMessage}")
+              false
+          }
         val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name rep $rep/$reps: $secs%.3f s")
+        System.err.println(f"[bench] $name rep $rep/$reps: $secs%.3f s" +
+          (if (ok) "" else " (FAILED)"))
         val ph = graft.pipeline.PhaseLog.drain()
         if (ph.nonEmpty) phases = ph // keep the last recorded rep's phases
-        secs
+        (secs, ok)
       }
-      (name, median(times), times.min, times.max)
+      // Failed reps carry time-to-failure, not query cost — keep them out
+      // of every statistic and surface them under "failed" instead, so
+      // the driver can't gate on garbage timings.
+      val good = samples.filter(_._2).map(_._1)
+      // Steady-state spread: the first successful rep absorbs JIT +
+      // codegen warmup (observed 0.8–9.3 s swings on q44), so with >= 3
+      // clean reps the spread reflects reps 2+ only. The median keeps
+      // all clean reps — with the warmup sample as the max it never
+      // shifts the middle.
+      val steady = if (good.length >= 3) good.drop(1) else good
+      (name, good, steady, samples.count(!_._2))
     }
     def fmtMap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val qj = fmtMap(results.map { case (k, m, _, _) => k -> f"$m%.3f" })
-    val spreadJ = fmtMap(results.map { case (k, _, lo, hi) =>
-      k -> f"""{"min":$lo%.3f,"max":$hi%.3f}"""
+    val measured = results.filter(_._2.nonEmpty)
+    val qj = fmtMap(measured.map { case (k, good, _, _) =>
+      k -> f"${median(good)}%.3f" })
+    val spreadJ = fmtMap(measured.map { case (k, _, steady, _) =>
+      k -> f"""{"min":${steady.min}%.3f,"max":${steady.max}%.3f}"""
     })
+    val failedJ = fmtMap(results.filter(_._4 > 0)
+      .map { case (k, _, _, nf) => k -> nf.toString })
     val phaseJ = fmtMap(phases.toSeq.sortBy(_._1)
       .map { case (k, v) => k -> f"$v%.3f" })
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qj,"spread":$spreadJ,"phases":$phaseJ,"sf":"$sfDir"}""")
+    val total = measured.map { case (_, good, _, _) => median(good) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qj,"spread":$spreadJ,"failed":$failedJ,"phases":$phaseJ,"sf":"$sfDir"}""")
     System.err.println(f"ran in ${(System.nanoTime() - start) / 1e9}%.1f s")
     spark.stop()
   }
