@@ -51,6 +51,7 @@ object Bench {
     Tables.load(spark, sfDir, "region")
       .groupBy("r_name").count().count()
     var phases = Map.empty[String, Double]
+    var notes = Map.empty[String, String]
     val results = headline.filter(qs.contains).map { name =>
       val samples = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
@@ -75,6 +76,8 @@ object Bench {
           (if (ok) "" else " (FAILED)"))
         val ph = graft.pipeline.PhaseLog.drain()
         if (ph.nonEmpty) phases = ph // keep the last recorded rep's phases
+        val nt = graft.pipeline.PhaseLog.drainNotes()
+        if (nt.nonEmpty) notes = nt
         (secs, ok)
       }
       // Failed reps carry time-to-failure, not query cost — keep them out
@@ -102,8 +105,10 @@ object Bench {
       .map { case (k, _, _, nf) => k -> nf.toString })
     val phaseJ = fmtMap(phases.toSeq.sortBy(_._1)
       .map { case (k, v) => k -> f"$v%.3f" })
+    val notesJ = fmtMap(notes.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> ("\"" + v.replace("\"", "'") + "\"") })
     val total = measured.map { case (_, good, _, _) => median(good) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qj,"spread":$spreadJ,"failed":$failedJ,"phases":$phaseJ,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qj,"spread":$spreadJ,"failed":$failedJ,"phases":$phaseJ,"notes":$notesJ,"sf":"$sfDir"}""")
     System.err.println(f"ran in ${(System.nanoTime() - start) / 1e9}%.1f s")
     spark.stop()
   }

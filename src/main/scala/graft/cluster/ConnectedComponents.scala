@@ -44,6 +44,9 @@ object ConnectedComponents {
         col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = proj.count()
+    graft.pipeline.PhaseLog.note("cc_kernel",
+      (if (n > smallEdgeCap) "run-star" else "driver-union-find") +
+        s" ($n edges, cap $smallEdgeCap)")
     val out = if (n > smallEdgeCap) runStar(proj, "src", "dst")
     else {
       org.slf4j.LoggerFactory.getLogger(getClass).info(

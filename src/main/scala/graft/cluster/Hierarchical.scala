@@ -260,14 +260,20 @@ object Hierarchical {
         else dropped += 1
       }
     }
+    // A vertex whose EVERY union was cap-rejected ends alone in its piece
+    // with no intra-piece edges — no recursion sees it. Emit it as its own
+    // singleton entity (score 1.0, matching applyClusters' default for
+    // unassigned rows) so direct hacOnGroup callers lose no vertex.
+    val orphans = (0 until n).filter(v => psize(find(v)) == 1)
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"HAC component of $n members exceeds maxComponentSize=" +
         s"$maxComponentSize; split on weakest edges into " +
         s"${byPiece.size} capped sub-components ($dropped cross-piece " +
-        "edge observations dropped) and agglomerated each piece")
+        s"edge observations dropped, ${orphans.length} edge-orphaned " +
+        "vertices kept as singletons) and agglomerated each piece")
     byPiece.toArray.sortBy(_._1).iterator.flatMap { case (_, es) =>
       hacOnGroup(es.toSeq, threshold, maxComponentSize)
-    }
+    } ++ orphans.iterator.map(v => Assignment(ids(v), ids(v), 1.0))
   }
 
   /** Cluster scored pairs: components, then per-component HAC. Returns the
@@ -277,15 +283,17 @@ object Hierarchical {
   def cluster(
       scoredPairs: DataFrame, // l_id, r_id, score
       threshold: Double,
-      maxComponentSize: Int = 1000): DataFrame = {
+      maxComponentSize: Int = 1000,
+      ccEdgeCap: Long = 1000000L): DataFrame = {
     val spark = scoredPairs.sparkSession
     import spark.implicits._
     val above = scoredPairs.where(col("score") >= threshold)
     // auto: driver union-find below the edge cap (zero shuffle rounds),
     // else runStar — 1.8× faster than min-label on the sf0.1 person edge
     // set (11.9 s vs 21.9 s, identical labels — CcBench) with O(log² n)
-    // rounds regardless of component diameter.
-    val comps = ConnectedComponents.auto(above)
+    // rounds regardless of component diameter. The cap is caller-tunable
+    // (DedupeConfig.ccEdgeCap for the pipeline).
+    val comps = ConnectedComponents.auto(above, smallEdgeCap = ccEdgeCap)
     val withComp = above
       .join(comps.withColumnRenamed("id", "l_id"), "l_id")
       .select(col("component"), col("l_id").as("lId"),

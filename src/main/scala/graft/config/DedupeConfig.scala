@@ -34,6 +34,12 @@ final case class DedupeConfig(
     seed: Long = 0L,
     maxBlockSize: Int = 1000,
     maxComponentSize: Int = 1000,
+    // Edge count at or below which connected components runs as a driver
+    // union-find (one collect, zero shuffle rounds) instead of the
+    // distributed star kernel — see ConnectedComponents.auto. ~16 MB of
+    // driver heap at the default; raise on a fat driver, lower (or 0 to
+    // force the distributed kernel) when edges are wide of that.
+    ccEdgeCap: Long = 1000000L,
     settingsFile: Option[String] = None,
     trainingFile: Option[String] = None,
     useSavedModel: Boolean = false,
@@ -120,6 +126,7 @@ object DedupeConfig {
       seed = str("seed", "0").toLong,
       maxBlockSize = str("max_block_size", "1000").toInt,
       maxComponentSize = str("max_component_size", "1000").toInt,
+      ccEdgeCap = str("cc_edge_cap", "1000000").toLong,
       settingsFile = opt("settings_file"),
       trainingFile = opt("training_file"),
       useSavedModel = str("use_saved_model", "false").toBoolean,

@@ -141,7 +141,7 @@ object DedupePipeline {
   def cluster(scored: DataFrame, cfg: DedupeConfig): DataFrame =
     Hierarchical.cluster(
       scored.select("l_id", "r_id", "score"),
-      cfg.threshold, cfg.maxComponentSize)
+      cfg.threshold, cfg.maxComponentSize, cfg.ccEdgeCap)
 
   /** apply_results (ref run.py:429-491): right-join + coalesce, exact-match
     * merge passes over unique records, then explode to source grain;

@@ -9,14 +9,27 @@ import scala.collection.concurrent.TrieMap
   */
 object PhaseLog {
   private val timings = TrieMap.empty[String, Double]
+  private val annotations = TrieMap.empty[String, String]
 
   def record(phase: String, seconds: Double): Unit =
     timings.put(phase, seconds)
+
+  /** Free-form run facts (e.g. which CC kernel `auto` picked) surfaced
+    * in the bench JSON's "notes" map alongside the phase seconds.
+    */
+  def note(key: String, value: String): Unit =
+    annotations.put(key, value)
 
   /** Snapshot the recorded (phase → seconds) map and clear it. */
   def drain(): Map[String, Double] = {
     val snap = timings.readOnlySnapshot().toMap
     timings.clear()
+    snap
+  }
+
+  def drainNotes(): Map[String, String] = {
+    val snap = annotations.readOnlySnapshot().toMap
+    annotations.clear()
     snap
   }
 }

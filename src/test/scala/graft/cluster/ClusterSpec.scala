@@ -122,6 +122,26 @@ class ClusterSpec extends SparkSpec {
     assert(out.forall(_.cluster_score > 0.8))
   }
 
+  test("HAC oversized split keeps a cap-rejected vertex as a singleton") {
+    // cap=2 triangle: ab=0.9 is admitted, then ac=0.8 and bc=0.7 would
+    // both grow {a,b} past the cap — every edge touching c becomes
+    // cross-piece, so c ends edge-orphaned. It must still be emitted,
+    // as its own entity with the applyClusters default score 1.0.
+    val edges = Seq(
+      Hierarchical.Edge(1L, 1L, 2L, 0.9),
+      Hierarchical.Edge(1L, 1L, 3L, 0.8),
+      Hierarchical.Edge(1L, 2L, 3L, 0.7))
+    val out = Hierarchical.hacOnGroup(edges, threshold = 0.5,
+      maxComponentSize = 2).toSeq
+    assert(out.map(_._unique_id).sorted == Seq(1L, 2L, 3L),
+      s"lost a vertex: $out")
+    val byCluster = out.groupBy(_.canon_id).view.mapValues(
+      _.map(_._unique_id).sorted).toMap
+    assert(byCluster == Map(1L -> Seq(1L, 2L), 3L -> Seq(3L)),
+      s"got $byCluster")
+    assert(out.find(_._unique_id == 3L).get.cluster_score == 1.0)
+  }
+
   test("HAC oversized split is deterministic across shuffled edge order") {
     val edges = (for (a <- 1L to 12L; b <- (a + 1) to 12L)
       yield Hierarchical.Edge(1L, a, b,
