@@ -133,6 +133,52 @@ object Knn {
   def effectivePlanes(numPlanes: Int, n: => Long, targetBucket: Long): Int =
     if (numPlanes > 0) numPlanes else derivePlanes(n, targetBucket)
 
+  /** Per-plane sign-agreement probability for two vectors at cosine
+    * similarity `sim`: p = 1 − θ/π (the random-hyperplane collision
+    * probability, Charikar 2002).
+    */
+  def collisionProb(sim: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, sim))) / math.Pi
+
+  /** The recall side of the LSH parameterization: tables needed so the
+    * overall collision probability 1 − (1 − p^planes)^tables reaches
+    * `targetRecall` for pairs at cosine `simThreshold`, with
+    * p = collisionProb(simThreshold). This co-derives with
+    * [[derivePlanes]]: more planes (bigger corpus) lower p^planes
+    * geometrically, so a fixed table count silently trades recall for
+    * cost — deriving BOTH keeps the contract (bounded buckets AND
+    * target recall) as n grows.
+    *
+    * Capped at `maxTables` with a loud warning: past ~20 derived planes
+    * the required table count explodes (at sim 0.5, 24 planes would need
+    * ~38k tables) — no banding parameterization reaches that recall
+    * cheaply, and the caller should pin planes AND tables for the
+    * workload's real similarity floor instead (near-dup thresholds
+    * ≥ 0.9 collide almost surely per table, so they stay cheap).
+    */
+  def deriveTables(
+      planes: Int,
+      targetRecall: Double = 0.95,
+      simThreshold: Double = 0.5,
+      maxTables: Int = 128): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val perTable = math.pow(collisionProb(simThreshold), planes)
+    if (perTable >= 1.0 - 1e-12) 1
+    else {
+      val t = math.ceil(
+        math.log1p(-targetRecall) / math.log1p(-perTable)).toInt
+      if (t > maxTables)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"deriveTables: recall $targetRecall at cosine $simThreshold " +
+            f"over $planes planes needs $t tables — capped at $maxTables " +
+            f"(achieved recall ≈ ${1.0 - math.pow(1.0 - perTable, maxTables)}%.3f). " +
+            "Pin numPlanes AND numTables for this workload's true " +
+            "similarity floor.")
+      math.min(maxTables, math.max(1, t))
+    }
+  }
+
   /** LSH-bucketed top-k: signatures over `numPlanes` hyperplanes,
     * `numTables` independent tables (banded planes); candidates = rows
     * sharing a (table, signature) bucket; exact cosine re-rank within
@@ -197,13 +243,24 @@ object Knn {
       queries: DataFrame,
       k: Int,
       numPlanes: Int = 0, // 0 = derive from corpus size (derivePlanes)
-      numTables: Int = 16,
+      numTables: Int = 0, // 0 = derive from planes (deriveTables)
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      targetBucketSize: Long = 4096L): DataFrame = {
-    val np = effectivePlanes(numPlanes, corpus.count(), targetBucketSize)
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val sigUdf = signatureUdf(numTables, np, dim)
+      targetBucketSize: Long = 4096L,
+      targetRecall: Double = 0.95,
+      recallSim: Double = 0.5, // similarity floor the recall target is at
+      knownCount: Long = 0L, // >0: skip the corpus.count() pre-action
+      knownDim: Int = 0): DataFrame = { // >0: skip the head() dim probe
+    // With planes, tables and dim all pinned (or known) this runs ZERO
+    // pre-actions over the corpus lineage — derived inputs don't pay two
+    // extra materializations.
+    val np = effectivePlanes(numPlanes,
+      if (knownCount > 0) knownCount else corpus.count(), targetBucketSize)
+    val nt = if (numTables > 0) numTables
+      else deriveTables(np, targetRecall, recallSim)
+    val dim = if (knownDim > 0) knownDim
+      else corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val sigUdf = signatureUdf(nt, np, dim)
     def sigs(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
         posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
@@ -250,13 +307,22 @@ object Knn {
       vectors: DataFrame,
       threshold: Double,
       numPlanes: Int = 0, // 0 = derive from corpus size (derivePlanes)
-      numTables: Int = 16,
+      numTables: Int = 0, // 0 = derive from planes at `threshold`
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      targetBucketSize: Long = 4096L): DataFrame = {
-    val np = effectivePlanes(numPlanes, vectors.count(), targetBucketSize)
-    val dim = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val sigUdf = signatureUdf(numTables, np, dim)
+      targetBucketSize: Long = 4096L,
+      targetRecall: Double = 0.95,
+      knownCount: Long = 0L, // >0: skip the vectors.count() pre-action
+      knownDim: Int = 0): DataFrame = { // >0: skip the head() dim probe
+    val np = effectivePlanes(numPlanes,
+      if (knownCount > 0) knownCount else vectors.count(), targetBucketSize)
+    // Pairs are verified at `threshold`, so that IS the recall floor the
+    // table count must serve.
+    val nt = if (numTables > 0) numTables
+      else deriveTables(np, targetRecall, simThreshold = threshold)
+    val dim = if (knownDim > 0) knownDim
+      else vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val sigUdf = signatureUdf(nt, np, dim)
     val sigs = vectors.select(col(idCol).as("id"),
       posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
     val cand = sigs.select(col("table"), col("sig"), col("id").as("a_id"))
