@@ -125,23 +125,80 @@ class DedupePipelineSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
-  test("quality: plurality-cluster agreement against ground truth") {
+  test("quality ratios vs BASELINE.md: accuracy, false-merge, " +
+      "false-split, completeness") {
+    // The reference's validation notebook (BASELINE.md rows from
+    // `tests/Deduplication validation.ipynb` cells 7-29) measures four
+    // scale-free linkage-quality ratios on generated ground truth:
+    //   accuracy 98.25%  — entries whose cluster's plurality uuid is
+    //                      their own (cell 7)
+    //   false-merge 1.00% — entries absorbed into a cluster whose
+    //                      plurality uuid differs (cell 9)
+    //   false-split 1.61% — entries separated from their identity's
+    //                      plurality ("home") cluster (cell 10)
+    //   completeness 68.38% / 92.56% — identities with 100% / >=90% of
+    //                      their entries in the home cluster (cells 28-29)
+    // The same metrics here, on the FakePersons population (uuid is
+    // ground truth). FakePersons never nulls first_name, so the filter
+    // excludes nothing and all denominators are the full entry count —
+    // the reference's "excluded" bucket (0.755%) is structurally zero.
+    // Bounds are calibrated for this population/model (default static
+    // model, 400 persons, seed 42; measured accuracy 0.9431, FM 0.0569,
+    // FS 0.0134, C100 0.9296, C90 0.9515 — see README "Quality gates").
+    // The run is seeded and the pipeline deterministic (the
+    // reproducibility gate above), so the bounds sit close to the
+    // measurement and any drift is a real behavior change.
+    import org.apache.spark.sql.expressions.Window
     val entries = FakePersons.population(spark, nPersons, seed = 42L)
     val result = DedupePipeline.run(entries, cfg)
     val withTruth = result.uniqueMap
       .join(entries.select("entry_id", "uuid"), "entry_id")
-    // Accuracy = fraction of entries whose cluster's plurality uuid
-    // matches their own (ref validation notebook cell 7: 98.25%).
-    val plurality = withTruth.groupBy("dedupe_id", "uuid").count()
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("dedupe_id")
+      .select("entry_id", "dedupe_id", "uuid")
+      .persist()
+    try {
+      val total = withTruth.count().toDouble
+      // Cluster-side plurality: the uuid owning most of each cluster.
+      val clusterPlurality = withTruth.groupBy("dedupe_id", "uuid").count()
+        .withColumn("rn", row_number().over(Window.partitionBy("dedupe_id")
           .orderBy(col("count").desc, col("uuid"))))
-      .where(col("rn") === 1)
-      .select(col("dedupe_id"), col("uuid").as("cluster_uuid"))
-    val agree = withTruth.join(plurality, "dedupe_id")
-      .where(col("uuid") === col("cluster_uuid")).count()
-    val total = withTruth.count()
-    val accuracy = agree.toDouble / total
-    assert(accuracy > 0.9, f"accuracy $accuracy%.3f below 0.9")
+        .where(col("rn") === 1)
+        .select(col("dedupe_id"), col("uuid").as("cluster_uuid"))
+      // Person-side plurality: the "home" cluster holding most of each
+      // identity's entries, and how many it holds.
+      val personPlurality = withTruth.groupBy("uuid", "dedupe_id").count()
+        .withColumn("rn", row_number().over(Window.partitionBy("uuid")
+          .orderBy(col("count").desc, col("dedupe_id"))))
+        .where(col("rn") === 1)
+        .select(col("uuid"), col("dedupe_id").as("home_cluster"),
+          col("count").as("home_n"))
+      val accuracy = withTruth.join(clusterPlurality, "dedupe_id")
+        .where(col("uuid") === col("cluster_uuid")).count() / total
+      val falseMerge = withTruth.join(clusterPlurality, "dedupe_id")
+        .where(col("uuid") =!= col("cluster_uuid")).count() / total
+      val falseSplit = withTruth.join(personPlurality, "uuid")
+        .where(col("dedupe_id") =!= col("home_cluster")).count() / total
+      val perIdentity = withTruth.groupBy("uuid")
+        .agg(count(lit(1)).as("n"))
+        .join(personPlurality.select("uuid", "home_n"), "uuid")
+        .select((col("home_n") / col("n")).as("completeness"))
+        .persist()
+      val nIdentities = perIdentity.count().toDouble
+      val complete100 =
+        perIdentity.where(col("completeness") >= 1.0).count() / nIdentities
+      val complete90 =
+        perIdentity.where(col("completeness") >= 0.9).count() / nIdentities
+      perIdentity.unpersist(false)
+      info(f"accuracy=$accuracy%.4f falseMerge=$falseMerge%.4f " +
+        f"falseSplit=$falseSplit%.4f complete100=$complete100%.4f " +
+        f"complete90=$complete90%.4f identities=$nIdentities%.0f " +
+        f"entries=$total%.0f")
+      assert(accuracy >= 0.92, f"accuracy $accuracy%.4f below 0.92")
+      assert(falseMerge <= 0.08, f"false-merge $falseMerge%.4f above 0.08")
+      assert(falseSplit <= 0.04, f"false-split $falseSplit%.4f above 0.04")
+      assert(complete100 >= 0.85,
+        f"100%%-complete identities $complete100%.4f below 0.85")
+      assert(complete90 >= 0.90,
+        f">=90%%-complete identities $complete90%.4f below 0.90")
+    } finally withTruth.unpersist(false)
   }
 }
