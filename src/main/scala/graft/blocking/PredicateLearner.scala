@@ -45,76 +45,190 @@ object PredicateLearner {
       }
     }.distinct
 
+  private def values(frame: DataFrame, c: String): DataFrame =
+    frame.select(col(c).as("value"))
+      .where(col("value").isNotNull && col("value") =!= "")
+
+  /** One fitted state for every index candidate: a single field-tagged
+    * TF-IDF sims cache per maxDfRatio (one group today — the ratio is
+    * fixed by id-canonicality) plus the candidate rows that parameterize
+    * it. All downstream consumers evaluate every candidate through one
+    * literal spec join against the cache, so the number of Spark
+    * jobs/stages is independent of the candidate count — per-candidate
+    * fits and joins each paid the pipeline's fixed stage overhead to
+    * compute identical intermediates, dominating trainOrLoad wall-clock
+    * (~70 s at sf0.001, where the data itself is microscopic).
+    */
+  private final case class FittedIndices(
+      spec: Seq[(TfIdfCanopy, Int)],
+      simsByRatio: Map[Double, DataFrame]) {
+    def release(): Unit = simsByRatio.values.foreach(_.unpersist(false))
+  }
+
+  /** Fit over corpus ∪ pair values (the reference indexes training
+    * records too), materialized with one job per ratio group. Caller
+    * must `release()`.
+    */
+  private def fitIndices(
+      records: DataFrame,
+      matchPairs: DataFrame,
+      cands: Seq[Predicate]): FittedIndices = {
+    import org.apache.spark.storage.StorageLevel
+    def fieldValues(field: String): DataFrame = {
+      val pairValues = values(matchPairs, s"l_$field")
+        .union(values(matchPairs, s"r_$field")).distinct()
+      values(records, field).union(pairValues).distinct()
+    }
+    val spec = cands.zipWithIndex.collect {
+      case (p: TfIdfCanopy, i) => (p, i)
+    }
+    val simsByRatio = spec.map(_._1).groupBy(_.maxDfRatio).map {
+      case (ratio, ps) =>
+        val tagged = ps.map(_.field).distinct.map { f =>
+          fieldValues(f).select(lit(f).as("f"), col("value"))
+        }.reduce(_ unionByName _)
+        ratio -> TfIdfCanopy.simsTagged(tagged, ratio)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    simsByRatio.values.foreach(_.count())
+    FittedIndices(spec, simsByRatio)
+  }
+
+  /** Literal (cand, f, pid, thr) spec rows — broadcast into the sims
+    * cache so one plan evaluates every candidate. */
+  private def candSpec(
+      spark: org.apache.spark.sql.SparkSession,
+      spec: Seq[(TfIdfCanopy, Int)]): DataFrame =
+    spark.createDataFrame(spec.map { case (p, i) =>
+      (i, p.field, p.id, p.threshold)
+    }).toDF("cand", "f", "pid", "thr")
+
+  /** Canopy key rows `(cand, value, key)` for the PAIR values only, all
+    * candidates in one plan per ratio group: the pair-value restriction
+    * joins BELOW the key derivation, so the agg never runs over the
+    * whole corpus index for the sake of a handful of training values.
+    */
+  private def pairKeyRows(
+      fi: FittedIndices, matchPairs: DataFrame): Seq[DataFrame] =
+    fi.simsByRatio.toSeq.map { case (ratio, sims) =>
+      val spec = fi.spec.filter(_._1.maxDfRatio == ratio)
+      val pairVals = spec.map(_._1.field).distinct.map { f =>
+        values(matchPairs, s"l_$f")
+          .union(values(matchPairs, s"r_$f")).distinct()
+          .select(lit(f).as("f"), col("value").as("a_value"))
+      }.reduce(_ unionByName _)
+      sims.join(broadcast(pairVals), Seq("f", "a_value"))
+        .join(broadcast(candSpec(matchPairs.sparkSession, spec)), "f")
+        .where(col("cos") >= col("thr"))
+        .select(col("cand"), col("a_value").as("value"),
+          concat_ws(":", col("pid"), md5(col("b_value"))).as("key"))
+    }
+
   /** Which candidates cover each labeled match pair: boolean matrix
     * [match pair][candidate]. Column predicates evaluate as
-    * `arrays_overlap` expressions; index predicates are fitted over the
-    * corpus values UNION the pair values (the reference indexes training
-    * records too) and joined in as l/r key arrays — still one collect.
+    * `arrays_overlap` expressions (the exact Column expressions the
+    * blocker runs, so learned coverage can never drift from applied
+    * blocking); index keys for the pair values are collected in one job
+    * and inlined as literal maps.
     */
   def coverage(
       matchPairs: DataFrame, // l_<field>/r_<field> columns, label == 1.0
       cands: Seq[Predicate],
       records: DataFrame): Array[Array[Boolean]] = {
-    var df = matchPairs
-    cands.zipWithIndex.foreach {
-      case (p: IndexPredicate, i) =>
-        def vals(frame: DataFrame, c: String) =
-          frame.select(col(c).as("value"))
-            .where(col("value").isNotNull && col("value") =!= "")
-        val pairValues = vals(matchPairs, s"l_${p.field}")
-          .union(vals(matchPairs, s"r_${p.field}"))
-          .distinct()
-        // Fit on the full corpus (idf / canopy neighborhoods need every
-        // value) but keep only the pair values' rows: the coverage join
-        // never reads corpus-only rows, and this bounds the broadcast by
-        // the training-file size instead of the corpus size.
-        val indexed = p.keysByValue(
-          vals(records, p.field).union(pairValues).distinct())
-          .join(broadcast(pairValues), "value")
-        def attach(side: String) = broadcast(indexed.select(
-          col("value").as(s"${side}v$i"), col("keys").as(s"${side}k$i")))
-        df = df
-          .join(attach("l"), col(s"l_${p.field}") === col(s"lv$i"),
-            "left_outer")
-          .join(attach("r"), col(s"r_${p.field}") === col(s"rv$i"),
-            "left_outer")
-      case _ => ()
-    }
+    val fi = fitIndices(records, matchPairs, cands)
+    try coverage(matchPairs, cands, fi)
+    finally fi.release()
+  }
+
+  private def coverage(
+      matchPairs: DataFrame,
+      cands: Seq[Predicate],
+      fi: FittedIndices): Array[Array[Boolean]] = {
+    val rows = pairKeyRows(fi, matchPairs)
+    val keyMaps: Map[Int, Map[String, Seq[String]]] =
+      (if (rows.isEmpty) Map.empty[Int, Map[String, Seq[String]]]
+       else rows.reduce(_ unionByName _).collect()
+         .groupBy(_.getInt(0))
+         .map { case (i, rs) =>
+           i -> rs.groupBy(_.getString(1)).map { case (v, ks) =>
+             v -> ks.map(_.getString(2)).distinct.sorted.toSeq
+           }
+         }).withDefaultValue(Map.empty)
+    val empty = array().cast("array<string>")
     val overlapCols = cands.zipWithIndex.map {
       case (p: ColumnPredicate, i) =>
         arrays_overlap(p.keys(col(s"l_${p.field}")),
           p.keys(col(s"r_${p.field}"))).as(s"c$i")
-      case (_: IndexPredicate, i) =>
-        arrays_overlap(
-          coalesce(col(s"lk$i"), array().cast("array<string>")),
-          coalesce(col(s"rk$i"), array().cast("array<string>"))).as(s"c$i")
+      case (p: IndexPredicate, i) =>
+        val m = keyMaps(i)
+        if (m.isEmpty) lit(false).as(s"c$i")
+        else {
+          val lookup = typedlit(m)
+          arrays_overlap(
+            coalesce(element_at(lookup, col(s"l_${p.field}")), empty),
+            coalesce(element_at(lookup, col(s"r_${p.field}")), empty))
+            .as(s"c$i")
+        }
     }
-    df.select(overlapCols: _*).collect().map { r =>
+    matchPairs.select(overlapCols: _*).collect().map { r =>
       Array.tabulate(cands.length)(i => !r.isNullAt(i) && r.getBoolean(i))
     }
   }
 
   /** Within-block comparison count each candidate would admit on the
-    * records, one Spark job: explode every candidate's keys tagged by
-    * candidate index, count per (tag, key), sum c·(c−1)/2. Index
-    * candidates contribute their fitted value→keys join.
+    * records, one Spark job: every candidate's keys exploded with a
+    * candidate tag, `groupBy(tag, key)`, then Σ c·(c−1)/2 per tag =
+    * the number of within-block comparisons the predicate would admit.
     */
   def costs(
       records: DataFrame,
       cands: Seq[Predicate],
       maxBlockSize: Long): Array[Double] = {
-    val tagged = cands.zipWithIndex.map {
+    // Fit over the records alone: an empty pair frame with the l_/r_
+    // columns every index field expects.
+    val idxFields = cands.collect { case p: IndexPredicate => p.field }
+      .distinct
+    val emptyPairs = records.limit(0).select(idxFields.flatMap(f =>
+      Seq(col(f).as(s"l_$f"), col(f).as(s"r_$f"))): _*)
+    val fi = fitIndices(records, emptyPairs, cands)
+    try costs(records, cands, maxBlockSize, fi)
+    finally fi.release()
+  }
+
+  /** Cost with a pre-fitted index state. Index candidates contribute
+    * per-key block sizes as Σ record-count over the key's values — one
+    * (f, value) record-count aggregate joined against the sims cache
+    * through the candidate spec (identical sums to a per-candidate
+    * records⋈keys join, which counted each record once per mapped key).
+    * Pair-only values in a shared fit contribute no cost rows — they
+    * never appear in the value counts — so sharing one fit with
+    * `coverage` keeps the estimate faithful.
+    */
+  private def costs(
+      records: DataFrame,
+      cands: Seq[Predicate],
+      maxBlockSize: Long,
+      fi: FittedIndices): Array[Double] = {
+    val idxBranch = fi.simsByRatio.toSeq.map { case (ratio, sims) =>
+      val spec = fi.spec.filter(_._1.maxDfRatio == ratio)
+      val vCounts = spec.map(_._1.field).distinct.map { f =>
+        values(records, f).select(lit(f).as("f"), col("value"))
+      }.reduce(_ unionByName _)
+        .groupBy("f", "value").agg(count(lit(1)).as("cnt"))
+      sims.join(broadcast(candSpec(records.sparkSession, spec)), "f")
+        .where(col("cos") >= col("thr"))
+        .select(col("cand"), col("f"), col("a_value").as("value"),
+          concat_ws(":", col("pid"), md5(col("b_value"))).as("key"))
+        .join(vCounts, Seq("f", "value"))
+        .select(col("cand"), col("key"), col("cnt"))
+    }
+    val colBranch = cands.zipWithIndex.collect {
       case (p: ColumnPredicate, i) =>
         records.select(lit(i).as("cand"),
-          explode(p.keys(col(p.field))).as("key"))
-      case (p: IndexPredicate, i) =>
-        val vals = records.select(col(p.field).as("value"))
-          .where(col("value").isNotNull && col("value") =!= "").distinct()
-        records.select(col(p.field).as("value"))
-          .join(p.keysByValue(vals), "value")
-          .select(lit(i).as("cand"), explode(col("keys")).as("key"))
-    }.reduce(_ unionByName _)
-    val rows = tagged.groupBy("cand", "key").count()
+          explode(p.keys(col(p.field))).as("key"), lit(1L).as("cnt"))
+    }
+    val tagged = (colBranch ++ idxBranch).reduce(_ unionByName _)
+    val rows = tagged.groupBy("cand", "key").agg(sum("cnt").as("count"))
       .where(col("count") > 1 && col("count") <= maxBlockSize)
       .groupBy("cand")
       .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
@@ -133,10 +247,22 @@ object PredicateLearner {
       records: DataFrame,
       matchPairs: DataFrame,
       cfg: DedupeConfig): Seq[Predicate] = {
+    def sub[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      graft.pipeline.PhaseLog.record(name,
+        (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val cands = candidates(cfg)
-    val cover = coverage(matchPairs.where(col("label") === 1.0), cands,
-      records)
-    val cost = costs(records, cands, cfg.maxBlockSize.toLong)
+    val matches = matchPairs.where(col("label") === 1.0)
+    // One shared index fit for both passes (see fitIndices).
+    val fi = sub("learn_fit")(fitIndices(records, matches, cands))
+    val (cover, cost) =
+      try (sub("learn_coverage")(coverage(matches, cands, fi)),
+        sub("learn_costs")(
+          costs(records, cands, cfg.maxBlockSize.toLong, fi)))
+      finally fi.release()
     val nMatches = cover.length
     if (nMatches == 0) return Nil
     val target = math.ceil(cfg.recall * nMatches).toLong

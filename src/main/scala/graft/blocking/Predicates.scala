@@ -160,39 +160,70 @@ final case class TfIdfCanopy(field: String, threshold: Double)
     * the index (stop-word bound; fixed so the id stays canonical). */
   def maxDfRatio: Double = 0.5
 
-  def keysByValue(values: DataFrame): DataFrame = {
-    val total = values.agg(count(lit(1)).as("n_values"))
+  def keysByValue(values: DataFrame): DataFrame =
+    TfIdfCanopy.keysFromSims(TfIdfCanopy.sims(values, maxDfRatio), id,
+      threshold)
+}
+
+object TfIdfCanopy {
+
+  /** TF-IDF cosine similarities `(a_value, b_value, cos)` over the
+    * distinct values — threshold-INDEPENDENT, so candidates at several
+    * thresholds on the same field share one fit (the learner's candidate
+    * pool has two; re-running the token idf/self-join pipeline per
+    * threshold doubled the fitting cost for identical intermediates).
+    */
+  def sims(values: DataFrame, maxDfRatio: Double): DataFrame =
+    simsTagged(values.select(lit("_").as("f"), col("value")), maxDfRatio)
+      .drop("f")
+
+  /** Field-tagged variant over `(f, value)` rows: every aggregate and
+    * join carries the tag, so ONE pipeline (one set of shuffle stages)
+    * fits every canopy field at once — per-field fits paid the fixed
+    * stage overhead once per field for identical plan shapes. idf
+    * denominators (n_values, df) are per field, as in the single-field
+    * fit. Output: `(f, a_value, b_value, cos)`.
+    */
+  def simsTagged(values: DataFrame, maxDfRatio: Double): DataFrame = {
+    val total = values.groupBy("f").agg(count(lit(1)).as("n_values"))
     val toks = values
-      .select(col("value"),
+      .select(col("f"), col("value"),
         explode(filter(split(col("value"), "\\s+"), t => t =!= ""))
           .as("tok"))
-      .groupBy("value", "tok").agg(count(lit(1)).as("tf"))
-    val dfCounts = toks.groupBy("tok")
-      .agg(count(lit(1)).as("df")) // toks is distinct per (value, tok)
-    val wts = toks.join(dfCounts, "tok").crossJoin(broadcast(total))
+      .groupBy("f", "value", "tok").agg(count(lit(1)).as("tf"))
+    val dfCounts = toks.groupBy("f", "tok")
+      .agg(count(lit(1)).as("df")) // toks is distinct per (f, value, tok)
+    val wts = toks.join(dfCounts, Seq("f", "tok"))
+      .join(broadcast(total), "f")
       .where(col("df").cast("double") <= col("n_values") * maxDfRatio)
       .withColumn("w",
         col("tf") * log(col("n_values").cast("double") / col("df")))
       .where(col("w") > 0)
-      .select("value", "tok", "w")
-    val norms = wts.groupBy("value")
+      .select("f", "value", "tok", "w")
+    val norms = wts.groupBy("f", "value")
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val l = wts.select(col("value").as("a_value"), col("tok"),
+    val l = wts.select(col("f"), col("value").as("a_value"), col("tok"),
       col("w").as("wa"))
-    val r = wts.select(col("value").as("b_value"), col("tok"),
+    val r = wts.select(col("f"), col("value").as("b_value"), col("tok"),
       col("w").as("wb"))
-    val sims = l.join(r, "tok")
-      .groupBy("a_value", "b_value")
+    l.join(r, Seq("f", "tok"))
+      .groupBy("f", "a_value", "b_value")
       .agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norms.select(col("value").as("a_value"),
-        col("norm").as("na")), "a_value")
-      .join(norms.select(col("value").as("b_value"),
-        col("norm").as("nb")), "b_value")
-      .where(col("dot") / (col("na") * col("nb")) >= threshold)
-    sims.groupBy(col("a_value").as("value"))
+      .join(norms.select(col("f"), col("value").as("a_value"),
+        col("norm").as("na")), Seq("f", "a_value"))
+      .join(norms.select(col("f"), col("value").as("b_value"),
+        col("norm").as("nb")), Seq("f", "b_value"))
+      .select(col("f"), col("a_value"), col("b_value"),
+        (col("dot") / (col("na") * col("nb"))).as("cos"))
+  }
+
+  /** Canopy keys at one threshold from a (possibly cached) sims frame. */
+  def keysFromSims(
+      sims: DataFrame, id: String, threshold: Double): DataFrame =
+    sims.where(col("cos") >= threshold)
+      .groupBy(col("a_value").as("value"))
       .agg(sort_array(collect_set(
         concat_ws(":", lit(id), md5(col("b_value"))))).as("keys"))
-  }
 }
 
 object Blocker {

@@ -77,11 +77,18 @@ object DedupePipeline {
         if (s.predicates.nonEmpty) s.predicates else defaultPredicates(cfg))
     } else exists(cfg.trainingFile) match {
       case Some(tf) =>
+        def sub[T](name: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          PhaseLog.record(name, (System.nanoTime() - t0) / 1e9)
+          r
+        }
         val spark = entriesUnique.sparkSession
         val labeled = Training.readTrainingFile(spark, tf, cfg)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val model = Training.train(cfg, labeled)
-        val learned = PredicateLearner.learn(entriesUnique, labeled, cfg)
+        val model = sub("train_model")(Training.train(cfg, labeled))
+        val learned = sub("train_predicates")(
+          PredicateLearner.learn(entriesUnique, labeled, cfg))
         val predicates =
           if (learned.nonEmpty) learned else defaultPredicates(cfg)
         labeled.unpersist(false)
