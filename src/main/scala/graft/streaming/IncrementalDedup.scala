@@ -27,6 +27,25 @@ object IncrementalDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** File-source variant (SURVEY §2.8's events-table invitation): watch
+    * a parquet directory as a stream — files appearing after the query
+    * starts are discovered per micro-batch — and exact-dedup within the
+    * watermark. Matches the batch `dropDuplicates(keyCols :+ tsCol)`
+    * answer when arrivals respect the watermark: redelivered rows inside
+    * it are dropped by state, rows older than it are dropped as late —
+    * either way they are rows the batch distinct would also collapse.
+    * `schema` is required: streaming sources don't infer.
+    */
+  def dedupParquetDir(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    dedupStream(spark.readStream.schema(schema).parquet(dir),
+      tsCol, keyCols, watermark)
+
   /** Tumbling-window counts per event_type with a watermark — the
     * streaming twin of the batch q23_event_windows query.
     */

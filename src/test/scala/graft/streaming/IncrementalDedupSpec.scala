@@ -63,6 +63,57 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source dedup over events.parquet matches the batch answer") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Real harness data through a real file source: events arrive in two
+    // time-ordered file drops — the second includes redeliveries of
+    // first-drop rows from inside the watermark (cross-batch state must
+    // drop them) — and the streamed dedup must land exactly on the batch
+    // dropDuplicates answer over everything that was ever written.
+    val events = graft.Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val tsSorted = events.select("ts").orderBy("ts").collect()
+      .map(_.getTimestamp(0))
+    val mid = tsSorted(tsSorted.length / 2)
+    val b1 = events.where(col("ts") < lit(mid))
+    val b2 = events.where(col("ts") >= lit(mid))
+    val maxB1 = tsSorted.takeWhile(_.before(mid)).last
+    // Redeliveries from b1's last 30 minutes: newer than (watermark =
+    // max b1 ts - 1 hour) after the first drop, so only dedup state —
+    // not the late-row filter — can drop them.
+    val redelivered = b1.where(col("ts") >
+      lit(new java.sql.Timestamp(maxB1.getTime - 30 * 60 * 1000)))
+    val inBatchDupes = b1.where(col("event_id") % 5 === 0)
+    val keys = Seq("user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+      .resolve("events").toString
+    b1.unionByName(inBatchDupes).write.mode("append").parquet(dir)
+    val out = IncrementalDedup.dedupParquetDir(
+      spark, dir, events.schema, "ts", keys)
+    val q = out.writeStream.format("memory").queryName("file_dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      b2.unionByName(redelivered).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("file_dedup_out")
+        .select("user_id", "event_type", "ts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+        .toSeq
+      assert(streamed.length == streamed.distinct.length,
+        "streamed output still contains duplicates")
+      // Batch answer: every duplicate is a byte-identical redelivery, so
+      // dropDuplicates(keys :+ ts) over all written rows is exactly the
+      // distinct key set of the source table.
+      val batch = events.dropDuplicates(keys :+ "ts")
+        .select("user_id", "event_type", "ts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+        .toSeq
+      assert(streamed.toSet == batch.toSet && streamed.length == batch.length,
+        s"streamed ${streamed.length} rows != batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("assignEntities keeps first-seen entity id per block key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
