@@ -301,7 +301,17 @@ object TextAnnQueries {
     // planes are deterministic, and every surviving pair is
     // exact-verified — so this shares q48's recursive-CTE exactness
     // oracle (KnnSpec separately proves brute/LSH canonicalization
-    // equality on the sf0.01 embeddings).
+    // equality on the sf0.01 embeddings; the full argument is in
+    // SURVEY.md §8 "q52 oracle sharing").
+    //
+    // CAVEAT (triage note): the pair generation is only
+    // PROBABILISTICALLY complete. Deterministic planes make the pass
+    // stable on the shipped fixtures, but a regenerated embeddings
+    // fixture or a new scale factor can legitimately produce a
+    // persistent HASH_MISMATCH here through an unlucky boundary pair —
+    // that is parameterization (raise numTables or drop to q48's
+    // exactness demo), NOT engine corruption; q48 on the same data
+    // distinguishes the two in one run.
     QueryDef(
       "q52_embedding_neardup_lsh",
       (s, dir) => {
