@@ -140,10 +140,19 @@ object PredicateLearner {
     finally fi.release()
   }
 
+  /** `overCap(i)` = keys of candidate i whose corpus block exceeds the
+    * block-size cap. Blocking DROPS those blocks (`pluralKeys`), so a
+    * match pair reachable only through one is NOT covered — crediting it
+    * made a degenerate predicate (one giant all-rows block: zero
+    * surviving cost, "full" coverage) the greedy pick, silently
+    * producing zero candidate pairs at apply time.
+    */
   private def coverage(
       matchPairs: DataFrame,
       cands: Seq[Predicate],
-      fi: FittedIndices): Array[Array[Boolean]] = {
+      fi: FittedIndices,
+      overCap: Map[Int, Set[String]] = Map.empty.withDefaultValue(Set.empty))
+      : Array[Array[Boolean]] = {
     val rows = pairKeyRows(fi, matchPairs)
     val keyMaps: Map[Int, Map[String, Seq[String]]] =
       (if (rows.isEmpty) Map.empty[Int, Map[String, Seq[String]]]
@@ -157,10 +166,21 @@ object PredicateLearner {
     val empty = array().cast("array<string>")
     val overlapCols = cands.zipWithIndex.map {
       case (p: ColumnPredicate, i) =>
-        arrays_overlap(p.keys(col(s"l_${p.field}")),
-          p.keys(col(s"r_${p.field}"))).as(s"c$i")
+        val lk = p.keys(col(s"l_${p.field}"))
+        val rk = p.keys(col(s"r_${p.field}"))
+        val oc = overCap(i)
+        val (l, r) =
+          if (oc.isEmpty) (lk, rk)
+          else {
+            val drop = typedlit(oc.toSeq.sorted)
+            (array_except(lk, drop), array_except(rk, drop))
+          }
+        arrays_overlap(l, r).as(s"c$i")
       case (p: IndexPredicate, i) =>
-        val m = keyMaps(i)
+        val oc = overCap(i)
+        val m = keyMaps(i).map { case (v, ks) =>
+          v -> ks.filterNot(oc)
+        }.filter(_._2.nonEmpty)
         if (m.isEmpty) lit(false).as(s"c$i")
         else {
           val lookup = typedlit(m)
@@ -208,7 +228,19 @@ object PredicateLearner {
       records: DataFrame,
       cands: Seq[Predicate],
       maxBlockSize: Long,
-      fi: FittedIndices): Array[Double] = {
+      fi: FittedIndices): Array[Double] =
+    costsAndOverCap(records, cands, maxBlockSize, fi)._1
+
+  /** Costs plus the over-cap key sets (see `coverage`): one persisted
+    * per-(cand, key) count frame feeds both aggregates. The over-cap
+    * collect is bounded by construction — at most Σ n/cap keys exceed
+    * the cap — and guarded loudly anyway (no silent truncation).
+    */
+  private def costsAndOverCap(
+      records: DataFrame,
+      cands: Seq[Predicate],
+      maxBlockSize: Long,
+      fi: FittedIndices): (Array[Double], Map[Int, Set[String]]) = {
     val idxBranch = fi.simsByRatio.toSeq.map { case (ratio, sims) =>
       val spec = fi.spec.filter(_._1.maxDfRatio == ratio)
       val vCounts = spec.map(_._1.field).distinct.map { f =>
@@ -228,14 +260,30 @@ object PredicateLearner {
           explode(p.keys(col(p.field))).as("key"), lit(1L).as("cnt"))
     }
     val tagged = (colBranch ++ idxBranch).reduce(_ unionByName _)
-    val rows = tagged.groupBy("cand", "key").agg(sum("cnt").as("count"))
-      .where(col("count") > 1 && col("count") <= maxBlockSize)
-      .groupBy("cand")
-      .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
-      .collect()
-    val out = Array.fill(cands.length)(0.0)
-    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
-    out
+    val counts = tagged.groupBy("cand", "key").agg(sum("cnt").as("count"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = counts
+        .where(col("count") > 1 && col("count") <= maxBlockSize)
+        .groupBy("cand")
+        .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+        .collect()
+      val out = Array.fill(cands.length)(0.0)
+      rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+      val overCapLimit = 100000
+      val overCapRows = counts.where(col("count") > maxBlockSize)
+        .select("cand", "key").limit(overCapLimit + 1).collect()
+      if (overCapRows.length > overCapLimit)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"more than $overCapLimit over-cap blocking keys — coverage " +
+            "correction is partial; raise max_block_size or sample the " +
+            "records before learning")
+      val overCap = overCapRows.take(overCapLimit)
+        .groupBy(_.getInt(0))
+        .map { case (i, rs) => i -> rs.map(_.getString(1)).toSet }
+        .withDefaultValue(Set.empty[String])
+      (out, overCap)
+    } finally counts.unpersist(false)
   }
 
   /** Greedy weighted set cover: repeatedly pick the candidate with the
@@ -256,13 +304,18 @@ object PredicateLearner {
     }
     val cands = candidates(cfg)
     val matches = matchPairs.where(col("label") === 1.0)
-    // One shared index fit for both passes (see fitIndices).
+    // One shared index fit for both passes (see fitIndices). Costs run
+    // first: their per-key counts also yield the over-cap key sets that
+    // the coverage pass must NOT credit (those blocks are dropped at
+    // blocking time).
     val fi = sub("learn_fit")(fitIndices(records, matches, cands))
     val (cover, cost) =
-      try (sub("learn_coverage")(coverage(matches, cands, fi)),
-        sub("learn_costs")(
-          costs(records, cands, cfg.maxBlockSize.toLong, fi)))
-      finally fi.release()
+      try {
+        val (cost0, overCap) = sub("learn_costs")(
+          costsAndOverCap(records, cands, cfg.maxBlockSize.toLong, fi))
+        (sub("learn_coverage")(coverage(matches, cands, fi, overCap)),
+          cost0)
+      } finally fi.release()
     val nMatches = cover.length
     if (nMatches == 0) return Nil
     val target = math.ceil(cfg.recall * nMatches).toLong

@@ -44,9 +44,14 @@ object PipelineQueries {
   }
 
   /** Deterministic labeled pairs from personEntries' construction-time
-    * ground truth: a mutated dup row is the same person as entry_id −
-    * 10M (match); adjacent base custkeys are distinct persons by
-    * construction (every derived field modulus differs). 40 + 40 pairs,
+    * ground truth. Matches: a mutated dup row is the same person as
+    * entry_id − 10M. Distincts mix easy negatives (adjacent custkeys —
+    * every derived field modulus differs) with HARD negatives sharing
+    * exactly one field (same last_name, same first_name): without those
+    * the fitted model never sees a "one field agrees, the rest differ"
+    * non-match, scores last-name-only agreement above threshold, and
+    * whole-last_name blocking then mass-merges at scale (observed:
+    * 1,500 base persons → 700 entities at sf0.01). 40 + ≤60 pairs,
     * ordered by entry id — the scale and shape of a human labeling
     * session (ref tests/dedup_postgres_training.json).
     */
@@ -58,15 +63,25 @@ object PipelineQueries {
     def side(df: DataFrame, p: String) =
       df.select(col("entry_id").as(s"${p}_entry_id") +:
         cols.map(c => col(c).as(s"${p}_$c")): _*)
-    val matches = side(base, "l").join(side(dup, "r"),
+    val l = side(base, "l")
+    val r = side(base, "r")
+    val matches = l.join(side(dup, "r"),
         col("r_entry_id") === col("l_entry_id") + 10000000L)
       .orderBy("l_entry_id").limit(40)
       .withColumn("label", lit(1.0))
-    val distincts = side(base, "l").join(side(base, "r"),
-        col("r_entry_id") === col("l_entry_id") + 1)
-      .orderBy("l_entry_id").limit(40)
-      .withColumn("label", lit(0.0))
-    matches.unionByName(distincts).drop("l_entry_id", "r_entry_id")
+    def negatives(cond: org.apache.spark.sql.Column, n: Int) =
+      l.join(r, cond && col("l_entry_id") < col("r_entry_id"))
+        .orderBy("l_entry_id", "r_entry_id").limit(n)
+        .withColumn("label", lit(0.0))
+    val adjacent =
+      negatives(col("r_entry_id") === col("l_entry_id") + 1, 20)
+    val sameLast = negatives(col("l_last_name") === col("r_last_name") &&
+      col("l_first_name") =!= col("r_first_name"), 40)
+    val sameFirst = negatives(col("l_first_name") === col("r_first_name") &&
+      col("l_last_name") =!= col("r_last_name"), 40)
+    matches.unionByName(adjacent).unionByName(sameLast)
+      .unionByName(sameFirst)
+      .drop("l_entry_id", "r_entry_id")
   }
 
   /** Flagship config with the trained-model path active (ref

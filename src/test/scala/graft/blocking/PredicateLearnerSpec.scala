@@ -14,6 +14,35 @@ class PredicateLearnerSpec extends SparkSpec {
       FieldSpec("city", "Categorical")),
     recall = 0.9)
 
+  test("learner never credits coverage through blocks the cap drops") {
+    import spark.implicits._
+    // Every record shares the first 2 chars ("zz"), so first2:name
+    // produces ONE 300-record block — far over max_block_size=100, which
+    // pluralKeys drops at blocking time. Its surviving cost is zero and
+    // its raw key overlap covers every match, so an uncapped learner
+    // picks it as a free full-coverage predicate and the pipeline then
+    // generates ZERO candidate pairs (the sf0.01 flagship regression).
+    // digits:name blocks the same matches through real, small blocks.
+    val records = (0 until 150).flatMap { i =>
+      Seq((i.toLong, s"zz$i", "x"), (i.toLong + 1000, s"zz${i}q", "y"))
+    }.toDF("_unique_id", "name", "city")
+    val labeled = (0 until 20).map { i =>
+      (s"zz$i", "x", s"zz${i}q", "y", 1.0)
+    }.toDF("l_name", "l_city", "r_name", "r_city", "label")
+    val capped = cfg.copy(maxBlockSize = 100)
+    val learned = PredicateLearner.learn(records, labeled, capped)
+    assert(learned.nonEmpty, "learner found no usable predicate")
+    assert(!learned.map(_.id).contains("first2:name"),
+      s"picked the dropped-block predicate: ${learned.map(_.id)}")
+    // The chosen set must cover the matches through SURVIVING blocks:
+    // every learned predicate key shared by a match pair stays under
+    // the cap by construction here, so plain coverage is sufficient.
+    val cover = PredicateLearner.coverage(
+      labeled.where(col("label") === 1.0), learned, records)
+    assert(cover.count(_.exists(identity)) >= 18,
+      "learned set fails to cover the matches through surviving blocks")
+  }
+
   test("learner covers match pairs with cheap predicates") {
     import spark.implicits._
     val records = Seq(

@@ -161,6 +161,49 @@ class DedupePipelineSpec extends SparkSpec {
     } finally eu.unpersist(false)
   }
 
+  test("trained flagship at sf0.01: every ground-truth dup merges, " +
+      "no mass-merge") {
+    // The q50 corpus carries its own ground truth (a dup row is the
+    // same person as entry_id - 10M), so the TRAINED path gets the same
+    // two-sided gate the FakePersons pipeline has. This is the gate
+    // that catches both observed trained-path failure modes at scale:
+    // 50% of dups unmerged (the learner picking a predicate whose only
+    // block the cap drops -> zero candidate pairs) and 1,500 base
+    // persons collapsing to 700 entities (no hard negatives -> last-
+    // name-only agreement scored as a match). Calibrated: 1,162
+    // entities, merge fraction 1.0.
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.01"
+    val result = DedupePipeline.run(
+      PipelineQueries.personEntries(spark, dir),
+      PipelineQueries.trainedPersonConfig(spark, dir))
+    val um = result.uniqueMap.select("entry_id", "dedupe_id").persist()
+    try {
+      val entities = um.select("dedupe_id").distinct().count()
+      val joined = um
+        .select(col("entry_id").as("base_id"),
+          col("dedupe_id").as("base_d"))
+        .join(um.select((col("entry_id") - 10000000L).as("base_id"),
+          col("dedupe_id").as("dup_d")).where(col("base_id") > 0),
+          "base_id")
+        .persist()
+      val gtPairs = joined.count()
+      val merged = joined.where(col("base_d") === col("dup_d")).count()
+      joined.unpersist(false)
+      info(s"entities=$entities gtPairs=$gtPairs merged=$merged")
+      assert(gtPairs == 1000L, s"expected 1000 ground-truth pairs")
+      assert(merged >= (gtPairs * 99) / 100,
+        s"only $merged of $gtPairs ground-truth dups merged")
+      // 1,500 base persons; some over-merge from the modular synthetic
+      // fields is expected, a collapse below ~2/3 of them is not.
+      assert(entities >= 1000 && entities <= 1650,
+        s"$entities entities outside [1000, 1650] for 1500 base persons")
+    } finally {
+      um.unpersist(false)
+      result.release()
+    }
+  }
+
   test("quality ratios vs BASELINE.md: accuracy, false-merge, " +
       "false-split, completeness") {
     // The reference's validation notebook (BASELINE.md rows from
