@@ -15,8 +15,25 @@ import graft.config.DedupeConfig
 final case class Settings(model: LogisticModel, predicates: Seq[Predicate]) {
 
   def toJson: String = {
-    def q(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Full control-character escaping, same contract as
+    // Training.toTrainingJson: predicate ids embed config-authored field
+    // names, and a stray control char must round-trip, not produce a
+    // settings file the snakeyaml reader rejects.
+    def q(s: String): String = {
+      val sb = new StringBuilder(s.length + 2).append('"')
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 || (c >= 0x7f && c <= 0x9f) ||
+            c == 0x2028.toChar || c == 0x2029.toChar =>
+          sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
     s"""{"model":${model.toJson},""" +
       s""""predicates":[${predicates.map(p => q(p.id)).mkString(",")}]}"""
   }

@@ -93,8 +93,13 @@ object PipelineQueries {
     * reporting 0.0 on the static-default fallback.
     */
   def trainedPersonConfig(s: SparkSession, dir: String): DedupeConfig = {
+    // Bump when trainingLabels' derivation changes: the file caches per
+    // (version, sf dir) across JVMs, and a stale /tmp survivor from an
+    // older derivation would otherwise silently train a different model.
+    val labelsVersion = 2
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-q50-train-" + Integer.toHexString(dir.hashCode))
+      s"graft-q50-train-v$labelsVersion-" +
+        Integer.toHexString(dir.hashCode))
     java.nio.file.Files.createDirectories(tmp)
     val tf = tmp.resolve("training.json")
     if (!java.nio.file.Files.exists(tf))

@@ -234,8 +234,10 @@ object TextAnnQueries {
       "q45_knn_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
+        // knownDim matches the fixture dimensionality the oracle SQL
+        // hardcodes below — skips the head() dim probe pre-action.
         Knn.lshTopK(emb, emb.where(col("vec_id") < 20), k = 3,
-            numPlanes = 4, numTables = 16)
+            numPlanes = 4, numTables = 16, knownDim = 64)
           .select("query_id", "neighbor_id", "rank")
       },
       Some(lshOracleSql(numPlanes = 4, numTables = 16, dim = 64))),
@@ -318,7 +320,7 @@ object TextAnnQueries {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
         val pairs = Knn.lshSimilarPairs(emb, threshold = 0.44,
-            numPlanes = 4, numTables = 48)
+            numPlanes = 4, numTables = 48, knownDim = 64)
           .select("a_id", "b_id")
         graft.dedup.TextDedup.keepCanonical(
             pairs, emb.select("vec_id"), "vec_id")

@@ -11,6 +11,15 @@ import graft.model.LogisticModel
   * workload at sf0.1 plus an adversarial long chain — decides which
   * kernel is the pipeline default (test-scoped tool, not shipped API).
   * Run: sbt "Test/runMain graft.cluster.CcBench"
+  *
+  * Kernel selection in production goes through
+  * `ConnectedComponents.auto`: a driver union-find below the edge cap
+  * (config knob `cc_edge_cap`, default 1M ≈ 16 MB of driver heap),
+  * `runStar` above it; the pick is logged and surfaced in the bench
+  * JSON's notes map as `cc_kernel`. Re-run this bench when changing
+  * the cap default — the crossover sits where the union-find's single
+  * collect beats runStar's O(log² n) shuffle rounds on the target
+  * cluster.
   */
 object CcBench {
   def main(args: Array[String]): Unit = {
