@@ -16,14 +16,21 @@ object PipelineQueries {
   /** Derive a person-ish entries table from `customer`, unioned with a
     * mutated copy (suffix typos, dropped fields) so the pipeline has real
     * duplicates to find. Deterministic — pure column expressions.
+    *
+    * The name moduli are chosen SCALE-HONEST: 4000 and 7000 are coprime
+    * enough that (first_name, last_name) uniquely identifies a base
+    * person below 28,000 custkeys (every tested SF), the way real names
+    * mostly do — with small moduli the corpus itself made distinct
+    * persons field-indistinguishable at sf0.1 and "mass-merge" was a
+    * property of the data, not the model.
     */
   def personEntries(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
     val base = c.select(
       col("c_custkey").as("entry_id"),
-      concat(lit("fn"), (col("c_custkey") % 400).cast("string"))
+      concat(lit("fn"), (col("c_custkey") % 4000).cast("string"))
         .as("first_name"),
-      concat(lit("ln"), (col("c_custkey") % 700).cast("string"))
+      concat(lit("ln"), (col("c_custkey") % 7000).cast("string"))
         .as("last_name"),
       format_string("%03d-%02d-%04d", col("c_custkey") % 900,
         col("c_custkey") % 89, col("c_custkey") % 9000).as("ssn"),
@@ -50,10 +57,13 @@ object PipelineQueries {
     * exactly one field (same last_name, same first_name): without those
     * the fitted model never sees a "one field agrees, the rest differ"
     * non-match, scores last-name-only agreement above threshold, and
-    * whole-last_name blocking then mass-merges at scale (observed:
-    * 1,500 base persons → 700 entities at sf0.01). 40 + ≤60 pairs,
-    * ordered by entry id — the scale and shape of a human labeling
-    * session (ref tests/dedup_postgres_training.json).
+    * whole-last_name blocking then mass-merges wherever last names
+    * collide (observed with the old small corpus moduli: 15,000 base
+    * persons → ~2,700 entities at sf0.1). Classes that don't exist at
+    * a given SF (no last-name collisions below the modulus) simply
+    * contribute zero pairs. ≤40 matches + ≤140 distincts, ordered by
+    * entry id — the scale and shape of a human labeling session
+    * (ref tests/dedup_postgres_training.json).
     */
   def trainingLabels(s: SparkSession, dir: String): DataFrame = {
     val e = personEntries(s, dir)
@@ -79,8 +89,18 @@ object PipelineQueries {
       col("l_first_name") =!= col("r_first_name"), 40)
     val sameFirst = negatives(col("l_first_name") === col("r_first_name") &&
       col("l_last_name") =!= col("r_last_name"), 40)
+    // The pairs whole-last_name blocking actually compares at scale:
+    // same last_name AND sex AND segment, different first/ssn. Without
+    // these the fitted bias dominates (three agreeing fields score
+    // ~0.99) and 15,000 base persons collapsed to ~2,700 entities at
+    // sf0.1.
+    val sameLastSexSeg = negatives(
+      col("l_last_name") === col("r_last_name") &&
+        col("l_sex") === col("r_sex") &&
+        col("l_segment") === col("r_segment") &&
+        col("l_first_name") =!= col("r_first_name"), 40)
     matches.unionByName(adjacent).unionByName(sameLast)
-      .unionByName(sameFirst)
+      .unionByName(sameFirst).unionByName(sameLastSexSeg)
       .drop("l_entry_id", "r_entry_id")
   }
 
@@ -93,10 +113,11 @@ object PipelineQueries {
     * reporting 0.0 on the static-default fallback.
     */
   def trainedPersonConfig(s: SparkSession, dir: String): DedupeConfig = {
-    // Bump when trainingLabels' derivation changes: the file caches per
-    // (version, sf dir) across JVMs, and a stale /tmp survivor from an
-    // older derivation would otherwise silently train a different model.
-    val labelsVersion = 2
+    // Bump when trainingLabels' derivation OR personEntries' field
+    // derivation changes: the file caches per (version, sf dir) across
+    // JVMs, and a stale /tmp survivor from an older derivation would
+    // otherwise silently train a different model.
+    val labelsVersion = 3
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-q50-train-v$labelsVersion-" +
         Integer.toHexString(dir.hashCode))
@@ -210,8 +231,8 @@ object PipelineQueries {
           array_join(col("src_ids").cast("array<string>"), ",")),
       Some("""WITH base AS (
           SELECT c_custkey AS entry_id,
-            'fn' || CAST(c_custkey % 400 AS VARCHAR) AS first_name,
-            'ln' || CAST(c_custkey % 700 AS VARCHAR) AS last_name,
+            'fn' || CAST(c_custkey % 4000 AS VARCHAR) AS first_name,
+            'ln' || CAST(c_custkey % 7000 AS VARCHAR) AS last_name,
             printf('%03d-%02d-%04d', c_custkey % 900, c_custkey % 89,
               c_custkey % 9000) AS ssn,
             CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS sex,

@@ -168,10 +168,11 @@ class DedupePipelineSpec extends SparkSpec {
     // two-sided gate the FakePersons pipeline has. This is the gate
     // that catches both observed trained-path failure modes at scale:
     // 50% of dups unmerged (the learner picking a predicate whose only
-    // block the cap drops -> zero candidate pairs) and 1,500 base
-    // persons collapsing to 700 entities (no hard negatives -> last-
-    // name-only agreement scored as a match). Calibrated: 1,162
-    // entities, merge fraction 1.0.
+    // block the cap drops -> zero candidate pairs) and base persons
+    // collapsing to half their count (no hard negatives -> last-name-
+    // only agreement scored as a match). Calibrated: exactly 1,500
+    // entities (one per base person — (first, last) is unique at this
+    // SF by the corpus moduli), merge fraction 1.0.
     import graft.queries.PipelineQueries
     val dir = "/root/testdata/sf0.01"
     val result = DedupePipeline.run(
@@ -194,10 +195,10 @@ class DedupePipelineSpec extends SparkSpec {
       assert(gtPairs == 1000L, s"expected 1000 ground-truth pairs")
       assert(merged >= (gtPairs * 99) / 100,
         s"only $merged of $gtPairs ground-truth dups merged")
-      // 1,500 base persons; some over-merge from the modular synthetic
-      // fields is expected, a collapse below ~2/3 of them is not.
-      assert(entities >= 1000 && entities <= 1650,
-        s"$entities entities outside [1000, 1650] for 1500 base persons")
+      // 1,500 base persons, each field-identifiable at this SF; the
+      // pipeline is seeded-deterministic so the measurement is exact.
+      assert(entities >= 1450 && entities <= 1550,
+        s"$entities entities outside [1450, 1550] for 1500 base persons")
     } finally {
       um.unpersist(false)
       result.release()
