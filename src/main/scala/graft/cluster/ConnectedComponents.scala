@@ -34,7 +34,8 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String = "l_id",
       dstCol: String = "r_id",
-      smallEdgeCap: Long = 1000000L): DataFrame = {
+      smallEdgeCap: Long = 1000000L,
+      label: String = "cc"): DataFrame = {
     // The size probe and the consumer (collect or runStar's eager first
     // checkpoint) are two actions over a possibly expensive lineage —
     // pin it across the branch. Both branches materialize eagerly, so
@@ -44,7 +45,10 @@ object ConnectedComponents {
         col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = proj.count()
-    graft.pipeline.PhaseLog.note("cc_kernel",
+    // Keyed per call site: one pipeline run calls auto from several
+    // stages (HAC clustering, exact-match merges) and a single shared
+    // key would surface only the last — ambiguous in the bench notes.
+    graft.pipeline.PhaseLog.note(s"cc_kernel.$label",
       (if (n > smallEdgeCap) "run-star" else "driver-union-find") +
         s" ($n edges, cap $smallEdgeCap)")
     val out = if (n > smallEdgeCap) runStar(proj, "src", "dst")

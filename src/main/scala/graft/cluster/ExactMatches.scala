@@ -39,7 +39,8 @@ object ExactMatches {
   def merge(df: DataFrame, cols: Seq[String], clusterCol: String): DataFrame = {
     val edges = mergeEdges(df, cols, clusterCol)
     // runStar: faster on the real workload and diameter-robust (CcBench).
-    val comps = ConnectedComponents.auto(edges, "id1", "id2")
+    val comps = ConnectedComponents.auto(edges, "id1", "id2",
+      label = "exact-merge")
       .withColumnRenamed("id", clusterCol)
     df.join(comps, Seq(clusterCol), "left_outer")
       .withColumn(clusterCol, coalesce(col("component"), col(clusterCol)))

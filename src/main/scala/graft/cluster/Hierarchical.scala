@@ -293,7 +293,8 @@ object Hierarchical {
     // set (11.9 s vs 21.9 s, identical labels — CcBench) with O(log² n)
     // rounds regardless of component diameter. The cap is caller-tunable
     // (DedupeConfig.ccEdgeCap for the pipeline).
-    val comps = ConnectedComponents.auto(above, smallEdgeCap = ccEdgeCap)
+    val comps = ConnectedComponents.auto(above, smallEdgeCap = ccEdgeCap,
+      label = "hac-cluster")
     val withComp = above
       .join(comps.withColumnRenamed("id", "l_id"), "l_id")
       .select(col("component"), col("l_id").as("lId"),

@@ -257,7 +257,8 @@ object TextDedup {
     */
   def keepCanonical(pairs: DataFrame, all: DataFrame,
       idCol: String): DataFrame = {
-    val comps = graft.cluster.ConnectedComponents.auto(pairs, "a_id", "b_id")
+    val comps = graft.cluster.ConnectedComponents.auto(pairs, "a_id", "b_id",
+      label = "neardup-canonical")
     all.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
       .withColumn("canonical_id",
         coalesce(col("component"), col(idCol)))
