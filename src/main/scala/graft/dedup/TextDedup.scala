@@ -55,11 +55,47 @@ object TextDedup {
     * CodegenFallback — acceptable here because it runs once per DOCUMENT
     * before the explode, not once per shingle row.
     */
+  /** k-shingles, fused into one primitive-loop UDF. The pure-expression
+    * form — transform(sequence(...)) over tokens(text) — re-evaluates
+    * the NESTED tokenization subtree once per lambda element when the
+    * interpreted HOF runs (HOFs are CodegenFallback, and the subtree is
+    * inlined into the lambda, not bound): one re-tokenization per
+    * shingle, measured 8.8 s to shingle 5,000 sf0.1 docs vs ~0.3 s
+    * fused. A projection boundary doesn't help — CollapseProject
+    * re-inlines it. Output is bit-identical to the old expression: same
+    * trim/split regexes as TextAnalysis.tokens, space-joined k-grams,
+    * first-occurrence dedup (array_distinct), null text → null, fewer
+    * than k tokens → empty.
+    */
   def shingles(text: Column, k: Int): Column = {
-    val toks = graft.text.TextAnalysis.tokens(text)
-    when(size(toks) < k, array().cast("array<string>")).otherwise(
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val trimmed = t.replaceAll("^\\s+|\\s+$", "")
+        val toks: Array[String] =
+          if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+        if (toks.length < k) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]
+          var i = 0
+          while (i <= toks.length - k) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val out = new Array[String](seen.size)
+          seen.toArray(out)
+          out
+        }
+      }
+    }
+    f(text)
   }
 
   /** MinHash modulus and affine mixing constants: ONE md5 per shingle
