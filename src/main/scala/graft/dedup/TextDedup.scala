@@ -119,29 +119,78 @@ object TextDedup {
     java.lang.Long.parseLong(hex, 16) % mod
   }
 
+  /** First 60 bits of md5(s): numerically identical to the SQL
+    * `conv(substring(md5(s), 1, 15), 16, 10)` — 15 hex chars are the
+    * first 7.5 digest bytes, i.e. the big-endian first-8-byte word
+    * shifted right 4.
+    */
+  private def md5Hash60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val b = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** MinHash signatures via the affine family above. Returns
-    * (idCol, sig: array<long> of k mins).
+    * (idCol, sig: array<long> of k mins); docs with no shingles (null
+    * text or fewer than k tokens) are absent, as they were when the
+    * exploded form dropped their empty shingle arrays.
     *
-    * Shape: explode shingles once, md5 each shingle ONCE, then
-    * `groupBy(id).agg(min((a·u+b) mod M)...)` — one codegen'd
-    * partial-aggregating shuffle. (The tempting all-expression form
-    * `array_min(transform(shingles, ...))` per hash re-evaluates the
-    * whole shingle-construction HOF chain k times per row, interpreted —
-    * measured 50× slower at sf0.1.)
+    * Shape: ONE primitive-loop UDF per row — tokenize, shingle, md5
+    * each distinct shingle once, fold the k affine mins in place. The
+    * signature is a pure per-document function, so the previous
+    * explode + groupBy(id).agg(min...) paid a row-blowup plus an
+    * aggregation shuffle for what a per-row loop computes with neither
+    * (the same transformation that took shingling 8.8 s → 0.3 s); the
+    * earlier all-expression `array_min(transform(...))` form was worse
+    * still — interpreted HOFs re-evaluate the shingle subtree per hash,
+    * measured 50× slower at sf0.1. Values are bit-identical to both:
+    * same trim/split, same 60-bit md5 prefix, same (a·u+b) mod M fold.
     */
   def minHashSignature(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-        explode(shingles(col(textCol), shingleK)).as("s"))
-      .withColumn("u",
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-          % MinHashMod)
-    val mins = (0 until numHashes).map { i =>
-      min((col("u") * mixA(i) + mixB(i)) % MinHashMod).as(s"h$i")
+    val as = (0 until numHashes).map(mixA).toArray
+    val bs = (0 until numHashes).map(mixB).toArray
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val trimmed = t.replaceAll("^\\s+|\\s+$", "")
+        val toks: Array[String] =
+          if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+        if (toks.length < shingleK) null
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val seen = new java.util.HashSet[String]
+          val mins = Array.fill(numHashes)(Long.MaxValue)
+          var i = 0
+          while (i <= toks.length - shingleK) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < shingleK) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            val s = sb.toString
+            if (seen.add(s)) {
+              val u = md5Hash60(md, s) % MinHashMod
+              var h = 0
+              while (h < numHashes) {
+                val v = (u * as(h) + bs(h)) % MinHashMod
+                if (v < mins(h)) mins(h) = v
+                h += 1
+              }
+            }
+            i += 1
+          }
+          mins
+        }
+      }
     }
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    docs.select(col(idCol), f(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
   }
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
@@ -209,41 +258,59 @@ object TextDedup {
       sh)
   }
 
-  /** 60-bit SimHash over whitespace tokens: per token take the first 15
-    * hex chars of md5 as a 60-bit integer (15, not 16, so the value fits
-    * a signed long without sign games); the fingerprint's bit j is the
-    * sign of Σ_tokens (bit_j ? +1 : −1).
+  /** 60-bit SimHash over whitespace tokens: per distinct token take the
+    * first 15 hex chars of md5 as a 60-bit integer (15, not 16, so the
+    * value fits a signed long without sign games); the fingerprint's
+    * bit j is the sign of Σ_tokens (bit_j ? +1 : −1).
+    *
+    * Fused into ONE primitive-loop UDF per row: the fingerprint is a
+    * pure per-document function, so the previous shape — explode
+    * distinct tokens, md5 each, 21 packed-lane aggregate sums per doc —
+    * paid a token row-blowup plus a partial-agg shuffle for what a
+    * per-row loop computes with neither (same transformation as the
+    * shingle fusion, 8.8 s → 0.3 s). Values are bit-identical: same
+    * trim/split tokenization as TextAnalysis.tokens, same 60-bit md5
+    * prefix, bit j set iff 2·ones_j > n over n distinct tokens. Docs
+    * with null/empty text are absent, as the exploded form dropped them.
     */
   def simHash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // Codegen'd tokenization (no lambda HOF) — this projection feeds the
-    // q37 hot path's explode.
-    val toks = docs.select(col(idCol),
-      explode(array_distinct(graft.text.TextAnalysis.tokens(col(textCol))))
-        .as("tok"))
-    val hashed = toks.withColumn("h",
-      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    // Bit-vote aggregation with 3 ones-counters PACKED per long (20-bit
-    // lanes): 21 aggregate columns instead of 60. Bit j is set when
-    // 2·ones_j > n (equivalent to the ±1-vote sign: sum = 2·ones − n).
-    // Lane bound: 2²⁰ ≈ 1M distinct whitespace tokens per document
-    // before a lane overflows — beyond any real document's vocabulary.
-    val lanes = 3
-    val laneBits = 20
-    val packedCols = (0 until 60 / lanes).map { g =>
-      sum((0 until lanes).map { k =>
-        val j = g * lanes + k
-        shiftleft(shiftright(col("h"), j).bitwiseAND(1), laneBits * k)
-      }.reduce(_ + _)).as(s"p$g")
+    val f = udf { (t: String) =>
+      if (t == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val trimmed = t.replaceAll("^\\s+|\\s+$", "")
+        if (trimmed.isEmpty) null.asInstanceOf[java.lang.Long]
+        else {
+          val toks = trimmed.split("\\s+")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val seen = new java.util.HashSet[String]
+          val ones = new Array[Int](60)
+          var n = 0
+          var i = 0
+          while (i < toks.length) {
+            if (seen.add(toks(i))) {
+              n += 1
+              val h = md5Hash60(md, toks(i))
+              var j = 0
+              while (j < 60) {
+                ones(j) += ((h >>> j) & 1L).toInt
+                j += 1
+              }
+            }
+            i += 1
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 60) {
+            if (2 * ones(j) > n) fp |= 1L << j
+            j += 1
+          }
+          java.lang.Long.valueOf(fp)
+        }
+      }
     }
-    val agg = hashed.groupBy(idCol)
-      .agg(count(lit(1)).as("n"), packedCols: _*)
-    val fp = (0 until 60).map { j =>
-      val ones = shiftright(col(s"p${j / lanes}"), laneBits * (j % lanes))
-        .bitwiseAND((1L << laneBits) - 1L)
-      when(ones * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), fp.as("simhash"))
+    docs.select(col(idCol), f(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup candidates within Hamming distance `maxHamming`.
