@@ -4,11 +4,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: headline queries at SPARK_GRAFT_SF_DIR, one JSON line.
   * Prints total wall-clock like the reference does (pgdedupe/cli.py:67).
   *
-  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) — single
-  * samples on this host swing 2–3× run-to-run, so gate decisions need a
-  * median. The JSON line reports the per-query MEDIAN under "queries"
-  * (the field the driver reads), plus per-query {min,max} under "spread"
-  * and the flagship pipeline's per-phase seconds under "phases".
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 5 — single
+  * samples on this host swing 2–3× run-to-run with ambient load, so gate
+  * decisions need a median over enough reps to shed outliers). The JSON
+  * line reports the per-query MEDIAN under "queries" (the field the
+  * driver reads), the steady-state MIN under "steady_min" (the
+  * load-robust signal: ambient load inflates medians ~1.6× but rarely
+  * deflates a min), per-query {min,max} under "spread", the flagship
+  * pipeline's per-phase seconds under "phases", and /proc/loadavg at
+  * start/end under notes ("host_load") so a loaded-host run is
+  * attributable from the JSON alone.
   */
 object Bench {
 
@@ -30,11 +35,18 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  private def readLoadAvg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0) finally src.close()
+    } catch { case _: Throwable => "n/a" }
+
   def main(args: Array[String]): Unit = {
     val start = System.nanoTime()
+    val loadAvg0 = readLoadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,10 +86,13 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name rep $rep/$reps: $secs%.3f s" +
           (if (ok) "" else " (FAILED)"))
-        val ph = graft.pipeline.PhaseLog.drain()
-        if (ph.nonEmpty) phases = ph // keep the last recorded rep's phases
-        val nt = graft.pipeline.PhaseLog.drainNotes()
-        if (nt.nonEmpty) notes = nt
+        // ACCUMULATE across queries (a plain replace would let the last
+        // note-producing query clobber earlier queries' notes — e.g.
+        // q52's cc_kernel.neardup-canonical lost once q50 drains);
+        // within one query, later reps overwrite the same keys, which
+        // keeps the last rep's phases — the intended behavior.
+        phases = phases ++ graft.pipeline.PhaseLog.drain()
+        notes = notes ++ graft.pipeline.PhaseLog.drainNotes()
         (secs, ok)
       }
       // Failed reps carry time-to-failure, not query cost — keep them out
@@ -92,12 +107,30 @@ object Bench {
       val steady = if (good.length >= 3) good.drop(1) else good
       (name, good, steady, samples.count(!_._2))
     }
+    // Full JSON string escape (same contract as Verify's q / Settings
+    // .toJson): the previous quote→apostrophe swap would emit invalid
+    // JSON for a backslash, newline, or control char in a note value.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def fmtMap(entries: Seq[(String, String)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + v }
+      entries.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}")
+    notes = notes + ("host_load" ->
+      s"start ${loadAvg0}, end ${readLoadAvg()} (1-min loadavg)")
     val measured = results.filter(_._2.nonEmpty)
     val qj = fmtMap(measured.map { case (k, good, _, _) =>
       k -> f"${median(good)}%.3f" })
+    // Steady-state minimum: the load-robust per-query signal (ambient
+    // host load inflates medians; it almost never deflates a min).
+    val minJ = fmtMap(measured.map { case (k, _, steady, _) =>
+      k -> f"${steady.min}%.3f" })
     val spreadJ = fmtMap(measured.map { case (k, _, steady, _) =>
       k -> f"""{"min":${steady.min}%.3f,"max":${steady.max}%.3f}"""
     })
@@ -106,9 +139,10 @@ object Bench {
     val phaseJ = fmtMap(phases.toSeq.sortBy(_._1)
       .map { case (k, v) => k -> f"$v%.3f" })
     val notesJ = fmtMap(notes.toSeq.sortBy(_._1)
-      .map { case (k, v) => k -> ("\"" + v.replace("\"", "'") + "\"") })
+      .map { case (k, v) => k -> jstr(v) })
     val total = measured.map { case (_, good, _, _) => median(good) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qj,"spread":$spreadJ,"failed":$failedJ,"phases":$phaseJ,"notes":$notesJ,"sf":"$sfDir"}""")
+    val totalMin = measured.map { case (_, _, steady, _) => steady.min }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_steady_min":$totalMin%.3f,"reps":$reps,"queries":$qj,"steady_min":$minJ,"spread":$spreadJ,"failed":$failedJ,"phases":$phaseJ,"notes":$notesJ,"sf":"$sfDir"}""")
     System.err.println(f"ran in ${(System.nanoTime() - start) / 1e9}%.1f s")
     spark.stop()
   }

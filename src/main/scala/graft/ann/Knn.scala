@@ -260,6 +260,12 @@ object Knn {
       else deriveTables(np, targetRecall, recallSim)
     val dim = if (knownDim > 0) knownDim
       else corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // Surface the chosen parameterization in the bench notes (like
+    // cc_kernel): a fixture change that shifts the derivation becomes
+    // visible in BENCH json, not only in recall gates.
+    graft.pipeline.PhaseLog.note("lsh_params.topk",
+      s"planes=$np (${if (numPlanes > 0) "pinned" else "derived"}), " +
+        s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
     val sigUdf = signatureUdf(nt, np, dim)
     def sigs(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
@@ -322,6 +328,9 @@ object Knn {
       else deriveTables(np, targetRecall, simThreshold = threshold)
     val dim = if (knownDim > 0) knownDim
       else vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    graft.pipeline.PhaseLog.note("lsh_params.pairs",
+      s"planes=$np (${if (numPlanes > 0) "pinned" else "derived"}), " +
+        s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
     val sigUdf = signatureUdf(nt, np, dim)
     val sigs = vectors.select(col(idCol).as("id"),
       posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))

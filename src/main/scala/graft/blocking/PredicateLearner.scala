@@ -271,8 +271,14 @@ object PredicateLearner {
       val out = Array.fill(cands.length)(0.0)
       rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
       val overCapLimit = 100000
+      // Ordered by count desc (largest dropped blocks matter most to the
+      // coverage correction), then (cand, key) to break ties — so a
+      // truncation past the limit retains a deterministic, maximally
+      // useful subset instead of an arbitrary unordered limit().
       val overCapRows = counts.where(col("count") > maxBlockSize)
-        .select("cand", "key").limit(overCapLimit + 1).collect()
+        .select(col("cand"), col("key"), col("count"))
+        .orderBy(col("count").desc, col("cand"), col("key"))
+        .limit(overCapLimit + 1).collect()
       if (overCapRows.length > overCapLimit)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"more than $overCapLimit over-cap blocking keys — coverage " +

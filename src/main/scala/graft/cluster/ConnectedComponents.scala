@@ -139,14 +139,19 @@ object ConnectedComponents {
     sym.unpersist(false)
     // Round count is the O(diameter) cost driver and varies with AQE
     // partitioning — log it so bench variance can be attributed. A
-    // non-converged exit returns partial labels — warn loudly (no
-    // silent caps); prefer runStar for high-diameter graphs.
-    val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    if (!converged)
-      log.warn(s"min-label CC did NOT converge within maxIter=$maxIter " +
-        "rounds — labels are partial; use runStar for long-chain graphs")
-    else
-      log.info(s"connected components converged in $iter rounds")
+    // non-converged exit would return PARTIAL labels that look complete
+    // — the one failure mode this engine never allows silently — so it
+    // throws instead of warning; prefer runStar for high-diameter
+    // graphs (O(log² n) rounds regardless of diameter).
+    if (!converged) {
+      labels.unpersist(false)
+      throw new IllegalStateException(
+        s"min-label CC did not converge within maxIter=$maxIter rounds " +
+          "— labels would be partial; raise maxIter or use runStar for " +
+          "long-chain graphs")
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"connected components converged in $iter rounds")
     labels.select("id", "component")
   }
 
@@ -216,9 +221,16 @@ object ConnectedComponents {
       e = small
       iter += 1
     }
+    // Same fail-loud contract as `run`: a non-converged star forest can
+    // still contain depth-2 chains, i.e. labels that are not component
+    // minima — never return them behind a log line.
+    if (!converged)
+      throw new IllegalStateException(
+        s"star CC did not converge within maxIter=$maxIter rounds — " +
+          "labels would be partial; raise maxIter")
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"star connected components converged in $iter rounds " +
-        s"(maxIter=$maxIter, converged=$converged)")
+        s"(maxIter=$maxIter)")
     e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()

@@ -118,15 +118,28 @@ object PipelineQueries {
     // JVMs, and a stale /tmp survivor from an older derivation would
     // otherwise silently train a different model.
     val labelsVersion = 3
+    // Keyed by a SHA-256 prefix of the ABSOLUTE sf dir (not the 32-bit
+    // String.hashCode, whose collision between two sf dirs would
+    // silently reuse the other's training file).
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-q50-train-v$labelsVersion-" +
-        Integer.toHexString(dir.hashCode))
+      s"graft-q50-train-v$labelsVersion-$dirKey")
     java.nio.file.Files.createDirectories(tmp)
     val tf = tmp.resolve("training.json")
-    if (!java.nio.file.Files.exists(tf))
-      java.nio.file.Files.writeString(tf,
+    if (!java.nio.file.Files.exists(tf)) {
+      // Write-temp + atomic rename so a concurrent JVM never reads a
+      // torn file; content is deterministic, so a lost race overwrites
+      // with identical bytes.
+      val part = java.nio.file.Files.createTempFile(tmp, "training", ".part")
+      java.nio.file.Files.writeString(part,
         graft.model.Training.toTrainingJson(
           trainingLabels(s, dir), personConfig))
+      java.nio.file.Files.move(part, tf,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     personConfig.copy(
       trainingFile = Some(tf.toString),
       settingsFile = Some(tmp.resolve("settings.json").toString))

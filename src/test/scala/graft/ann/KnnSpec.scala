@@ -157,7 +157,7 @@ class KnnSpec extends SparkSpec {
       "on the 50k corpus") {
     // Same deterministic 50k x 8-dim corpus as the bucket-bound gate.
     // The DEFAULT parameterization derives planes from n (8 at bucket
-    // target 256) AND tables from planes (58 at recall 0.9 / sim 0.5) —
+    // target 256) AND tables from planes (76 at recall 0.95 / sim 0.5) —
     // the verdict-item gate: measured top-3 recall vs brute force must
     // clear the target while the bucket cost bound (previous test)
     // holds at the same plane count.

@@ -25,6 +25,22 @@ class ClusterSpec extends SparkSpec {
     assert(comps.forall(_.getLong(1) == 1L))
   }
 
+  test("CC throws on non-convergence instead of returning partial labels") {
+    import spark.implicits._
+    // A 40-chain needs ~39 min-label rounds; maxIter=1 cannot converge.
+    // Partial labels that look complete are the one silent failure this
+    // engine forbids — both kernels must throw, not warn.
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("l_id", "r_id")
+    val e1 = intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, maxIter = 1).collect()
+    }
+    assert(e1.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException] {
+      ConnectedComponents.runStar(edges, maxIter = 1).collect()
+    }
+    assert(e2.getMessage.contains("did not converge"))
+  }
+
   test("star CC agrees with min-label propagation") {
     import spark.implicits._
     // Mixed shapes: a chain, a triangle sharing a node with the chain, a
