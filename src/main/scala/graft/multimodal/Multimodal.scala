@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * Codec-free container formats are decoded FOR REAL in pure JVM code:
   * uncompressed 24-bit BMP (header + pixel grid → dimensions, grayscale
   * statistics, 2×2 downsample) and PCM WAV (RIFF chunks → sample rate,
-  * channels, duration, RMS, zero-crossing rate). Only payloads that
-  * genuinely need a media codec (JPEG/PNG/MP4 — none installed in this
-  * container) fall through to the clearly-marked deterministic stub.
-  * The distributed shape is the same either way: partition-level
-  * batching with a per-partition "model load" slot, fixed-size output
-  * schema (mapPartitions ≈ the JVM analog of mapInPandas batches).
+  * channels, duration, RMS, zero-crossing rate). JPEG and PNG are
+  * decoded FOR REAL too, via the stock JDK's `javax.imageio.ImageIO`
+  * (headless, zero extra dependencies) into the same image-feature
+  * layout as BMP. Only genuinely codec-needing payloads (MP4 — no
+  * video codec ships with the JDK) fall through to the clearly-marked
+  * deterministic stub. The distributed shape is the same either way:
+  * partition-level batching with a per-partition "model load" slot,
+  * fixed-size output schema (mapPartitions ≈ the JVM analog of
+  * mapInPandas batches).
   */
 object Multimodal {
 
@@ -102,6 +105,88 @@ object Multimodal {
         (w.toDouble / h).toFloat, 1.0f)
     }
 
+  // ImageIO's default scratch is a DISK cache file per read — wrong on
+  // executors (tmp churn, no benefit for in-memory byte arrays).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Magic sniff for the two JDK-decodable compressed image formats. */
+  private def isJpegOrPng(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      (((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+        ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+
+  /** (width, height, "jpeg"|"png") from the image HEADER only — an
+    * ImageReader probe, no pixel decode (mediaInfo must stay cheap on
+    * large payloads).
+    */
+  private def imageHeader(b: Array[Byte]): Option[(Int, Int, String)] =
+    if (!isJpegOrPng(b)) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0),
+              r.getFormatName.toLowerCase match {
+                case f if f.contains("png") => "png"
+                case _ => "jpeg"
+              }))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** REAL JPEG/PNG decode via the stock JDK (`javax.imageio.ImageIO`,
+    * headless — no codec dependency): same grayscale-stat + 2×2
+    * quadrant-downsample feature layout as [[decodeBmpFeatures]], same
+    * luma coefficients, so image features are comparable across
+    * container formats. None for anything ImageIO can't parse (the
+    * caller then falls to the stub).
+    */
+  def decodeImageFeatures(b: Array[Byte]): Option[Array[Float]] =
+    if (!isJpegOrPng(b)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0.0; var sumSq = 0.0
+        val quad = new Array[Double](4)
+        val quadN = new Array[Long](4)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            val gray = ((p & 0xff) * 0.114 + ((p >> 8) & 0xff) * 0.587 +
+              ((p >> 16) & 0xff) * 0.299) / 255.0
+            sum += gray; sumSq += gray * gray
+            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            quad(q) += gray; quadN(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val mean = sum / n
+        val variance = math.max(0.0, sumSq / n - mean * mean)
+        Some(Array(
+          mean.toFloat, math.sqrt(variance).toFloat,
+          (if (quadN(0) > 0) quad(0) / quadN(0) else 0.0).toFloat,
+          (if (quadN(1) > 0) quad(1) / quadN(1) else 0.0).toFloat,
+          (if (quadN(2) > 0) quad(2) / quadN(2) else 0.0).toFloat,
+          (if (quadN(3) > 0) quad(3) / quadN(3) else 0.0).toFloat,
+          (w.toDouble / h).toFloat, 1.0f))
+      }
+    } catch { case _: Exception => None }
+
   /** Parse PCM WAV RIFF chunks: (sampleRate, channels, bitsPerSample,
     * dataOffset, dataBytes). None unless an intact PCM fmt+data pair.
     */
@@ -183,21 +268,25 @@ object Multimodal {
               case Some((rate, ch, bits, _, n)) =>
                 MediaInfo(id, "wav", 0, 0, rate, ch,
                   n.toDouble / (rate.toLong * ch * (bits / 8)))
-              case None => MediaInfo(id, "unknown", 0, 0, 0, 0, 0.0)
+              case None =>
+                imageHeader(b) match {
+                  case Some((w, h, fmt)) => MediaInfo(id, fmt, w, h, 0, 0, 0.0)
+                  case None => MediaInfo(id, "unknown", 0, 0, 0, 0, 0.0)
+                }
             }
         }
       })
   }
 
   /** Batched decode + featurize over binary payloads: BMP and WAV route
-    * to the real decoders above; everything else falls through to the
-    * stub.
+    * to the pure-JVM decoders, JPEG/PNG to the JDK ImageIO decoder;
+    * everything else falls through to the stub.
     *
-    * ??? STUB (fallback only) ??? Compressed formats (JPEG/PNG/MP4)
-    * would decode here; this container ships no codecs, so those derive
-    * a deterministic 8-dim fake feature from the payload's md5 — keeping
-    * the distributed plumbing (partition-level batching, fixed-size
-    * output schema, skew-neutral repartition) real and testable.
+    * ??? STUB (fallback only) ??? Video (MP4) would decode here; the
+    * JDK ships no video codec, so those derive a deterministic 8-dim
+    * fake feature from the payload's md5 — keeping the distributed
+    * plumbing (partition-level batching, fixed-size output schema,
+    * skew-neutral repartition) real and testable.
     */
   def featurize(
       df: DataFrame,
@@ -217,6 +306,7 @@ object Multimodal {
         batch.map { case (id, payload) =>
           val feature = decodeBmpFeatures(payload)
             .orElse(decodeWavFeatures(payload))
+            .orElse(decodeImageFeatures(payload))
             .getOrElse(decodeStub(md, payload))
           MediaFeature(id, feature)
         }

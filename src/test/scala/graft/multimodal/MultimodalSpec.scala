@@ -53,6 +53,45 @@ class MultimodalSpec extends SparkSpec {
     b
   }
 
+  /** Real JPEG/PNG bytes, encoded by the same stock-JDK ImageIO the
+    * decoder uses — no external fixture files or codecs needed.
+    */
+  private def makeImage(fmt: String, w: Int, h: Int)(
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixel(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("PNG decode (lossless) matches the equivalent BMP feature exactly") {
+    val pattern = (x: Int, _: Int) =>
+      if (x < 2) (0, 0, 0) else (255, 255, 255)
+    val png = Multimodal.decodeImageFeatures(makeImage("png", 4, 2)(pattern))
+    assert(png.isDefined, "PNG must take the real ImageIO path")
+    val bmp = Multimodal.decodeBmpFeatures(makeBmp(4, 2)(pattern)).get
+    png.get.zip(bmp).zipWithIndex.foreach { case ((p, b), i) =>
+      assert(math.abs(p - b) < 1e-6f, s"feature $i: png $p vs bmp $b")
+    }
+  }
+
+  test("JPEG decode: real dimensions and near-exact stats on uniform gray") {
+    // Uniform mid-gray: JPEG is lossy but DC-only content survives
+    // almost exactly; the mean must land within a quantization step.
+    val jpg = makeImage("jpg", 16, 8)((_, _) => (128, 128, 128))
+    val f = Multimodal.decodeImageFeatures(jpg).get
+    assert(math.abs(f(0) - 128 / 255.0f) < 0.02f, s"mean ${f(0)}")
+    assert(f(1) < 0.02f, s"std ${f(1)}")
+    assert(f(6) == 2.0f, s"aspect ${f(6)}")
+    assert(f(7) == 1.0f, "image-family marker")
+  }
+
   test("BMP decode: exact grayscale stats and quadrant downsample") {
     // 4x2, left half black, right half white.
     val bmp = makeBmp(4, 2)((x, _) =>
@@ -84,7 +123,9 @@ class MultimodalSpec extends SparkSpec {
     val rows = Seq(
       (1L, makeBmp(6, 3)((_, _) => (10, 20, 30))),
       (2L, makeWav(16000, 2, new Array[Short](16000 * 2))), // 1 s stereo
-      (3L, "not media".getBytes))
+      (3L, "not media".getBytes),
+      (4L, makeImage("png", 5, 7)((_, _) => (1, 2, 3))),
+      (5L, makeImage("jpg", 9, 4)((_, _) => (200, 100, 50))))
       .toDF("id", "payload")
     val info = Multimodal.mediaInfo(rows, "payload", "id")
       .collect().map(i => i.id -> i).toMap
@@ -93,14 +134,24 @@ class MultimodalSpec extends SparkSpec {
     assert(info(2L).kind == "wav" && info(2L).sample_rate == 16000 &&
       info(2L).channels == 2 && math.abs(info(2L).duration_s - 1.0) < 1e-9)
     assert(info(3L).kind == "unknown")
+    assert(info(4L).kind == "png" && info(4L).width == 5 &&
+      info(4L).height == 7)
+    assert(info(5L).kind == "jpeg" && info(5L).width == 9 &&
+      info(5L).height == 4)
   }
 
   test("featurize routes real decoders and falls back to the stub") {
     import spark.implicits._
+    // ftyp box at offset 4 = the MP4 magic; no JDK video codec, so this
+    // is the one payload class that must still hit the stub.
+    val mp4ish = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes ++
+      new Array[Byte](12)
     val rows = Seq(
       (1L, makeBmp(4, 4)((_, _) => (255, 255, 255))),
       (2L, makeWav(8000, 1, new Array[Short](800))),
-      (3L, Array[Byte](1, 2, 3, 4)))
+      (3L, Array[Byte](1, 2, 3, 4)),
+      (4L, makeImage("png", 4, 4)((_, _) => (255, 255, 255))),
+      (5L, mp4ish))
       .toDF("id", "payload")
     val feats = Multimodal.featurize(rows, "payload", "id")
       .collect().map(f => f.id -> f.feature).toMap
@@ -110,6 +161,10 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L)(7) == 2.0f, s"wav feature ${feats(2L).toSeq}")
     assert(feats(3L).length == 8 && feats(3L)(7) != 1.0f &&
       feats(3L)(7) != 2.0f, "unknown payload must take the stub path")
+    assert(feats(4L)(7) == 1.0f && feats(4L)(0) == 1.0f,
+      s"white PNG must take the real ImageIO path: ${feats(4L).toSeq}")
+    assert(feats(5L)(7) != 1.0f && feats(5L)(7) != 2.0f,
+      "MP4 must take the stub path (no JDK video codec)")
     // Stub is deterministic.
     val again = Multimodal.featurize(rows, "payload", "id")
       .collect().map(f => f.id -> f.feature).toMap
