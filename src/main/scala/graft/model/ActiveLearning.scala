@@ -1,0 +1,132 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.DedupeConfig
+import graft.similarity.Comparators
+
+/** Closed-loop active learning over candidate pairs (ref: the console
+  * labeling loop at pgdedupe/run.py:161-173 — dedupe surfaces the pair
+  * the model is LEAST certain about, a human answers y/n/unsure, and
+  * the model refits; `finish` ends the session). The Spark surface
+  * replaces the console with a programmatic label oracle (ground truth
+  * in tests, a labeling UI/service in production) and makes the loop's
+  * stopping rule explicit: a label budget, a round cap, pool
+  * exhaustion, or a model-definition-hash FIXPOINT (a refit after the
+  * newest batch left the model bit-identical — more labels from this
+  * pool teach it nothing).
+  *
+  * Plan economy — per round the cluster does ONE linear scan:
+  * comparator features over the candidate pool are computed once and
+  * cached; each round re-scores that cached frame with the new weights
+  * as a literal-only codegen'd projection (no shuffle — the weights
+  * travel in the plan), and takes the most-uncertain batch via
+  * orderBy+limit = TakeOrdered (per-partition top-n, driver merge).
+  * The IRLS refit itself is driver-side over the labeled rows, which
+  * are human-labeled and therefore ≤ budget ≈ hundreds (same cap
+  * argument as Training.train); they are kept on the driver and
+  * re-created as a LocalRelation per round so the training lineage
+  * never grows with rounds.
+  */
+object ActiveLearning {
+
+  /** One train→sample→label round: cumulative label count and the
+    * fitted model's definition hash after training on them.
+    */
+  final case class RoundLog(round: Int, totalLabels: Int, modelHash: String)
+
+  final case class Result(
+      model: LogisticModel,
+      labeled: DataFrame,
+      rounds: Seq[RoundLog],
+      stoppedBy: String) {
+    def totalLabels: Int = rounds.lastOption.map(_.totalLabels).getOrElse(0)
+  }
+
+  /** Run the loop.
+    *
+    * @param candidates pair pool: `l_id`/`r_id` plus `l_<field>` /
+    *   `r_<field>` payload columns for every cfg field (the blocked
+    *   candidate pairs a real session scores — extra columns pass
+    *   through to the oracle untouched).
+    * @param labelOracle the simulated labeler: receives a batch of
+    *   candidate rows, must return it with a `label` column
+    *   (1.0 match / 0.0 distinct). Rows it drops are treated as
+    *   "unsure" and never re-surfaced.
+    * @param seed initial labeled pairs (same columns as candidates plus
+    *   `label`); needs at least one of each class for the first fit,
+    *   like the reference's seeded console session.
+    */
+  def run(
+      cfg: DedupeConfig,
+      candidates: DataFrame,
+      labelOracle: DataFrame => DataFrame,
+      seed: DataFrame,
+      batchSize: Int = 10,
+      labelBudget: Int = 100,
+      maxRounds: Int = 50): Result = {
+    require(batchSize > 0, s"batchSize $batchSize")
+    require(labelBudget > 0, s"labelBudget $labelBudget")
+    require(maxRounds > 0, s"maxRounds $maxRounds")
+    val spark = candidates.sparkSession
+
+    val keep = Seq("l_id", "r_id") ++
+      cfg.columns.map(c => s"l_$c") ++ cfg.columns.map(c => s"r_$c")
+    val labeledSchema = StructType(
+      candidates.select(keep.map(col): _*).schema.fields :+
+        StructField("label", DoubleType, nullable = false))
+    def toLabeledRows(df: DataFrame): Array[Row] =
+      df.select((keep.map(col) :+ col("label").cast("double")): _*).collect()
+
+    // Features over the pool: computed once, scored per round with
+    // literal weights. Released before return.
+    val feats = Comparators.withFeatures(cfg, candidates)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labeledRows = toLabeledRows(seed).toVector
+      require(labeledRows.nonEmpty, "seed must contain labeled pairs")
+      var rounds = Vector.empty[RoundLog]
+      var prevHash: Option[String] = None
+      var model: LogisticModel = null
+      var stoppedBy: Option[String] = None
+      var round = 0
+      while (stoppedBy.isEmpty) {
+        round += 1
+        val labeledDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(labeledRows, 1), labeledSchema)
+        model = Training.train(cfg, labeledDf)
+        val hash = Settings.modelHash(cfg, model)
+        rounds :+= RoundLog(round, labeledRows.length, hash)
+        if (prevHash.contains(hash)) stoppedBy = Some("fixpoint")
+        else if (labeledRows.length >= labelBudget) stoppedBy = Some("budget")
+        else if (round >= maxRounds) stoppedBy = Some("rounds")
+        else {
+          prevHash = Some(hash)
+          // Exclude already-labeled pairs by id: the labeled set is
+          // driver-resident and small, so an isin literal list keeps
+          // the exclusion inside codegen (no extra join).
+          val seen = labeledRows
+            .map(r => s"${r.get(0)}|${r.get(1)}")
+          val scored = feats
+            .where(!concat_ws("|", col("l_id"), col("r_id"))
+              .isin(seen: _*))
+            .withColumn("score", model.scoreColumnNamed)
+          val want = math.min(batchSize, labelBudget - labeledRows.length)
+          val batch = labelOracle(
+            Training.uncertainPairs(scored, want)
+              .drop("uncertainty", "score")
+              .drop(Comparators.featureNames(cfg): _*))
+          val fresh = toLabeledRows(batch)
+          if (fresh.isEmpty) stoppedBy = Some("pool-exhausted")
+          else labeledRows ++= fresh
+        }
+      }
+      val labeledDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labeledRows, 1), labeledSchema)
+      Result(model, labeledDf, rounds, stoppedBy.get)
+    } finally feats.unpersist(false)
+  }
+}
