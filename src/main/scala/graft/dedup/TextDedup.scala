@@ -189,8 +189,15 @@ object TextDedup {
         }
       }
     }
-    docs.select(col(idCol), f(col(textCol)).as("sig"))
-      .where(col("sig").isNotNull)
+    // Null-drop via the cheap INPUT-side precondition (null text / fewer
+    // than k tokens), not `isNotNull` on the UDF output: Catalyst pushes
+    // an output-side filter below the projection by substituting the
+    // alias, evaluating the UDF twice per row (seen in the optimized
+    // plan: `Filter isnotnull(UDF(text))` under `Project [UDF(text)]`).
+    docs
+      .where(col(textCol).isNotNull &&
+        size(graft.text.TextAnalysis.tokens(col(textCol))) >= shingleK)
+      .select(col(idCol), f(col(textCol)).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
@@ -309,8 +316,13 @@ object TextDedup {
         }
       }
     }
-    docs.select(col(idCol), f(col(textCol)).as("simhash"))
-      .where(col("simhash").isNotNull)
+    // Input-side precondition instead of isNotNull on the UDF output —
+    // same alias-substitution double-eval as minHashSignature (see note
+    // there). Null/whitespace-only text is exactly the empty-token case.
+    docs
+      .where(col(textCol).isNotNull &&
+        size(graft.text.TextAnalysis.tokens(col(textCol))) >= 1)
+      .select(col(idCol), f(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup candidates within Hamming distance `maxHamming`.
