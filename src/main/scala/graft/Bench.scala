@@ -57,6 +57,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration filter (comma-separated name prefixes); the
+    // driver never sets it, so the published protocol is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val qs = SparkEntry.queries
     // Untimed warmup: JIT + codegen + parquet-footer paths, so the first
     // timed query doesn't absorb session startup (~3 s of noise).
@@ -64,7 +68,9 @@ object Bench {
       .groupBy("r_name").count().count()
     var phases = Map.empty[String, Double]
     var notes = Map.empty[String, String]
-    val results = headline.filter(qs.contains).map { name =>
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.exists(n.startsWith)))
+      .map { name =>
       val samples = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val ok =
