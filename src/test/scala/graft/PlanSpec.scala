@@ -64,6 +64,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fused fingerprint/signature computation plans no aggregation " +
+      "shuffle and no duplicated UDF eval") {
+    // minhash signatures (q34) and simhash fingerprints are pure
+    // per-document functions fused into one primitive-loop UDF per row:
+    // the plan up to the signature must contain NO Exchange (the old
+    // explode + groupBy shape paid a row-blowup plus a partial-agg
+    // shuffle), and the UDF must not appear in a Filter condition —
+    // Catalyst substitutes an isNotNull(outputAlias) filter through the
+    // projection, evaluating the UDF twice per row (the round-11 trap;
+    // the null-drop is an input-side precondition instead).
+    val sig = graft.dedup.TextDedup.minHashSignature(
+      graft.Tables.load(spark, sf0001, "documents"),
+      "text", "doc_id", shingleK = 1, numHashes = 4)
+    sig.queryExecution.toRdd.count()
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"fused minhash signature plans a shuffle:\n$p")
+    assert(!"""Filter [^\n]*UDF""".r.findFirstIn(p).isDefined,
+      s"UDF evaluated inside a Filter (double-eval):\n$p")
+    val fp = graft.dedup.TextDedup.simHash(
+      graft.Tables.load(spark, sf0001, "documents"))
+    fp.queryExecution.toRdd.count()
+    val p2 = fp.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"),
+      s"fused simhash plans a shuffle:\n$p2")
+    assert(!"""Filter [^\n]*UDF""".r.findFirstIn(p2).isDefined,
+      s"UDF evaluated inside a Filter (double-eval):\n$p2")
+  }
+
   test("candidate generation is equi-join bucketed — never cartesian") {
     // The dedup/ANN family's scale story is bucketed equi-joins; a
     // CartesianProduct appearing in any of these means a join key was
