@@ -339,26 +339,29 @@ object TextDedup {
     val bits = 60
     val chunks = math.min(maxHamming + 1, bits)
     val bounds = (0 to chunks).map(c => c * bits / chunks)
-    // Persisted: consumed four times (chunk join both sides + the two
-    // fingerprint re-attachments) — otherwise the 60-bit aggregation
-    // upstream runs four times. Released by sealResult before return.
+    // Persisted: the chunk self-join consumes this twice — otherwise the
+    // fingerprint scan runs twice. Released by sealResult before return.
     val fp = fingerprints.persist(Disk)
-    val banded = fp.select(col(idCol),
+    // The full fingerprint RIDES THROUGH the chunk join (8 fixed bytes
+    // per side) instead of being re-attached by two extra join shuffles
+    // afterwards — the opposite call from the embedding LSH path, whose
+    // wide vectors must NOT travel through the bucket join. ha/hb are
+    // functions of the ids, so distinct over (a_id, b_id, ha, hb) has
+    // the cardinality of (a_id, b_id).
+    val banded = fp.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
         val lo = bounds(c)
         val mask = (1L << (bounds(c + 1) - lo)) - 1L
         shiftright(col("simhash"), lo).bitwiseAND(mask)
       }: _*)).as(Seq("chunk", "ckey")))
-    val l = banded.select(col("chunk"), col("ckey"), col(idCol).as("a_id"))
-    val r = banded.select(col("chunk"), col("ckey"), col(idCol).as("b_id"))
-    val cand = l.join(r, Seq("chunk", "ckey"))
-      .where(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
-    val fa = fp.select(col(idCol).as("a_id"),
-      col("simhash").as("ha"))
-    val fb = fp.select(col(idCol).as("b_id"),
-      col("simhash").as("hb"))
+    val l = banded.select(col("chunk"), col("ckey"),
+      col(idCol).as("a_id"), col("simhash").as("ha"))
+    val r = banded.select(col("chunk"), col("ckey"),
+      col(idCol).as("b_id"), col("simhash").as("hb"))
     sealResult(
-      cand.join(fa, "a_id").join(fb, "b_id")
+      l.join(r, Seq("chunk", "ckey"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "ha", "hb").distinct()
         .withColumn("hamming",
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .where(col("hamming") <= maxHamming)
