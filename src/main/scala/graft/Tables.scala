@@ -45,6 +45,67 @@ object Tables {
   def sinkCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC ingest (S3 alternate columnar format — same bulk-load surface as
+    * the reference's COPY, pgdedupe/run.py:234-245, but in the other
+    * columnar format Spark ships natively). Explicit schema for the same
+    * no-inference-at-scale reason as [[loadCsv]]; ORC is self-describing,
+    * so the schema acts as a read-time contract (mismatch fails loudly
+    * instead of silently casting).
+    */
+  def loadOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink (S4 alternate): columnar, compressed, type-lossless —
+    * unlike CSV this round-trips timestamps and doubles bit-exactly by
+    * construction. Partitioning is the caller's lineage.
+    */
+  def sinkOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** JSON-lines ingest (S3 alternate row format — the interchange format
+    * an LLM-data pipeline actually receives documents in). Explicit
+    * schema is REQUIRED: inference reads the data twice and types each
+    * run by sampling — never acceptable at 100 TB, and silently wrong on
+    * sparse fields.
+    */
+  def loadJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink (S4 alternate): one JSON object per line, splittable
+    * downstream. Doubles serialize via shortest round-trip decimal, so
+    * numeric fidelity survives the text hop (exercised by the q27 oracle
+    * hash).
+    */
+  def sinkJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Bucketed parquet sink (S4 scale path — pre-shuffled storage for
+    * co-located joins). Hash-partitions rows into `numBuckets` buckets on
+    * `bucketCol`, each bucket sorted on `sortCol`, and registers the
+    * result in the session catalog (bucket metadata lives there; `path`
+    * keeps the bytes external). Two tables bucketed the same way join
+    * with ZERO Exchange — the shuffle is paid ONCE at write time and
+    * amortized over every subsequent join, the difference between an
+    * every-query 100 TB shuffle and none (gated in BucketedJoinSpec).
+    */
+  def sinkBucketed(df: DataFrame, table: String, path: String,
+      numBuckets: Int, bucketCol: String, sortCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(sortCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Catalog read of a bucketed table — the only route that carries the
+    * bucket spec into planning (a bare `spark.read.parquet(path)` of the
+    * same files would lose `HashPartitioning` and re-shuffle).
+    */
+  def loadTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** JDBC partitioned ingest (S1 alternate mapping — the reference reads
     * its entries table straight from a Postgres connection,
     * pgdedupe/run.py:138-144). Partitioning is REQUIRED, not optional: a

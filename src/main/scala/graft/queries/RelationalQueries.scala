@@ -312,5 +312,63 @@ object RelationalQueries {
         Tables.sinkCsv(src, path)
         Tables.loadCsv(s, path, src.schema)
       },
-      Some("SELECT * FROM customer")))
+      Some("SELECT * FROM customer")),
+
+    // S3/S4 alternate columnar format — ORC sink + ingest round-trip.
+    // orders carries a timestamp and a double, the two types CSV can
+    // mangle; ORC must round-trip both bit-exactly, and the oracle runs
+    // against the ORIGINAL parquet so any fidelity loss breaks the hash.
+    QueryDef(
+      "q26_orc_roundtrip",
+      (s, dir) => {
+        val src = Tables.load(s, dir, "orders")
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_orc_demo/orders"
+        Tables.sinkOrc(src, path)
+        Tables.loadOrc(s, path, src.schema)
+      },
+      Some("SELECT * FROM orders")),
+
+    // S3/S4 alternate row format — JSON-lines sink + ingest round-trip
+    // (the interchange format document corpora arrive in). part mixes
+    // int/bigint/double/string; doubles cross the text hop via shortest
+    // round-trip decimal, so the oracle hash against the original
+    // parquet proves numeric fidelity end to end.
+    QueryDef(
+      "q27_json_roundtrip",
+      (s, dir) => {
+        val src = Tables.load(s, dir, "part")
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_json_demo/part"
+        Tables.sinkJson(src, path)
+        Tables.loadJson(s, path, src.schema)
+      },
+      Some("SELECT * FROM part")),
+
+    // S4/J-scale — bucketed sink + co-located join: both sides bucketed
+    // on the join key at write time, so the join itself needs no
+    // Exchange (the 100 TB pattern: pay the shuffle once in storage,
+    // not per query — zero-Exchange property gated in BucketedJoinSpec;
+    // this entry proves the bucketed write/catalog-read path yields the
+    // same answer as the oracle's plain join).
+    QueryDef(
+      "q28_bucketed_join",
+      (s, dir) => {
+        val wh = System.getProperty("java.io.tmpdir") +
+          "/graft_bucketed_demo"
+        Tables.sinkBucketed(Tables.load(s, dir, "customer"),
+          "customer_bkt", s"$wh/customer_bkt", 8, "c_custkey", "c_custkey")
+        Tables.sinkBucketed(Tables.load(s, dir, "orders"),
+          "orders_bkt", s"$wh/orders_bkt", 8, "o_custkey", "o_custkey")
+        Tables.loadTable(s, "customer_bkt")
+          .join(Tables.loadTable(s, "orders_bkt"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("o_totalprice").as("sum_price"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+        sum(o_totalprice) AS sum_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1""")))
 }
