@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", graft.functions.GraftExtensions.CONF)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.cosineSim
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>) — harness extension for training-data pipelines.
   *
   * Two paths:
   *  - brute-force cosine top-k (the exactness baseline): a join + window,
-  *    O(Q·N) dot products via the fused primitive-loop `cosineUdf`
-  *    (bit-identical to the `cosine` expression form; the zip_with /
-  *    aggregate HOFs are CodegenFallback, so the UDF is strictly
+  *    O(Q·N) dot products via the native codegen'd `cosine_sim`
+  *    expression (bit-identical to the `cosine` HOF form and the legacy
+  *    `cosineUdf`; the zip_with / aggregate HOFs are CodegenFallback and
+  *    the UDF boxes both arrays per row, so the expression is strictly
   *    faster). Correct at any scale, quadratic cost — the oracle.
   *  - LSH-bucketed (random-hyperplane signatures): dot products only
   *    within matching sign-buckets. The hyperplanes are deterministic
@@ -33,13 +36,14 @@ object Knn {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Primitive-loop cosine over two float vectors — the ANN hot loop.
-    * Summation is ascending-index like the Column-expression `cosine`,
-    * so the doubles (and therefore oracle hashes) are bit-identical; but
-    * the expression form's zip_with + aggregate HOFs are CodegenFallback
-    * and allocate an intermediate array per row, which dominates the
-    * candidate-verify step once candidates number in the 100k+. One
-    * fused loop, no allocation.
+  /** Primitive-loop cosine over two float vectors. SUPERSEDED in the hot
+    * paths by the native codegen'd [[graft.functions.CosineSimilarity]]
+    * (`cosineSim`): the UDF still deserializes both sides into
+    * `Seq[Float]` per row and breaks whole-stage codegen at the call,
+    * which the expression avoids by reading `ArrayData` in place inside
+    * the generated loop. Retained as the independent reference
+    * implementation for the three-way bit-equality gate in
+    * FunctionsSpec (HOF `cosine` ≡ `cosineUdf` ≡ `cosine_sim`).
     */
   val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Float], b: Seq[Float]) =>
@@ -70,7 +74,7 @@ object Knn {
       col(vecCol).as("c_vec"))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineUdf(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -283,7 +287,7 @@ object Knn {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     withVecs
-      .withColumn("cosine", cosineUdf(col("query_vec"), col("neighbor_vec")))
+      .withColumn("cosine", cosineSim(col("query_vec"), col("neighbor_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -345,7 +349,7 @@ object Knn {
         "a_id")
       .join(vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb")),
         "b_id")
-      .withColumn("cosine", cosineUdf(col("va"), col("vb")))
+      .withColumn("cosine", cosineSim(col("va"), col("vb")))
       .where(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
@@ -396,7 +400,7 @@ object Knn {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probed.join(assigned, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineUdf(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineSim(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")

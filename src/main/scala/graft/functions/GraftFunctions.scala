@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registers graft's native Catalyst expressions as SQL functions via the
+  * public `SparkSessionExtensions` mechanism. Every graft entry point
+  * builds its session with `spark.sql.extensions=graft.functions
+  * .GraftExtensions` (see [[GraftExtensions.CONF]]), so `cosine_sim` is
+  * resolvable both from `spark.sql("...")` and from the Column API via
+  * [[GraftFunctions.cosineSim]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  /** Value for the `spark.sql.extensions` session config. */
+  val CONF: String = classOf[GraftExtensions].getName
+
+  private val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    descriptions.foreach(ext.injectFunction)
+}
+
+/** Column-API entry points for the injected functions. */
+object GraftFunctions {
+
+  /** Codegen'd cosine similarity over two `array<float>` columns (see
+    * [[CosineSimilarity]] for the arithmetic contract). Resolves through
+    * the session's function registry, so the session must carry
+    * [[GraftExtensions]] — all graft-built sessions do.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+}

@@ -288,7 +288,8 @@ object TextAnnQueries {
           col("embedding").as("vb"))
         val pairs = l.crossJoin(r)
           .where(col("a_id") < col("b_id"))
-          .where(Knn.cosine(col("va"), col("vb")) >= 0.44)
+          .where(graft.functions.GraftFunctions
+            .cosineSim(col("va"), col("vb")) >= 0.44)
           .select("a_id", "b_id")
         graft.dedup.TextDedup.keepCanonical(
             pairs, emb.select("vec_id"), "vec_id")
