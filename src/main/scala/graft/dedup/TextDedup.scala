@@ -206,22 +206,33 @@ object TextDedup {
     * band join is the only shuffle that matters and it is an equi-join on
     * a high-cardinality key, so it scales linearly with data.
     */
-  def minHashCandidates(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", shingleK: Int = 3, numHashes: Int = 12,
-      bands: Int = 4): DataFrame = {
+  /** `(idCol, band, bucket)` rows for a signature frame: each band's
+    * slice of the signature md5'd into a bucket key. Shared by the batch
+    * candidate join below and the streaming candidate op
+    * (`IncrementalDedup.minhashCandidateStream`) — one definition, so
+    * the two paths bucket identically by construction.
+    */
+  def bandBuckets(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sigs = minHashSignature(docs, textCol, idCol, shingleK, numHashes)
-    // Persisted: the self-join consumes this frontier twice, and Spark
-    // does not share common subplans across join inputs — without the
-    // persist the whole shingle→md5→signature pipeline runs twice.
-    // Released by sealResult before return.
-    val banded = sigs.select(col(idCol),
+    sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
+  }
+
+  def minHashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleK: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val sigs = minHashSignature(docs, textCol, idCol, shingleK, numHashes)
+    // Persisted: the self-join consumes this frontier twice, and Spark
+    // does not share common subplans across join inputs — without the
+    // persist the whole shingle→md5→signature pipeline runs twice.
+    // Released by sealResult before return.
+    val banded = bandBuckets(sigs, idCol, numHashes, bands)
       .persist(Disk)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))

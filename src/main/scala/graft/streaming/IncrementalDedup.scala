@@ -61,6 +61,62 @@ object IncrementalDedup {
   final case class Keyed(block_key: String, id: Long)
   final case class Assigned(block_key: String, id: Long, entity_id: Long)
 
+  final case class Banded(band: Int, bucket: String, doc_id: Long)
+  final case class CandidatePair(a_id: Long, b_id: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates — the incremental analog
+    * of the batch `TextDedup.minHashCandidates` (q35): as documents
+    * arrive, signature + band them with the SAME fused UDF and band
+    * expression (`TextDedup.bandBuckets`, one shared definition), then
+    * key state by `(band, bucket)` and emit each new document's id
+    * paired with every id already seen in that bucket (plus same-batch
+    * arrivals). A pair is emitted when its LATER document arrives, so
+    * each (band-)collision emits exactly once; collisions in several
+    * bands duplicate a pair exactly as the batch path does before its
+    * `distinct()` — downstream verification dedups either way.
+    *
+    * Per-bucket state is CAPPED at `maxBucketState` ids (the streaming
+    * twin of blocking's `max_block_size`): a pathological bucket — every
+    * boilerplate-identical document hashes to one key — would otherwise
+    * grow state and per-arrival output without bound. Arrivals into a
+    * full bucket still pair against the retained ids but are NOT added
+    * to state, so per-arrival work stays ≤ cap and overflow-to-overflow
+    * candidates are knowingly dropped (bounded recall, loud in scaladoc,
+    * gated in IncrementalDedupSpec) — the same trade the batch blocker
+    * makes by dropping over-cap blocks.
+    */
+  def minhashCandidateStream(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxBucketState: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.dedup.TextDedup.minHashSignature(
+      docs, textCol, idCol, shingleK, numHashes)
+    graft.dedup.TextDedup.bandBuckets(sigs, idCol, numHashes, bands)
+      .select(col("band"), col("bucket"), col(idCol).cast("long").as("doc_id"))
+      .as[Banded]
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (_: (Int, String), rows: Iterator[Banded],
+            state: GroupState[Seq[Long]]) => {
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val arrivals = rows.map(_.doc_id).toArray.distinct.sorted
+          val out = Seq.newBuilder[CandidatePair]
+          var retained = seen
+          arrivals.foreach { id =>
+            retained.foreach { s =>
+              if (s != id)
+                out += CandidatePair(math.min(s, id), math.max(s, id))
+            }
+            if (retained.length < maxBucketState) retained :+= id
+          }
+          if (retained.length > seen.length) state.update(retained)
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Stateful incremental entity assignment: per block key, the first
     * record's id becomes the entity id for all subsequent records with
     * that key. `mapGroupsWithState`-based custom state (SURVEY.md §2.8's

@@ -143,4 +143,74 @@ class IncrementalDedupSpec extends SparkSpec {
         s"assignments were $rows")
     } finally q.stop()
   }
+
+  test("minhashCandidateStream matches the batch q35 candidate set " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // Real document corpus, arriving in three chunks: the streamed
+    // candidate set (distinct'd, as the batch path distincts its band
+    // join) must equal TextDedup.minHashCandidates on the same rows.
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = IncrementalDedup.minhashCandidateStream(
+      input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("mh_cand_out")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("mh_cand_out")
+        .select("a_id", "b_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.dedup.TextDedup.minHashCandidates(
+          graft.Tables.load(spark, sf0001, "documents")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "batch candidate set unexpectedly empty")
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs != batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(5)} " +
+          s"extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  test("minhashCandidateStream caps per-bucket state: hot-bucket output " +
+      "stays linear per arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // 40 byte-identical docs -> every band collides in one bucket. With
+    // cap 10, the first 10 arrivals are retained; each of the 30
+    // overflow arrivals pairs against exactly those 10 — per-arrival
+    // work bounded by the cap, not by bucket population. Uncapped the
+    // band join would emit C(40,2)=780 distinct pairs; capped output is
+    // the 45 retained-retained pairs + 30x10 overflow-retained.
+    val text = "alpha beta gamma delta epsilon zeta"
+    val input = MemoryStream[(Long, String)]
+    val out = IncrementalDedup.minhashCandidateStream(
+      input.toDF().toDF("doc_id", "text"), maxBucketState = 10)
+    val q = out.writeStream.format("memory").queryName("mh_cap_out")
+      .outputMode("append").start()
+    try {
+      (0 until 40).grouped(20).foreach { chunk =>
+        input.addData(chunk.map(i => (i.toLong, text)))
+        q.processAllAvailable()
+      }
+      val pairs = spark.table("mh_cap_out")
+        .select("a_id", "b_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        a <- 0 until 10; b <- (a + 1) until 40
+      } yield (a.toLong, b.toLong)).toSet
+      assert(pairs == expected,
+        s"capped hot-bucket candidates: got ${pairs.size}, " +
+          s"expected ${expected.size}")
+    } finally q.stop()
+  }
 }
