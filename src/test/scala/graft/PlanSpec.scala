@@ -107,6 +107,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ORC and JSON sources push filters / prune columns like parquet") {
+    // The alternate formats must not silently lose the scan-level
+    // optimizations the parquet path is gated on: ORC supports both
+    // predicate pushdown and column pruning; JSON prunes columns (its
+    // reader parses only the requested fields).
+    val orcDir = java.nio.file.Files
+      .createTempDirectory("graft_orc_plan").toString + "/orders"
+    val src = Tables.load(spark, sf0001, "orders")
+    Tables.sinkOrc(src, orcDir)
+    val orc = Tables.loadOrc(spark, orcDir, src.schema)
+      .where(org.apache.spark.sql.functions.col("o_totalprice") > 1000.0)
+      .select("o_orderkey", "o_totalprice")
+    orc.queryExecution.toRdd.count()
+    val p = orc.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") &&
+      !p.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"ORC scan lost filter pushdown:\n$p")
+    assert(!p.contains("o_orderpriority"),
+      s"ORC scan reads unprojected columns (pruning broke):\n$p")
+
+    val jsonDir = java.nio.file.Files
+      .createTempDirectory("graft_json_plan").toString + "/orders"
+    Tables.sinkJson(src, jsonDir)
+    val js = Tables.loadJson(spark, jsonDir, src.schema)
+      .select("o_orderkey")
+    js.queryExecution.toRdd.count()
+    val pj = js.queryExecution.executedPlan.toString
+    assert(pj.contains("o_orderkey") && !pj.contains("o_orderpriority"),
+      s"JSON scan reads unprojected columns:\n$pj")
+  }
+
   test("q44 is the DECLARED brute-force exactness oracle (cartesian)") {
     // Documents intent: the O(Q·N) scoring oracle is the one place a
     // cartesian product is correct. If this starts failing because the

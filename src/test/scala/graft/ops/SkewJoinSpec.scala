@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates the salted skew join: answer parity with the plain join, the
+  * hot key actually spreading across all salt sub-keys (the straggler
+  * becomes saltFactor even tasks), cold keys staying unreplicated, and
+  * determinism across runs.
+  */
+class SkewJoinSpec extends SparkSpec {
+
+  private def skewed() = {
+    import spark.implicits._
+    // 10,000 fact rows, 60% on one hot key; 50-key dim.
+    val fact = (0 until 10000).map { i =>
+      val k = if (i % 10 < 6) 7L else (i % 50).toLong
+      (k, i.toLong)
+    }.toDF("k", "payload")
+    val dim = (0 until 50).map(k => (k.toLong, s"name_$k"))
+      .toDF("k", "name")
+    (fact, dim)
+  }
+
+  test("salted inner join matches the plain join row-for-row") {
+    val (fact, dim) = skewed()
+    val salted = SkewJoin.saltedInner(fact, dim, "k",
+      saltFactor = 8, hotKeyThreshold = 500)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty &&
+      plain.exceptAll(salted).isEmpty,
+      "salted join answer diverged from the plain join")
+  }
+
+  test("the hot key spreads across every salt sub-key; cold keys do not") {
+    val (fact, dim) = skewed()
+    val saltFactor = 8
+    // Re-derive the salted fact exactly as saltedInner does, to measure
+    // the spread the join actually sees.
+    val hot = typedlit(Seq(7L))
+    val factSalted = fact.withColumn("_salt",
+      when(array_contains(hot, col("k")),
+        pmod(hash(struct(fact.columns.map(col): _*)), lit(saltFactor)))
+        .otherwise(lit(0)))
+    val spread = factSalted.where(col("k") === 7L)
+      .groupBy("_salt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(spread.keySet == (0 until saltFactor).toSet,
+      s"hot key missing sub-keys: $spread")
+    // 6,000 hot rows over 8 sub-keys: each sub-task within 3x of even.
+    assert(spread.values.forall(n => n > 750 / 3 && n < 750 * 3),
+      s"hot-key spread badly uneven: $spread")
+    // Cold dim rows are not replicated (one salt value), hot dim rows
+    // are replicated saltFactor times.
+    val dimSalted = dim.withColumn("_salt",
+      explode(when(array_contains(hot, col("k")),
+        sequence(lit(0), lit(saltFactor - 1)))
+        .otherwise(array(lit(0)))))
+    val counts = dimSalted.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(7L) === saltFactor.toLong)
+    assert(counts.filter(_._1 != 7L).values.forall(_ == 1L))
+  }
+
+  test("no hot keys means a plain join (no salt column, no replication)") {
+    val (fact, dim) = skewed()
+    val out = SkewJoin.saltedInner(fact, dim, "k",
+      saltFactor = 8, hotKeyThreshold = 100000)
+    assert(!out.columns.contains("_salt"))
+    assert(out.count() === fact.join(dim, "k").count())
+  }
+
+  test("salting is deterministic across runs") {
+    val (fact, dim) = skewed()
+    def run() = SkewJoin.saltedInner(fact, dim, "k",
+      saltFactor = 8, hotKeyThreshold = 500)
+      .orderBy("k", "payload").collect().toSeq
+    assert(run() == run())
+  }
+}
