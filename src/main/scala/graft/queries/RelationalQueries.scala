@@ -370,5 +370,32 @@ object RelationalQueries {
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
         sum(o_totalprice) AS sum_price
         FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1""")),
+
+    // J-scale — salted skew join (SkewJoin.saltedInner): every events
+    // type clears the low hot-key threshold, so the whole join runs
+    // through the salt-spread path (fact rows hashed across 8 sub-keys,
+    // dim rows replicated 8x) and must still produce the plain-join
+    // answer the oracle computes. Deterministic salting makes the hash
+    // comparison exact; sub-key spread itself is gated in SkewJoinSpec.
+    QueryDef(
+      "q29_salted_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select("event_type", "user_id", "value")
+        val dim = ev.select("event_type").distinct()
+          .withColumn("type_weight",
+            length(col("event_type")).cast("double"))
+        graft.ops.SkewJoin.saltedInner(ev, dim, "event_type",
+            saltFactor = 8, hotKeyThreshold = 100)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value") * col("type_weight")).as("weighted_value"))
+      },
+      Some("""SELECT e.event_type, count(*) AS n_events,
+        sum(e.value * d.type_weight) AS weighted_value
+        FROM events e JOIN (SELECT DISTINCT event_type,
+          cast(length(event_type) AS double) AS type_weight FROM events) d
+        ON e.event_type = d.event_type
         GROUP BY 1""")))
 }
