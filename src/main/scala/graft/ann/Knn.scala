@@ -293,6 +293,21 @@ object Knn {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** `(id, table, sig)` hyperplane-signature rows for a vector frame —
+    * one fused-UDF projection + posexplode, PINNED (numPlanes, numTables,
+    * dim). Shared by the batch bucket join below and the streaming
+    * candidate op (`IncrementalDedup.embeddingCandidateStream`), so both
+    * paths bucket identically by construction. Streaming callers must
+    * pin all three parameters: deriving them needs a corpus pre-scan a
+    * stream does not have.
+    */
+  def tableSignatures(vectors: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, numTables: Int, dim: Int): DataFrame = {
+    val sigUdf = signatureUdf(numTables, numPlanes, dim)
+    vectors.select(col(idCol).as("id"),
+      posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+  }
+
   /** All id pairs with cosine ≥ `threshold`, generated through hyperplane
     * buckets instead of a cross join — the scale path for embedding
     * near-dup canonicalization (q48's demo uses brute-force pair
@@ -335,9 +350,7 @@ object Knn {
     graft.pipeline.PhaseLog.note("lsh_params.pairs",
       s"planes=$np (${if (numPlanes > 0) "pinned" else "derived"}), " +
         s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
-    val sigUdf = signatureUdf(nt, np, dim)
-    val sigs = vectors.select(col(idCol).as("id"),
-      posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+    val sigs = tableSignatures(vectors, idCol, vecCol, np, nt, dim)
     val cand = sigs.select(col("table"), col("sig"), col("id").as("a_id"))
       .join(sigs.select(col("table"), col("sig"), col("id").as("b_id")),
         Seq("table", "sig"))

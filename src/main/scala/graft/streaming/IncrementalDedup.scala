@@ -89,19 +89,55 @@ object IncrementalDedup {
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
       maxBucketState: Int = 1000)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
     val sigs = graft.dedup.TextDedup.minHashSignature(
       docs, textCol, idCol, shingleK, numHashes)
-    graft.dedup.TextDedup.bandBuckets(sigs, idCol, numHashes, bands)
-      .select(col("band"), col("bucket"), col(idCol).cast("long").as("doc_id"))
-      .as[Banded]
-      .groupByKey(b => (b.band, b.bucket))
+    pairStream(
+      graft.dedup.TextDedup.bandBuckets(sigs, idCol, numHashes, bands)
+        .select(concat_ws("|", col("band"), col("bucket")).as("bucket_key"),
+          col(idCol).cast("long").as("doc_id")),
+      maxBucketState)
+  }
+
+  /** Streaming embedding near-dup candidates — the hyperplane-bucket
+    * analog of `minhashCandidateStream` and the incremental analog of
+    * the batch `Knn.lshSimilarPairs` candidate join (q52's scale path):
+    * arriving vectors are signatured by the SAME fused plane UDF
+    * (`Knn.tableSignatures`, one shared definition), then paired against
+    * per-(table, signature) keyed state under the same bucket cap.
+    * Parameters are PINNED (`numPlanes`/`numTables`/`dim`): deriving
+    * them needs a corpus pre-scan a stream does not have. The stream
+    * emits CANDIDATES; exact-cosine verification composes downstream as
+    * a stream-static join against the vector store + `cosine_sim ≥ t`
+    * filter — the same verify the batch path runs, demonstrated in
+    * IncrementalDedupSpec.
+    */
+  def embeddingCandidateStream(
+      vectors: DataFrame, numPlanes: Int, numTables: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketState: Int = 1000)(implicit spark: SparkSession): DataFrame =
+    pairStream(
+      graft.ann.Knn.tableSignatures(
+          vectors, idCol, vecCol, numPlanes, numTables, dim)
+        .select(concat_ws("|", col("table"), col("sig")).as("bucket_key"),
+          col("id").cast("long").as("doc_id")),
+      maxBucketState)
+
+  /** Shared bucket-keyed candidate emission: each arriving id pairs with
+    * every id already retained for its bucket key (plus earlier
+    * same-batch arrivals), state capped at `maxBucketState` (see
+    * `minhashCandidateStream`'s scaladoc for the cap semantics).
+    */
+  private def pairStream(keyed: DataFrame, maxBucketState: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    keyed.as[(String, Long)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(
-        (_: (Int, String), rows: Iterator[Banded],
+        (_: String, rows: Iterator[(String, Long)],
             state: GroupState[Seq[Long]]) => {
           val seen = state.getOption.getOrElse(Seq.empty)
-          val arrivals = rows.map(_.doc_id).toArray.distinct.sorted
+          val arrivals = rows.map(_._2).toArray.distinct.sorted
           val out = Seq.newBuilder[CandidatePair]
           var retained = seen
           arrivals.foreach { id =>

@@ -180,6 +180,56 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingCandidateStream + stream-static verify matches batch " +
+      "lshSimilarPairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // Same pinned (planes, tables, dim) on both paths; the stream emits
+    // bucket-collision candidates, then a stream-static join against the
+    // vector store + cosine_sim >= t runs the SAME exact verify the
+    // batch path does — so the verified streamed set must equal the
+    // batch lshSimilarPairs answer exactly.
+    val np = 4; val nt = 8; val thr = 0.44
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val dim = vecs.head._2.length
+    val input = MemoryStream[(Long, Array[Float])]
+    val cands = IncrementalDedup.embeddingCandidateStream(
+      input.toDF().toDF("vec_id", "embedding"), np, nt, dim)
+    val verified = cands
+      .join(emb.select(col("vec_id").as("a_id"),
+        col("embedding").as("va")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("vb")), "b_id")
+      .where(graft.functions.GraftFunctions
+        .cosineSim(col("va"), col("vb")) >= thr)
+      .select("a_id", "b_id")
+    val q = verified.writeStream.format("memory").queryName("emb_cand_out")
+      .outputMode("append").start()
+    try {
+      vecs.grouped(math.max(1, vecs.length / 2 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("emb_cand_out")
+        .select("a_id", "b_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ann.Knn.lshSimilarPairs(emb, thr,
+          numPlanes = np, numTables = nt,
+          knownCount = vecs.length.toLong, knownDim = dim)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "batch similar-pair set unexpectedly empty")
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs != batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(5)} " +
+          s"extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("minhashCandidateStream caps per-bucket state: hot-bucket output " +
       "stays linear per arrival") {
     import spark.implicits._
