@@ -45,8 +45,18 @@ object PredicateLearner {
       }
     }.distinct
 
-  private def values(frame: DataFrame, c: String): DataFrame =
-    frame.select(col(c).as("value"))
+  /** Every field's `(f, value)` rows in ONE exploded pass over `frame` —
+    * the per-field form scanned the source once PER canopy field. Raw
+    * rows (no distinct): callers that need set semantics distinct once
+    * over the union, callers that need multiplicities (value counts)
+    * aggregate directly.
+    */
+  private def taggedValues(frame: DataFrame, fields: Seq[String],
+      colFor: String => org.apache.spark.sql.Column = col): DataFrame =
+    frame.select(explode(array(fields.map(f =>
+        struct(lit(f).as("f"), colFor(f).as("value"))): _*))
+        .as("fv"))
+      .select(col("fv.f").as("f"), col("fv.value").as("value"))
       .where(col("value").isNotNull && col("value") =!= "")
 
   /** One fitted state for every index candidate: a single field-tagged
@@ -74,19 +84,24 @@ object PredicateLearner {
       matchPairs: DataFrame,
       cands: Seq[Predicate]): FittedIndices = {
     import org.apache.spark.storage.StorageLevel
-    def fieldValues(field: String): DataFrame = {
-      val pairValues = values(matchPairs, s"l_$field")
-        .union(values(matchPairs, s"r_$field")).distinct()
-      values(records, field).union(pairValues).distinct()
-    }
     val spec = cands.zipWithIndex.collect {
       case (p: TfIdfCanopy, i) => (p, i)
     }
+    // One corpus scan and ONE distinct regardless of canopy field count
+    // (the distinct is load-bearing: simsTagged's tf counts rows per
+    // (f, value, tok), so duplicate value rows would inflate tf). The
+    // (f, value) set is identical to the old per-field union-of-
+    // distincts, so the sims cache — and therefore the learned
+    // predicates and model hash — cannot move.
     val simsByRatio = spec.map(_._1).groupBy(_.maxDfRatio).map {
       case (ratio, ps) =>
-        val tagged = ps.map(_.field).distinct.map { f =>
-          fieldValues(f).select(lit(f).as("f"), col("value"))
-        }.reduce(_ unionByName _)
+        val fields = ps.map(_.field).distinct
+        val tagged = taggedValues(records, fields)
+          .unionByName(taggedValues(matchPairs, fields,
+            f => col(s"l_$f")))
+          .unionByName(taggedValues(matchPairs, fields,
+            f => col(s"r_$f")))
+          .distinct()
         ratio -> TfIdfCanopy.simsTagged(tagged, ratio)
           .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -112,11 +127,11 @@ object PredicateLearner {
       fi: FittedIndices, matchPairs: DataFrame): Seq[DataFrame] =
     fi.simsByRatio.toSeq.map { case (ratio, sims) =>
       val spec = fi.spec.filter(_._1.maxDfRatio == ratio)
-      val pairVals = spec.map(_._1.field).distinct.map { f =>
-        values(matchPairs, s"l_$f")
-          .union(values(matchPairs, s"r_$f")).distinct()
-          .select(lit(f).as("f"), col("value").as("a_value"))
-      }.reduce(_ unionByName _)
+      val fields = spec.map(_._1.field).distinct
+      val pairVals = taggedValues(matchPairs, fields, f => col(s"l_$f"))
+        .unionByName(taggedValues(matchPairs, fields, f => col(s"r_$f")))
+        .distinct()
+        .select(col("f"), col("value").as("a_value"))
       sims.join(broadcast(pairVals), Seq("f", "a_value"))
         .join(broadcast(candSpec(matchPairs.sparkSession, spec)), "f")
         .where(col("cos") >= col("thr"))
@@ -243,9 +258,9 @@ object PredicateLearner {
       fi: FittedIndices): (Array[Double], Map[Int, Set[String]]) = {
     val idxBranch = fi.simsByRatio.toSeq.map { case (ratio, sims) =>
       val spec = fi.spec.filter(_._1.maxDfRatio == ratio)
-      val vCounts = spec.map(_._1.field).distinct.map { f =>
-        values(records, f).select(lit(f).as("f"), col("value"))
-      }.reduce(_ unionByName _)
+      // One exploded pass for every field's value counts (multiplicities
+      // kept — no distinct — exactly as the per-field unions did).
+      val vCounts = taggedValues(records, spec.map(_._1.field).distinct)
         .groupBy("f", "value").agg(count(lit(1)).as("cnt"))
       sims.join(broadcast(candSpec(records.sparkSession, spec)), "f")
         .where(col("cos") >= col("thr"))
