@@ -46,6 +46,50 @@ object IncrementalDedup {
     dedupStream(spark.readStream.schema(schema).parquet(dir),
       tsCol, keyCols, watermark)
 
+  /** Idempotent keyed parquet sink via `foreachBatch`: each micro-batch
+    * is de-duplicated within itself, anti-joined against the keys already
+    * landed in `outDir`, and only then appended — so redeliveries across
+    * batches (at-least-once sources, query restarts replaying a batch)
+    * never produce duplicate keys in storage. This is the SINK half of
+    * the exactly-once-per-key ingestion contract: `dedupStream` bounds
+    * dedup state by the watermark, this bounds the storage by the key.
+    *
+    * The anti-join reads back only `keyCols` from the landed data —
+    * column pruning at the parquet scan keeps the per-batch cost
+    * proportional to the KEY WIDTH of what's landed, not the payload
+    * width. At 100 TB/day, partition `outDir` by arrival date upstream
+    * (pass a date-derived column in `keyCols` and partitionBy it here)
+    * so the read-back prunes partitions too; for this library surface
+    * the simple single-directory form keeps the contract auditable.
+    *
+    * Returns the started query; callers own `awaitTermination`/`stop`.
+    */
+  def dedupedParquetSink(
+      stream: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.dropDuplicates(keyCols)
+        val landedDir = new java.io.File(outDir)
+        val toWrite =
+          if (!landedDir.exists() || landedDir.listFiles() == null ||
+            landedDir.listFiles().isEmpty) fresh
+          else {
+            val landedKeys = spark.read.parquet(outDir)
+              .select(keyCols.map(col): _*)
+            fresh.join(landedKeys, keyCols, "left_anti")
+          }
+        toWrite.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Tumbling-window counts per event_type with a watermark — the
     * streaming twin of the batch q23_event_windows query.
     */

@@ -21,6 +21,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_scan_filter_project", "q06_rowid", "q25_csv_roundtrip",
+        "q26_orc_roundtrip", "q28_bucketed_join", "q29_salted_join",
         "q30_blocking_map", "q35_minhash_candidates", "q37_simhash_pairs",
         "q44_knn_bruteforce", "q45_knn_lsh", "q52_embedding_neardup_lsh")
     names.foreach { n =>

@@ -180,6 +180,35 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedParquetSink lands each key exactly once across " +
+      "redeliveries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_sink").toString + "/out"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_sink_ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.dedupedParquetSink(
+      input.toDF().toDF("k", "payload"), outDir, ckDir, Seq("k"))
+    try {
+      input.addData((1L, "a"), (2L, "b"), (2L, "b2"))
+      q.processAllAvailable()
+      // Cross-batch redelivery of keys 1 and 2 plus a new key 3: only
+      // key 3 may land.
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((3L, "c"), (1L, "a-again"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(landed.map(_._1).sorted == Seq(1L, 2L, 3L),
+        s"landed keys were ${landed.sortBy(_._1)}")
+      // Within-batch duplicate of key 2 kept exactly one payload.
+      assert(landed.count(_._1 == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("embeddingCandidateStream + stream-static verify matches batch " +
       "lshSimilarPairs") {
     import spark.implicits._
