@@ -269,23 +269,11 @@ object PredicateLearner {
         .join(vCounts, Seq("f", "value"))
         .select(col("cand"), col("key"), col("cnt"))
     }
-    // ONE records scan for every column predicate's keys (the
-    // per-candidate form scanned records once per predicate — ~24 scans
-    // at the default pool — and unioned them): explode the candidate
-    // axis first, then the key arrays. Same (cand, key) multiset, so
-    // the per-key counts, costs, and learned predicate set are
-    // unchanged. Same fusion Blocker.blockingMap already applies on the
-    // APPLY path.
-    val colSpecs = cands.zipWithIndex.collect {
+    val colBranch = cands.zipWithIndex.collect {
       case (p: ColumnPredicate, i) =>
-        struct(lit(i).as("cand"), p.keys(col(p.field)).as("keys"))
+        records.select(lit(i).as("cand"),
+          explode(p.keys(col(p.field))).as("key"), lit(1L).as("cnt"))
     }
-    val colBranch =
-      if (colSpecs.isEmpty) Seq.empty[DataFrame]
-      else Seq(records
-        .select(explode(array(colSpecs: _*)).as("ck"))
-        .select(col("ck.cand").as("cand"),
-          explode(col("ck.keys")).as("key"), lit(1L).as("cnt")))
     val tagged = (colBranch ++ idxBranch).reduce(_ unionByName _)
     val counts = tagged.groupBy("cand", "key").agg(sum("cnt").as("count"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
