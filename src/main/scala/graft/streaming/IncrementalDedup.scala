@@ -105,7 +105,6 @@ object IncrementalDedup {
   final case class Keyed(block_key: String, id: Long)
   final case class Assigned(block_key: String, id: Long, entity_id: Long)
 
-  final case class Banded(band: Int, bucket: String, doc_id: Long)
   final case class CandidatePair(a_id: Long, b_id: Long)
 
   /** Streaming MinHash-LSH near-dup candidates — the incremental analog
