@@ -41,9 +41,14 @@ object SkewJoin {
     require(saltFactor > 1, "saltFactor must be > 1")
     val spark = fact.sparkSession
 
+    // Ordered by count desc (the biggest stragglers matter most), then
+    // key — so a truncation past the cap keeps a deterministic,
+    // maximally useful subset instead of an arbitrary unordered limit()
+    // (same contract as the learner's over-cap collect).
     val hotRows = fact.groupBy(key)
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > hotKeyThreshold)
+      .orderBy(col("cnt").desc, col(key))
       .select(key)
       .limit(maxHotKeys + 1)
       .collect()

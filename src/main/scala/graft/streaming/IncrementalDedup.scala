@@ -81,7 +81,11 @@ object IncrementalDedup {
           if (!landedDir.exists() || landedDir.listFiles() == null ||
             landedDir.listFiles().isEmpty) fresh
           else {
-            val landedKeys = spark.read.parquet(outDir)
+            // Explicit schema (the stream's own): no inference — and an
+            // empty first batch's schema-only output can't fail the
+            // read-back.
+            val landedKeys = spark.read.schema(batch.schema)
+              .parquet(outDir)
               .select(keyCols.map(col): _*)
             fresh.join(landedKeys, keyCols, "left_anti")
           }
