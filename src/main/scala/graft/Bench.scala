@@ -1,19 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: headline queries at SPARK_GRAFT_SF_DIR, one JSON line.
-  * Prints total wall-clock like the reference does (pgdedupe/cli.py:67).
+/** Benchmark main: headline queries at SPARK_GRAFT_SF_DIR. Prints total
+  * wall-clock like the reference does (pgdedupe/cli.py:67).
   *
   * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 5 — single
   * samples on this host swing 2–3× run-to-run with ambient load, so gate
-  * decisions need a median over enough reps to shed outliers). The JSON
-  * line reports the per-query MEDIAN under "queries" (the field the
-  * driver reads), the steady-state MIN under "steady_min" (the
-  * load-robust signal: ambient load inflates medians ~1.6× but rarely
-  * deflates a min), per-query {min,max} under "spread", the flagship
-  * pipeline's per-phase seconds under "phases", and /proc/loadavg at
-  * start/end under notes ("host_load") so a loaded-host run is
-  * attributable from the JSON alone.
+  * decisions need a median over enough reps to shed outliers). Output is
+  * TWO stdout JSON lines, the compact driver contract LAST (the driver
+  * tails ~2000 chars and parses the final line): the contract line
+  * carries the per-query MEDIAN under "queries", the load-robust
+  * "total_steady_min" sum, and "failed" counts; the preceding detail
+  * line carries per-query steady-state MIN ("steady_min" — ambient load
+  * inflates medians ~1.6× but rarely deflates a min), per-query
+  * {min,max} "spread", the flagship pipeline's per-phase seconds
+  * ("phases"), and /proc/loadavg at start/end under notes ("host_load")
+  * so a loaded-host run is attributable from the JSON alone.
   */
 object Bench {
 
@@ -149,7 +151,15 @@ object Bench {
       .map { case (k, v) => k -> jstr(v) })
     val total = measured.map { case (_, good, _, _) => median(good) }.sum
     val totalMin = measured.map { case (_, _, steady, _) => steady.min }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_steady_min":$totalMin%.3f,"reps":$reps,"queries":$qj,"steady_min":$minJ,"spread":$spreadJ,"failed":$failedJ,"phases":$phaseJ,"notes":$notesJ,"sf":"$sfDir"}""")
+    // Two stdout lines, detail first, contract LAST. The driver tails
+    // ~2000 chars of stdout and parses the final JSON line; round 11's
+    // single line outgrew that capture once spread/phases/notes were
+    // added (BENCH_r11 came back `parsed: null`). The detail line keeps
+    // the full diagnostics (per-query steady_min/spread, phase timings,
+    // host_load notes); the final line is the compact driver contract
+    // and stays well under 1 KB.
+    println(f"""{"detail":"bench_diagnostics","steady_min":$minJ,"spread":$spreadJ,"phases":$phaseJ,"notes":$notesJ}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_steady_min":$totalMin%.3f,"reps":$reps,"queries":$qj,"failed":$failedJ,"sf":"$sfDir"}""")
     System.err.println(f"ran in ${(System.nanoTime() - start) / 1e9}%.1f s")
     spark.stop()
   }

@@ -19,10 +19,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * of `x*y`, `x*x`, `y*y` over the common prefix length, then
   * `dot / (sqrt(na) * sqrt(nb))` — bit-identical to both `Knn.cosine`
   * (the Column-expression form) and `Knn.cosineUdf`, so swapping call
-  * sites cannot move a single ULP.
+  * sites cannot move a single ULP — on null-element-free inputs, the
+  * only inputs the contract covers. A NULL ELEMENT yields NULL (checked
+  * in both eval paths): reading the undefined ArrayData slot as 0.0
+  * would silently skew the similarity, and rejecting
+  * `containsNull = true` at analysis time would reject every
+  * parquet-loaded embedding column (parquet arrays carry
+  * containsNull = true even when no element is ever null). When the
+  * schema proves containsNull = false, the generated loop carries no
+  * per-element null branch at all.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elemNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  }
+
+  // Nullable when a null ELEMENT can force a null result, not only when
+  // a whole input can be null.
+  override def nullable: Boolean =
+    super.nullable || elemNullable(left.dataType) ||
+      elemNullable(right.dataType)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isFloatArray(dt: DataType): Boolean = dt match {
@@ -48,6 +67,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var d = 0.0d; var na = 0.0d; var nb = 0.0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       d += xv * yv; na += xv * xv; nb += yv * yv
@@ -65,15 +85,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      // Only emitted when the schema admits null elements (which forces
+      // `nullable`, so `ev.isNull` is a real variable); with
+      // containsNull = false on both sides the loop stays branch-free.
+      val nullElemCheck =
+        if (elemNullable(left.dataType) || elemNullable(right.dataType))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) " +
+            s"{ ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullElemCheck
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -46,6 +46,56 @@ object ActiveLearning {
     def totalLabels: Int = rounds.lastOption.map(_.totalLabels).getOrElse(0)
   }
 
+  /** Console label oracle — the literal interactive labeling shell from
+    * the reference (pgdedupe/run.py:161-173, dedupe's console_label):
+    * print each surfaced pair's field values side by side, read
+    * y/n/u(nsure)/f(inish) from the reader, label y=1.0 / n=0.0, drop
+    * unsure rows, and on finish drop the rest of the batch — `run`'s
+    * pool-exhausted stopping rule then ends the session exactly like the
+    * reference's `finish`. Reader/writer are injectable so the suite
+    * (and any non-TTY caller) can drive the loop without a console;
+    * EOF on the reader is treated as finish. The batch is at most
+    * `batchSize` rows (the human is the bottleneck), so the collect is
+    * bounded by construction.
+    */
+  def consoleOracle(
+      cfg: DedupeConfig,
+      in: java.io.BufferedReader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in)),
+      out: java.io.PrintStream = System.out): DataFrame => DataFrame = {
+    batch =>
+      val spark = batch.sparkSession
+      var finished = false
+      val labeled = batch.collect().flatMap { r =>
+        if (finished) None
+        else {
+          cfg.columns.foreach { c =>
+            out.println(s"$c : ${r.getAs[Any](s"l_$c")}  |  " +
+              s"${r.getAs[Any](s"r_$c")}")
+          }
+          out.println("Do these records refer to the same thing? " +
+            "(y)es / (n)o / (u)nsure / (f)inish")
+          var ans: Option[Option[Double]] = None
+          while (ans.isEmpty) {
+            Option(in.readLine()).map(_.trim.toLowerCase) match {
+              case Some("y") | Some("yes")    => ans = Some(Some(1.0))
+              case Some("n") | Some("no")     => ans = Some(Some(0.0))
+              case Some("u") | Some("unsure") => ans = Some(None)
+              case Some("f") | Some("finish") | None =>
+                finished = true; ans = Some(None)
+              case Some(_) =>
+                out.println("valid answers: y / n / u / f")
+            }
+          }
+          ans.get.map(l => Row.fromSeq(r.toSeq :+ l))
+        }
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(labeled: _*),
+        StructType(batch.schema.fields :+
+          StructField("label", DoubleType, nullable = false)))
+  }
+
   /** Run the loop.
     *
     * @param candidates pair pool: `l_id`/`r_id` plus `l_<field>` /
@@ -106,13 +156,16 @@ object ActiveLearning {
         else {
           prevHash = Some(hash)
           // Exclude already-labeled pairs by id: the labeled set is
-          // driver-resident and small, so an isin literal list keeps
-          // the exclusion inside codegen (no extra join).
+          // driver-resident and small, so an IN literal list keeps the
+          // exclusion inside codegen (no extra join). Compared
+          // STRUCTURALLY — a delimiter-joined string would collide for
+          // string ids containing the delimiter (l_id="a|b", r_id="c"
+          // vs l_id="a", r_id="b|c") and silently exclude never-labeled
+          // candidates.
           val seen = labeledRows
-            .map(r => s"${r.get(0)}|${r.get(1)}")
+            .map(r => struct(lit(r.get(0)), lit(r.get(1))))
           val scored = feats
-            .where(!concat_ws("|", col("l_id"), col("r_id"))
-              .isin(seen: _*))
+            .where(!struct(col("l_id"), col("r_id")).isin(seen: _*))
             .withColumn("score", model.scoreColumnNamed)
           val want = math.min(batchSize, labelBudget - labeledRows.length)
           val batch = labelOracle(

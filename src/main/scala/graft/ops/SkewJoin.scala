@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   * saltFactor × |dim rows on hot keys|, paid to turn one straggler task
   * into `saltFactor` even ones.
   *
+  * The hot-key set travels as DATA (a broadcast single-column frame each
+  * side left-joins to tag hotness), not as a plan literal: the previous
+  * `array_contains(array(lit…))` form embedded |hot| literals in the
+  * expression tree and scanned them per row — fine for 5 demo keys,
+  * analysis/codegen blowup and an O(|hot|) per-row probe at the
+  * documented 100k cap. With the broadcast tag the plan size is O(1) in
+  * |hot| (gated in SkewJoinSpec) and the probe is one hash lookup.
+  *
+  * Known limitation (documented, deliberate): the salt is a hash of the
+  * WHOLE fact row, so fully identical duplicate rows — a real skew shape
+  * (repeated identical events) — share a salt and still funnel into one
+  * sub-key. Mixing in `spark_partition_id` or a monotonic offset would
+  * spread them but break the run-to-run determinism the oracle-exact
+  * hash comparison (q29) relies on; callers with duplicate-row skew
+  * should pre-aggregate a count or add a discriminator column upstream.
+  *
   * The hot-key collect is bounded by construction — at most
   * |fact| / hotKeyThreshold keys can exceed the threshold — and guarded
   * loudly anyway (same contract as the learner's over-cap collect).
@@ -25,6 +41,15 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** First name in `base`, `base_1`, `base_2`, … absent from every given
+    * schema — internal working columns must not collide with caller
+    * columns (a caller-owned `_salt` would silently be overwritten and
+    * dropped).
+    */
+  private def freshName(base: String, taken: Set[String]): String =
+    (base +: LazyList.from(1).map(i => s"${base}_$i"))
+      .find(n => !taken.contains(n)).get
 
   /** Inner equi-join of `fact` with `dim` on `key`, salt-spread over the
     * fact side's hot keys. Output columns = fact ⋈ dim as a plain inner
@@ -55,25 +80,37 @@ object SkewJoin {
     if (hotRows.length > maxHotKeys)
       log.warn(s"more than $maxHotKeys hot keys above $hotKeyThreshold — " +
         "salting only the first; raise hotKeyThreshold")
-    val hotKeys = hotRows.take(maxHotKeys).map(_.get(0)).toSeq
 
-    if (hotKeys.isEmpty) return fact.join(dim, key)
+    if (hotRows.isEmpty) return fact.join(dim, key)
 
-    // Per-value lit (the keys were collected as Any; typedlit cannot
-    // infer an array component type from Seq[Any]).
-    val hot = array(hotKeys.map(v => lit(v)): _*)
+    val taken = (fact.columns ++ dim.columns).toSet
+    val saltCol = freshName("_salt", taken)
+    val hotCol = freshName("_is_hot", taken)
+
+    // The hot keys as a broadcast LocalRelation: rows, not expression
+    // nodes, so analysis/codegen cost doesn't grow with |hot| and the
+    // per-row membership probe is the broadcast hash join's O(1) lookup.
+    val hotDf = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(hotRows.take(maxHotKeys): _*),
+        fact.select(key).schema)
+      .withColumn(hotCol, lit(true)))
+
     // Deterministic spread: hash of the whole fact row — distinct
     // payload rows of a hot key scatter across saltFactor sub-keys,
-    // identically on every run.
-    val factSalted = fact.withColumn("_salt",
-      when(array_contains(hot, col(key)),
-        pmod(hash(struct(fact.columns.map(col): _*)), lit(saltFactor)))
-        .otherwise(lit(0)))
-    val dimSalted = dim.withColumn("_salt",
-      explode(when(array_contains(hot, col(key)),
-        sequence(lit(0), lit(saltFactor - 1)))
-        .otherwise(array(lit(0)))))
+    // identically on every run. The hash covers only the ORIGINAL fact
+    // columns (captured before the tag join adds the marker).
+    val factCols = fact.columns.map(col)
+    val factSalted = fact.join(hotDf, Seq(key), "left")
+      .withColumn(saltCol,
+        when(col(hotCol), pmod(hash(struct(factCols: _*)), lit(saltFactor)))
+          .otherwise(lit(0)))
+      .drop(hotCol)
+    val dimSalted = dim.join(hotDf, Seq(key), "left")
+      .withColumn(saltCol,
+        explode(when(col(hotCol), sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))))
+      .drop(hotCol)
 
-    factSalted.join(dimSalted, Seq(key, "_salt")).drop("_salt")
+    factSalted.join(dimSalted, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -14,6 +14,26 @@ import QueryDef.{descale, exactSum, sqlExactSum}
   */
 object RelationalQueries {
 
+  /** Per-process scratch path for the source/sink round-trip demos
+    * (q25–q28). A fixed tmpdir path races when two graft JVMs run
+    * concurrently on one host (verify alongside bench): both overwrite
+    * the same directory and one can read a half-written sibling's
+    * output. Keying by pid isolates each JVM; directories are
+    * idempotently overwritten within a process, so reruns stay cheap.
+    */
+  private def demoPath(name: String): String = {
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_demo_$pid/$name"
+  }
+
+  /** Per-process catalog table name for the bucketed demo — the session
+    * catalog is JVM-local, but the `path` option is not, so the table
+    * name is keyed the same way as [[demoPath]] to keep name and path
+    * consistent.
+    */
+  private def demoTable(name: String): String =
+    s"${name}_${ProcessHandle.current().pid()}"
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1/P1/P2 — scan + config-driven projection + filter_condition
@@ -307,8 +327,7 @@ object RelationalQueries {
       "q25_csv_roundtrip",
       (s, dir) => {
         val src = Tables.load(s, dir, "customer")
-        val path = System.getProperty("java.io.tmpdir") +
-          "/graft_csv_demo/customer"
+        val path = demoPath("csv/customer")
         Tables.sinkCsv(src, path)
         Tables.loadCsv(s, path, src.schema)
       },
@@ -322,8 +341,7 @@ object RelationalQueries {
       "q26_orc_roundtrip",
       (s, dir) => {
         val src = Tables.load(s, dir, "orders")
-        val path = System.getProperty("java.io.tmpdir") +
-          "/graft_orc_demo/orders"
+        val path = demoPath("orc/orders")
         Tables.sinkOrc(src, path)
         Tables.loadOrc(s, path, src.schema)
       },
@@ -338,8 +356,7 @@ object RelationalQueries {
       "q27_json_roundtrip",
       (s, dir) => {
         val src = Tables.load(s, dir, "part")
-        val path = System.getProperty("java.io.tmpdir") +
-          "/graft_json_demo/part"
+        val path = demoPath("json/part")
         Tables.sinkJson(src, path)
         Tables.loadJson(s, path, src.schema)
       },
@@ -354,21 +371,27 @@ object RelationalQueries {
     QueryDef(
       "q28_bucketed_join",
       (s, dir) => {
-        val wh = System.getProperty("java.io.tmpdir") +
-          "/graft_bucketed_demo"
+        val wh = demoPath("bucketed")
+        val (custTbl, ordTbl) =
+          (demoTable("customer_bkt"), demoTable("orders_bkt"))
         Tables.sinkBucketed(Tables.load(s, dir, "customer"),
-          "customer_bkt", s"$wh/customer_bkt", 8, "c_custkey", "c_custkey")
+          custTbl, s"$wh/customer_bkt", 8, "c_custkey", "c_custkey")
         Tables.sinkBucketed(Tables.load(s, dir, "orders"),
-          "orders_bkt", s"$wh/orders_bkt", 8, "o_custkey", "o_custkey")
-        Tables.loadTable(s, "customer_bkt")
-          .join(Tables.loadTable(s, "orders_bkt"),
+          ordTbl, s"$wh/orders_bkt", 8, "o_custkey", "o_custkey")
+        Tables.loadTable(s, custTbl)
+          .join(Tables.loadTable(s, ordTbl),
             col("c_custkey") === col("o_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
-            sum("o_totalprice").as("sum_price"))
+            // Money sums are oracle-hash-critical: a raw double sum of
+            // ~7.5e8 drifts with summation order at the hash's 9th
+            // significant digit. Quantize to cents and sum exactly
+            // (QueryDef.exactSum), as q20-q22 already do.
+            descale(exactSum(col("o_totalprice"), 100), 100)
+              .as("sum_price"))
       },
-      Some("""SELECT c_mktsegment, count(*) AS n_orders,
-        sum(o_totalprice) AS sum_price
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+        ${sqlExactSum("o_totalprice", 100)} AS sum_price
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY 1""")),
 
@@ -390,10 +413,13 @@ object RelationalQueries {
             saltFactor = 8, hotKeyThreshold = 100)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value") * col("type_weight")).as("weighted_value"))
+            // Same oracle-hash-critical quantization as q28: the raw
+            // double sum is order-dependent at the hash's precision.
+            descale(exactSum(col("value") * col("type_weight"), 10000),
+              10000).as("weighted_value"))
       },
-      Some("""SELECT e.event_type, count(*) AS n_events,
-        sum(e.value * d.type_weight) AS weighted_value
+      Some(s"""SELECT e.event_type, count(*) AS n_events,
+        ${sqlExactSum("e.value * d.type_weight", 10000)} AS weighted_value
         FROM events e JOIN (SELECT DISTINCT event_type,
           cast(length(event_type) AS double) AS type_weight FROM events) d
         ON e.event_type = d.event_type

@@ -57,10 +57,14 @@ object IncrementalDedup {
     * The anti-join reads back only `keyCols` from the landed data —
     * column pruning at the parquet scan keeps the per-batch cost
     * proportional to the KEY WIDTH of what's landed, not the payload
-    * width. At 100 TB/day, partition `outDir` by arrival date upstream
-    * (pass a date-derived column in `keyCols` and partitionBy it here)
-    * so the read-back prunes partitions too; for this library surface
-    * the simple single-directory form keeps the contract auditable.
+    * width. That cost still grows with TOTAL landed history unless the
+    * read-back can prune: pass `partitionCols` (a SUBSET of `keyCols`,
+    * e.g. an arrival date) and the sink writes `partitionBy` those
+    * columns and filters the landed read-back to just the partitions the
+    * batch touches — per-batch cost then tracks the batch's own
+    * partitions, not the lifetime of the sink. The subset requirement is
+    * the correctness argument: equal keys imply equal partition values,
+    * so a pruned read-back can never miss a landed duplicate.
     *
     * Returns the started query; callers own `awaitTermination`/`stop`.
     */
@@ -68,7 +72,13 @@ object IncrementalDedup {
       stream: DataFrame,
       outDir: String,
       checkpointDir: String,
-      keyCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      keyCols: Seq[String],
+      partitionCols: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(partitionCols.forall(keyCols.contains),
+      "partitionCols must be a subset of keyCols — equal keys must imply " +
+        "equal partition values, or the pruned read-back could miss a " +
+        "landed duplicate")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -76,23 +86,67 @@ object IncrementalDedup {
           org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.dropDuplicates(keyCols)
-        val landedDir = new java.io.File(outDir)
         val toWrite =
-          if (!landedDir.exists() || landedDir.listFiles() == null ||
-            landedDir.listFiles().isEmpty) fresh
-          else {
-            // Explicit schema (the stream's own): no inference — and an
-            // empty first batch's schema-only output can't fail the
-            // read-back.
-            val landedKeys = spark.read.schema(batch.schema)
-              .parquet(outDir)
-              .select(keyCols.map(col): _*)
-            fresh.join(landedKeys, keyCols, "left_anti")
+          landedKeysFor(spark, batch.schema, outDir, keyCols,
+              partitionCols, fresh) match {
+            case None => fresh
+            case Some(landedKeys) =>
+              fresh.join(landedKeys, keyCols, "left_anti")
           }
-        toWrite.write.mode("append").parquet(outDir)
+        val w = toWrite.write.mode("append")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+         else w).parquet(outDir)
         ()
       }
       .start()
+  }
+
+  /** The sink's landed-keys read-back: None when nothing has landed yet
+    * (or the batch is empty under partition pruning — nothing to
+    * anti-join either way), otherwise the landed keys, pruned to the
+    * partitions `fresh` touches when `partitionCols` is set.
+    * Package-visible so IncrementalDedupSpec can gate the pruning on the
+    * returned frame's actual scan.
+    */
+  private[graft] def landedKeysFor(
+      spark: SparkSession,
+      batchSchema: org.apache.spark.sql.types.StructType,
+      outDir: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      fresh: DataFrame): Option[DataFrame] = {
+    // Probe through the Hadoop FileSystem of whatever scheme outDir
+    // carries (hdfs://, s3a://, file:) — a java.io.File probe sees only
+    // the driver's local disk, so on any remote store it would report
+    // "nothing landed" forever, silently skip the anti-join, and break
+    // the exactly-once contract on replay.
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path) || fs.listStatus(path).isEmpty) None
+    else {
+      // Explicit schema (the stream's own): no inference — and an empty
+      // first batch's schema-only output can't fail the read-back.
+      // Partition columns come back from directory names, cast to the
+      // schema's declared types.
+      val landed = spark.read.schema(batchSchema).parquet(outDir)
+        .select(keyCols.map(col): _*)
+      if (partitionCols.isEmpty) Some(landed)
+      else {
+        // Literal partition predicate from the batch's own distinct
+        // partition values: the collect is bounded by the partitions
+        // one micro-batch touches (e.g. 1–2 arrival dates), and the
+        // scan needs LITERALS to prune partitions at planning time — a
+        // semi-join against `fresh` would read every partition first.
+        val parts = fresh.select(partitionCols.map(col): _*)
+          .distinct().collect()
+        if (parts.isEmpty) None
+        else Some(landed.where(parts.map { r =>
+          partitionCols.zipWithIndex.map { case (c, i) =>
+            col(c) === lit(r.get(i)) }.reduce(_ && _)
+        }.reduce(_ || _)))
+      }
+    }
+  }
 
   /** Tumbling-window counts per event_type with a watermark — the
     * streaming twin of the batch q23_event_windows query.

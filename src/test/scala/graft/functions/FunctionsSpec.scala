@@ -82,6 +82,37 @@ class FunctionsSpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
+  test("cosine_sim null ELEMENTS yield null in both eval paths, not a " +
+      "silent 0.0 read") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField,
+      StructType}
+    // Codegen path: a containsNull=true frame (exactly what a parquet
+    // scan produces) with one null slot — the row must come back NULL,
+    // and a null-free row through the SAME nullable schema must be
+    // unaffected.
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq(1.0f, null, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+        Row(Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))),
+      schema).select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+    val got = df.collect()
+    assert(got(0).isNullAt(0), "null element must yield NULL")
+    assert(math.abs(got(1).getDouble(0) - 1.0) < 1e-9)
+    // Interpreted path (nullSafeEval) directly.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val at = ArrayType(FloatType, containsNull = true)
+    assert(CosineSimilarity(
+      Literal.create(Seq(1.0f, null, 3.0f), at),
+      Literal.create(Seq(1.0f, 2.0f, 3.0f), at)).eval(null) == null)
+    assert(math.abs(CosineSimilarity(
+      Literal.create(Seq(3.0f, 4.0f), at),
+      Literal.create(Seq(3.0f, 4.0f), at)).eval(null)
+      .asInstanceOf[Double] - 1.0) < 1e-9)
+  }
+
   test("cosine_sim rejects non-float-array inputs at analysis") {
     val err = intercept[AnalysisException] {
       spark.sql("SELECT cosine_sim(array(1, 2), array(3, 4))").collect()

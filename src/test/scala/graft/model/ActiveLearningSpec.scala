@@ -103,6 +103,42 @@ class ActiveLearningSpec extends SparkSpec {
     } finally p.unpersist(false)
   }
 
+  test("consoleOracle closes the reference's console loop: y/n labels, " +
+      "u drops, f/EOF finish") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream,
+      StringReader}
+    def drive(answers: String, batch: DataFrame) = {
+      val outBuf = new ByteArrayOutputStream()
+      val labeled = ActiveLearning.consoleOracle(cfg,
+        new BufferedReader(new StringReader(answers)),
+        new PrintStream(outBuf))(batch)
+      (labeled, outBuf.toString)
+    }
+    val b3 = pool.orderBy("l_id", "r_id").limit(3)
+    // y → 1.0; x is invalid and re-asks, then n → 0.0; u drops the row.
+    val (l1, prompt) = drive("y\nx\nn\nu\n", b3)
+    assert(l1.select("label").collect().map(_.getDouble(0)).toSeq ==
+      Seq(1.0, 0.0))
+    assert(prompt.contains("first_name"),
+      "console must show the pair's field values")
+    assert(prompt.contains("valid answers"),
+      "invalid input must re-prompt")
+    // finish drops the remainder of the batch; EOF behaves as finish.
+    assert(drive("y\nf\n", b3)._1.count() === 1)
+    assert(drive("", b3)._1.count() === 0)
+    // End to end: a scripted console session drives the full loop and
+    // ends via the reference's finish semantics (EOF after 4 answers
+    // → empty batch → pool-exhausted), like `finish` at run.py:161-173.
+    val sess = ActiveLearning.run(cfg, pool,
+      ActiveLearning.consoleOracle(cfg,
+        new BufferedReader(new StringReader("y\nn\ny\nn\n")),
+        new PrintStream(new ByteArrayOutputStream())),
+      seedPairs(pool), batchSize = 2, labelBudget = 20)
+    assert(sess.stoppedBy == "pool-exhausted" ||
+      sess.stoppedBy == "fixpoint", s"stopped by ${sess.stoppedBy}")
+    assert(sess.model != null)
+  }
+
   test("uncertainty sampling clears the quality bar with <= half the " +
       "labels random sampling needs") {
     val p = pool.persist()

@@ -71,6 +71,46 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.count() === fact.join(dim, "k").count())
   }
 
+  test("plan size is O(1) in the number of hot keys") {
+    import spark.implicits._
+    // 5,000 hot keys vs 10: with the broadcast-tag design the hot-key
+    // set rides as LocalRelation DATA, so the optimized plan's printed
+    // tree must not grow with |hot| (the old lit-array form embedded
+    // one literal node per key — 5,000 keys meant a 5,000-element
+    // expression probed per row).
+    val dim = (0 until 5000).map(k => (k.toLong, s"name_$k"))
+      .toDF("k", "name")
+    def factWith(distinctKeys: Int) =
+      (0 until 10000).map(i => ((i % distinctKeys).toLong, i.toLong))
+        .toDF("k", "payload")
+    def planLen(distinctKeys: Int): Int =
+      SkewJoin.saltedInner(factWith(distinctKeys), dim, "k",
+          saltFactor = 4, hotKeyThreshold = 1)
+        .queryExecution.optimizedPlan.toString.length
+    val (few, many) = (planLen(10), planLen(5000))
+    assert(many < few * 2,
+      s"plan grew with hot-key count: $few chars @ 10 keys, " +
+        s"$many chars @ 5000 keys")
+    // And the 5,000-hot-key join still answers correctly.
+    val fact = factWith(5000)
+    assert(SkewJoin.saltedInner(fact, dim, "k", saltFactor = 4,
+      hotKeyThreshold = 1).count() === fact.join(dim, "k").count())
+  }
+
+  test("caller-owned _salt column survives (collision-safe internals)") {
+    import spark.implicits._
+    val fact = (0 until 1000).map(i => (7L, i.toLong, i % 3))
+      .toDF("k", "payload", "_salt")
+    val dim = Seq((7L, "seven"), (8L, "eight")).toDF("k", "name")
+    val out = SkewJoin.saltedInner(fact, dim, "k",
+      saltFactor = 4, hotKeyThreshold = 10)
+    assert(out.columns.count(_ == "_salt") === 1,
+      "internal salt column collided with the caller's _salt")
+    val plain = fact.join(dim, "k")
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty,
+      "salted join answer diverged when the caller owns _salt")
+  }
+
   test("salting is deterministic across runs") {
     val (fact, dim) = skewed()
     def run() = SkewJoin.saltedInner(fact, dim, "k",

@@ -209,6 +209,129 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedParquetSink with partitionCols prunes the landed " +
+      "read-back to the batch's partitions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_part_sink").toString + "/out"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_part_sink_ck").toString
+    val input = MemoryStream[(String, Long, String)]
+    val stream = input.toDF().toDF("day", "k", "payload")
+    val q = IncrementalDedup.dedupedParquetSink(stream, outDir, ckDir,
+      keyCols = Seq("day", "k"), partitionCols = Seq("day"))
+    try {
+      input.addData(("d1", 1L, "a"), ("d1", 2L, "b"), ("d2", 3L, "c"))
+      q.processAllAvailable()
+      // Redeliveries of (d1,1) and (d2,3) plus new keys on both days:
+      // exactly-once must hold through the partitioned layout.
+      input.addData(("d1", 1L, "a"), ("d1", 4L, "d"),
+        ("d2", 3L, "c"), ("d2", 5L, "e"))
+      q.processAllAvailable()
+      val landed = spark.read.schema(stream.schema).parquet(outDir)
+        .select("day", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(landed.length == landed.distinct.length,
+        s"partitioned sink landed duplicate keys: ${landed.sorted}")
+      assert(landed.toSet == Set(("d1", 1L), ("d1", 2L), ("d1", 4L),
+        ("d2", 3L), ("d2", 5L)))
+      // The pruning gate itself: a batch touching only day=d1 must
+      // read back ONLY day=d1 files — the per-batch anti-join cost
+      // tracks the batch's partitions, not the sink's lifetime.
+      val fresh = Seq(("d1", 9L, "z")).toDF("day", "k", "payload")
+      val pruned = IncrementalDedup.landedKeysFor(spark, stream.schema,
+        outDir, Seq("day", "k"), Seq("day"), fresh)
+      assert(pruned.isDefined)
+      val files = pruned.get.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      assert(files.nonEmpty && files.forall(_.contains("day=d1")),
+        s"read-back scanned beyond the batch's partitions: " +
+          files.filterNot(_.contains("day=d1")).mkString(", "))
+    } finally q.stop()
+  }
+
+  test("e2e streaming dedup: file-source docs -> candidate stream -> " +
+      "stream-static verify -> exactly-once sink matches batch q38") {
+    implicit val s = spark
+    // The three pieces composed as one pipeline: documents arrive as
+    // parquet file drops, minhashCandidateStream emits band-collision
+    // candidates incrementally, a stream-static join + Jaccard filter
+    // runs the SAME verify as the batch path (shingleK=1, >= 0.9 —
+    // q38's parameters; shingle arrays are distinct-by-construction, so
+    // size(array_intersect)/(na+nb-inter) is exactly jaccardVerify's
+    // set arithmetic), and the exactly-once sink lands each verified
+    // edge once despite a redelivered file drop. Canonicalization is
+    // the periodic batch CC over the landed edge set — asserted equal,
+    // edge-for-edge and canonical-for-canonical, to batch q38 on the
+    // same corpus.
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val sh = docs.select(col("doc_id"),
+      graft.dedup.TextDedup.shingles(col("text"), 1).as("sh"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_e2e_src").resolve("docs").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_e2e_out").toString + "/edges"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_e2e_ck").toString
+    val ids = docs.select("doc_id").orderBy("doc_id").collect()
+      .map(_.getLong(0))
+    val mid = ids(ids.length / 2)
+    docs.where(col("doc_id") < mid).write.mode("append").parquet(srcDir)
+
+    val cands = IncrementalDedup.minhashCandidateStream(
+      spark.readStream.schema(docs.schema).parquet(srcDir))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val verified = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .where(inter / (size(col("sa")) + size(col("sb")) - inter) >= 0.9)
+      .select("a_id", "b_id")
+    val q = IncrementalDedup.dedupedParquetSink(
+      verified, outDir, ckDir, Seq("a_id", "b_id"))
+    try {
+      q.processAllAvailable()
+      // Second drop completes the corpus; third REDELIVERS the first
+      // half (at-least-once source) — its re-emitted candidates must
+      // not land twice.
+      docs.where(col("doc_id") >= mid).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      docs.where(col("doc_id") < mid).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+
+      val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b_id",
+          org.apache.spark.sql.types.LongType)))
+      val landed = spark.read.schema(edgeSchema).parquet(outDir)
+      val landedEdges = landed.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(landedEdges.length == landedEdges.distinct.length,
+        "sink landed a duplicate edge across redeliveries")
+      val batchVerified = graft.dedup.TextDedup.jaccardVerify(docs,
+          graft.dedup.TextDedup.minHashCandidates(docs),
+          "text", "doc_id", shingleK = 1, minJaccard = 0.9)
+        .select("a_id", "b_id")
+      val batchEdges = batchVerified.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchEdges.nonEmpty, "batch verified edge set empty")
+      assert(landedEdges.toSet == batchEdges,
+        s"streamed ${landedEdges.length} edges != batch " +
+          s"${batchEdges.size}; missing=" +
+          s"${(batchEdges -- landedEdges).take(5)} extra=" +
+          s"${(landedEdges.toSet -- batchEdges).take(5)}")
+      // Canonical assignment over the landed edges == batch q38.
+      def canon(edges: org.apache.spark.sql.DataFrame) =
+        graft.dedup.TextDedup.keepCanonical(edges, docs, "doc_id")
+          .select("doc_id", "canonical_id", "is_canonical").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(canon(landed) == canon(batchVerified),
+        "canonical assignment over streamed edges diverged from q38")
+    } finally q.stop()
+  }
+
   test("embeddingCandidateStream + stream-static verify matches batch " +
       "lshSimilarPairs") {
     import spark.implicits._
