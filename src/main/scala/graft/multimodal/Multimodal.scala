@@ -41,12 +41,21 @@ object Multimodal {
         .when(lower(hex(substring(col(binCol), 1, 4))) === "89504e47", "png")
         .when(lower(hex(substring(col(binCol), 1, 2))) === "424d", "bmp")
         .when(lower(hex(substring(col(binCol), 1, 4))) === "52494646", "wav")
+        // ISO BMFF: "ftyp" at byte offset 4 (substring is 1-based).
+        .when(lower(hex(substring(col(binCol), 5, 4))) === "66747970", "mp4")
         .otherwise("unknown").as("kind"))
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def le32(b: Array[Byte], i: Int): Int =
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  // ISO BMFF (MP4) is big-endian; be32 returns an unsigned Long so box
+  // sizes past 2 GiB can't go negative in the walk arithmetic.
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
 
   /** Parse an uncompressed 24-bit BMP: (width, height, pixelDataOffset).
     * None for anything that is not a plain bottom-up 24bpp BMP.
@@ -187,6 +196,87 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  final case class Mp4Meta(
+      duration_s: Double, n_tracks: Int, width: Int, height: Int)
+
+  /** REAL MP4 container parse (ISO base-media box walk — no codec
+    * needed for the CONTAINER, only for the frames): `ftyp` sniff, then
+    * `moov`/`mvhd` for timescale + presentation duration and
+    * `moov`/`trak`/`tkhd` for the track count and the largest track's
+    * 16.16-fixed display dimensions. Handles version-0 and version-1
+    * full boxes, 64-bit `largesize` boxes, and size-0 extends-to-end
+    * boxes; any malformed size aborts to None (same strict contract as
+    * [[bmpHeader]]/[[wavHeader]] — a crafted size must not read out of
+    * bounds). Frame DECODE remains the stub below: the JDK ships no
+    * video codec, and the container metadata is everything the
+    * routing/dedup layers of a media pipeline key on.
+    */
+  private[multimodal] def mp4Header(b: Array[Byte]): Option[Mp4Meta] = {
+    if (b == null || b.length < 12 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return None
+    // Walk the boxes in [start, end): f(type, payloadStart, payloadEnd)
+    // per box, false aborting the whole parse (malformed input).
+    def walk(start: Long, end: Long)(
+        f: (String, Long, Long) => Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val p = pos.toInt
+        var size = be32(b, p)
+        var hdr = 8L
+        if (size == 1) {
+          if (pos + 16 > end) return false
+          size = be64(b, p + 8); hdr = 16
+        } else if (size == 0) size = end - pos
+        if (size < hdr || pos + size > end) return false
+        if (!f(new String(b, p + 4, 4, "ISO-8859-1"), pos + hdr, pos + size))
+          return false
+        pos += size
+      }
+      true
+    }
+    var duration = 0.0; var tracks = 0; var w = 0; var h = 0
+    val ok = walk(0, b.length) { (t, s, e) =>
+      if (t != "moov") true
+      else walk(s, e) { (t2, s2, e2) =>
+        val p2 = s2.toInt
+        t2 match {
+          case "mvhd" if e2 - s2 >= 20 =>
+            u8(b, p2) match {
+              case 1 if e2 - s2 >= 32 =>
+                val ts = be32(b, p2 + 20)
+                if (ts > 0) duration = be64(b, p2 + 24).toDouble / ts
+              case 0 =>
+                val ts = be32(b, p2 + 12)
+                if (ts > 0) duration = be32(b, p2 + 16).toDouble / ts
+              case _ => ()
+            }
+            true
+          case "trak" =>
+            tracks += 1
+            walk(s2, e2) { (t3, s3, e3) =>
+              if (t3 == "tkhd") {
+                val p3 = s3.toInt
+                // width sits after version/flags, times, track id,
+                // layer/volume/matrix: +76 (v0) / +88 (v1), 16.16 fixed.
+                val woff = if (u8(b, p3) == 1) 88 else 76
+                if (e3 - s3 >= woff + 8) {
+                  val tw = (be32(b, p3 + woff) >> 16).toInt
+                  val th = (be32(b, p3 + woff + 4) >> 16).toInt
+                  if (tw > 0 && th > 0) {
+                    w = math.max(w, tw); h = math.max(h, th)
+                  }
+                }
+              }
+              true
+            }
+          case _ => true
+        }
+      }
+    }
+    if (ok) Some(Mp4Meta(duration, tracks, w, h)) else None
+  }
+
   /** Parse PCM WAV RIFF chunks: (sampleRate, channels, bitsPerSample,
     * dataOffset, dataBytes). None unless an intact PCM fmt+data pair.
     */
@@ -251,8 +341,10 @@ object Multimodal {
     }
 
   /** Typed per-format metadata (the "decoded header" table a media
-    * pipeline keys on): real dimensions for BMP, real sample
-    * rate/channels/duration for WAV, zeros for undecodable payloads.
+    * pipeline keys on): real dimensions for BMP/JPEG/PNG, real sample
+    * rate/channels/duration for WAV, real container duration and video
+    * dimensions for MP4 (box walk — see [[mp4Header]]), zeros for
+    * undecodable payloads.
     */
   def mediaInfo(
       df: DataFrame, binCol: String, idCol: String): Dataset[MediaInfo] = {
@@ -271,7 +363,13 @@ object Multimodal {
               case None =>
                 imageHeader(b) match {
                   case Some((w, h, fmt)) => MediaInfo(id, fmt, w, h, 0, 0, 0.0)
-                  case None => MediaInfo(id, "unknown", 0, 0, 0, 0, 0.0)
+                  case None =>
+                    mp4Header(b) match {
+                      case Some(m) =>
+                        MediaInfo(id, "mp4", m.width, m.height, 0, 0,
+                          m.duration_s)
+                      case None => MediaInfo(id, "unknown", 0, 0, 0, 0, 0.0)
+                    }
                 }
             }
         }
@@ -282,11 +380,13 @@ object Multimodal {
     * to the pure-JVM decoders, JPEG/PNG to the JDK ImageIO decoder;
     * everything else falls through to the stub.
     *
-    * ??? STUB (fallback only) ??? Video (MP4) would decode here; the
-    * JDK ships no video codec, so those derive a deterministic 8-dim
-    * fake feature from the payload's md5 — keeping the distributed
-    * plumbing (partition-level batching, fixed-size output schema,
-    * skew-neutral repartition) real and testable.
+    * ??? STUB (fallback only) ??? Video (MP4) FRAME decode would
+    * happen here; the JDK ships no video codec, so those derive a
+    * deterministic 8-dim fake feature from the payload's md5 — keeping
+    * the distributed plumbing (partition-level batching, fixed-size
+    * output schema, skew-neutral repartition) real and testable. The
+    * MP4 CONTAINER (duration, track count, display dimensions) is
+    * parsed for real in [[mp4Header]]/[[mediaInfo]].
     */
   def featurize(
       df: DataFrame,

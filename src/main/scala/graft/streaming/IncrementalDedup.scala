@@ -241,12 +241,19 @@ object IncrementalDedup {
           val arrivals = rows.map(_._2).toArray.distinct.sorted
           val out = Seq.newBuilder[CandidatePair]
           var retained = seen
+          // O(1) redelivery check alongside the Seq state (an
+          // at-least-once source replays ids; appending a replayed id
+          // again would waste a capped state slot and duplicate its
+          // pair emissions on every later arrival).
+          val retainedSet = scala.collection.mutable.HashSet
+            .empty[Long] ++= seen
           arrivals.foreach { id =>
             retained.foreach { s =>
               if (s != id)
                 out += CandidatePair(math.min(s, id), math.max(s, id))
             }
-            if (retained.length < maxBucketState) retained :+= id
+            if (retained.length < maxBucketState && retainedSet.add(id))
+              retained :+= id
           }
           if (retained.length > seen.length) state.update(retained)
           out.result().iterator

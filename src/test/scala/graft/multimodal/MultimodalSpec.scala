@@ -70,6 +70,60 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  private def putBe32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  /** One ISO BMFF box: 32-bit big-endian size + type + body. */
+  private def beBox(tpe: String, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + body.length)
+    putBe32(out, 0, out.length.toLong)
+    tpe.getBytes("ISO-8859-1").copyToArray(out, 4)
+    body.copyToArray(out, 8)
+    out
+  }
+
+  test("MP4 container parse: real duration, track count, and video " +
+      "dimensions; strict on malformed sizes") {
+    import spark.implicits._
+    // v0 mvhd: timescale 600 at +12, duration 3000 at +16 => 5 s; video
+    // tkhd carries 640x360 as 16.16 fixed at +76/+80, audio tkhd zeros.
+    val mvhd = new Array[Byte](100)
+    putBe32(mvhd, 12, 600); putBe32(mvhd, 16, 3000)
+    val tkhdVideo = new Array[Byte](84)
+    putBe32(tkhdVideo, 76, 640L << 16); putBe32(tkhdVideo, 80, 360L << 16)
+    val tkhdAudio = new Array[Byte](84)
+    val mp4 = beBox("ftyp", "isomiso2".getBytes) ++ beBox("moov",
+      beBox("mvhd", mvhd) ++
+        beBox("trak", beBox("tkhd", tkhdVideo)) ++
+        beBox("trak", beBox("tkhd", tkhdAudio)))
+    val m = Multimodal.mp4Header(mp4).get
+    assert(math.abs(m.duration_s - 5.0) < 1e-9 && m.n_tracks == 2 &&
+      m.width == 640 && m.height == 360, s"parsed $m")
+    // v1 mvhd: 64-bit times — timescale at +20, 64-bit duration at +24.
+    val mvhd1 = new Array[Byte](112)
+    mvhd1(0) = 1
+    putBe32(mvhd1, 20, 1000); putBe32(mvhd1, 24 + 4, 2500)
+    val mp4v1 = beBox("ftyp", "isomiso2".getBytes) ++
+      beBox("moov", beBox("mvhd", mvhd1))
+    val m1 = Multimodal.mp4Header(mp4v1).get
+    assert(math.abs(m1.duration_s - 2.5) < 1e-9 && m1.n_tracks == 0)
+    // A box whose declared size runs past the buffer must abort to
+    // None, not read out of bounds (same contract as bmp/wav headers).
+    val bad = beBox("ftyp", "isomiso2".getBytes) ++
+      Array[Byte](0, 0, 1, 0) ++ "moov".getBytes
+    assert(Multimodal.mp4Header(bad).isEmpty)
+    assert(Multimodal.mp4Header("not an mp4 at all".getBytes).isEmpty)
+    // mediaInfo routes the container metadata; withByteStats sniffs it.
+    val df = Seq((9L, mp4)).toDF("id", "payload")
+    val info = Multimodal.mediaInfo(df, "payload", "id").collect().head
+    assert(info.kind == "mp4" && info.width == 640 && info.height == 360 &&
+      math.abs(info.duration_s - 5.0) < 1e-9)
+    assert(Multimodal.withByteStats(df, "payload", "id")
+      .select("kind").head().getString(0) == "mp4")
+  }
+
   test("PNG decode (lossless) matches the equivalent BMP feature exactly") {
     val pattern = (x: Int, _: Int) =>
       if (x < 2) (0, 0, 0) else (255, 255, 255)
