@@ -199,14 +199,24 @@ object TfIdfCanopy {
       .withColumn("w",
         col("tf") * log(col("n_values").cast("double") / col("df")))
       .where(col("w") > 0)
-      .select("f", "value", "tok", "w")
+      .select("f", "value", "tok", "w", "df")
     val norms = wts.groupBy("f", "value")
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val l = wts.select(col("f"), col("value").as("a_value"), col("tok"),
+    // A token with df = 1 lives in exactly one value, so it can only ever
+    // pair a value with itself — and a value's self-cosine is 1 by
+    // definition (dot(v,v) = ‖v‖²). Emitting the diagonal directly from
+    // `norms` and joining only df ≥ 2 tokens keeps every a ≠ b pair (two
+    // distinct values can only share a df ≥ 2 token) while cutting the
+    // quadratic self-join's input by the singleton-token volume — on
+    // name-like fields where most distinct values are unique single
+    // tokens, that is nearly all of it.
+    val shared = wts.where(col("df") >= 2).drop("df")
+    val l = shared.select(col("f"), col("value").as("a_value"), col("tok"),
       col("w").as("wa"))
-    val r = wts.select(col("f"), col("value").as("b_value"), col("tok"),
+    val r = shared.select(col("f"), col("value").as("b_value"), col("tok"),
       col("w").as("wb"))
-    l.join(r, Seq("f", "tok"))
+    val offDiag = l.join(r, Seq("f", "tok"))
+      .where(col("a_value") =!= col("b_value"))
       .groupBy("f", "a_value", "b_value")
       .agg(sum(col("wa") * col("wb")).as("dot"))
       .join(norms.select(col("f"), col("value").as("a_value"),
@@ -215,6 +225,9 @@ object TfIdfCanopy {
         col("norm").as("nb")), Seq("f", "b_value"))
       .select(col("f"), col("a_value"), col("b_value"),
         (col("dot") / (col("na") * col("nb"))).as("cos"))
+    val diag = norms.select(col("f"), col("value").as("a_value"),
+      col("value").as("b_value"), lit(1.0).as("cos"))
+    offDiag.unionByName(diag)
   }
 
   /** Canopy keys at one threshold from a (possibly cached) sims frame. */
