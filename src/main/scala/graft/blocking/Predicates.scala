@@ -97,9 +97,15 @@ final case class FirstChars(field: String, n: Int) extends ColumnPredicate {
 /** First whitespace token (dedupe's firstTokenPredicate). */
 final case class FirstToken(field: String) extends ColumnPredicate {
   val id = s"firsttok:$field"
-  def rawKeys(c: Column): Column =
-    when(c.isNull || c === "", array().cast("array<string>"))
-      .otherwise(array(element_at(split(c, "\\s+"), 1)))
+  // First NON-EMPTY token: on a leading-whitespace value, split's first
+  // element is "" — emitting it funneled every such record into one
+  // shared spurious block (quadratic pairs on dirty data). TokenField
+  // filters empty tokens from the same split; mirror it here.
+  def rawKeys(c: Column): Column = {
+    val toks = filter(split(c, "\\s+"), t => t =!= "")
+    when(c.isNull || size(toks) === 0, array().cast("array<string>"))
+      .otherwise(slice(toks, 1, 1))
+  }
 }
 
 /** Character n-grams (dedupe's ngramsTokens / commonNGramsPredicate). */
@@ -260,7 +266,39 @@ object Blocker {
       parts += records
         .select(explode(array_distinct(allKeys)).as("block_key"), col(idCol))
     }
-    idxPreds.foreach { p =>
+    // Canopy predicates share ONE threshold-independent sims fit per
+    // (maxDfRatio) group — per-predicate `keysByValue` re-ran the
+    // identical tokenize → df-count → idf → token self-join pipeline
+    // once per THRESHOLD (the learner's candidate pool pairs 0.8 and
+    // 0.6 on each field), the exact double-fit `TfIdfCanopy.sims`'s
+    // scaladoc exists to avoid. Thresholds apply as a broadcast spec
+    // equi-joined on the field tag; block keys carry the predicate id,
+    // so the combined collect_set explodes to the same (block_key, id)
+    // multiset the per-predicate parts produced.
+    val canopies = idxPreds.collect { case p: TfIdfCanopy => p }
+    canopies.groupBy(_.maxDfRatio).foreach { case (ratio, ps) =>
+      val spark = records.sparkSession
+      val fields = ps.map(_.field).distinct
+      def tagged(extra: Seq[org.apache.spark.sql.Column]) = records
+        .select(explode(array(fields.map(f =>
+            struct(lit(f).as("f"), col(f).as("value"))): _*)).as("fv")
+          +: extra: _*)
+        .select(col("fv.f").as("f") +: col("fv.value").as("value")
+          +: extra: _*)
+        .where(col("value").isNotNull && col("value") =!= "")
+      val sims = TfIdfCanopy.simsTagged(tagged(Seq.empty).distinct(), ratio)
+      val spec = broadcast(spark.createDataFrame(
+        ps.map(p => (p.field, p.id, p.threshold))).toDF("f", "pid", "thr"))
+      val keyRows = sims.join(spec, "f")
+        .where(col("cos") >= col("thr"))
+        .groupBy(col("f"), col("a_value").as("value"))
+        .agg(sort_array(collect_set(
+          concat_ws(":", col("pid"), md5(col("b_value"))))).as("keys"))
+      parts += tagged(Seq(col(idCol)))
+        .join(keyRows, Seq("f", "value"))
+        .select(explode(col("keys")).as("block_key"), col(idCol))
+    }
+    idxPreds.filterNot(_.isInstanceOf[TfIdfCanopy]).foreach { p =>
       val vals = records.select(col(p.field).as("value"))
         .where(col("value").isNotNull && col("value") =!= "").distinct()
       parts += records.select(col(p.field).as("value"), col(idCol))

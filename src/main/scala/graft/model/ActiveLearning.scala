@@ -50,8 +50,11 @@ object ActiveLearning {
     * the reference (pgdedupe/run.py:161-173, dedupe's console_label):
     * print each surfaced pair's field values side by side, read
     * y/n/u(nsure)/f(inish) from the reader, label y=1.0 / n=0.0, drop
-    * unsure rows, and on finish drop the rest of the batch — `run`'s
-    * pool-exhausted stopping rule then ends the session exactly like the
+    * unsure rows, and on finish drop the rest of the batch AND every
+    * later batch (the flag outlives one invocation — finish given after
+    * a few labels still ends the session, not just the batch): the
+    * final partial batch's labels feed one last refit, then `run`'s
+    * pool-exhausted stopping rule ends the session exactly like the
     * reference's `finish`. Reader/writer are injectable so the suite
     * (and any non-TTY caller) can drive the loop without a console;
     * EOF on the reader is treated as finish. The batch is at most
@@ -63,9 +66,13 @@ object ActiveLearning {
       in: java.io.BufferedReader = new java.io.BufferedReader(
         new java.io.InputStreamReader(System.in)),
       out: java.io.PrintStream = System.out): DataFrame => DataFrame = {
+    // Captured OUTSIDE the per-batch closure: finish must end the
+    // SESSION, and `run` keeps looping as long as batches return rows —
+    // a per-batch flag silently ignored a finish that followed any
+    // label in its batch.
+    var finished = false
     batch =>
       val spark = batch.sparkSession
-      var finished = false
       val labeled = batch.collect().flatMap { r =>
         if (finished) None
         else {
@@ -138,6 +145,9 @@ object ActiveLearning {
     try {
       var labeledRows = toLabeledRows(seed).toVector
       require(labeledRows.nonEmpty, "seed must contain labeled pairs")
+      // Every (l_id, r_id) ever sent to the oracle — including pairs it
+      // dropped as unsure, which must not be re-surfaced.
+      var surfacedIds = Vector.empty[(Any, Any)]
       var rounds = Vector.empty[RoundLog]
       var prevHash: Option[String] = None
       var model: LogisticModel = null
@@ -155,23 +165,35 @@ object ActiveLearning {
         else if (round >= maxRounds) stoppedBy = Some("rounds")
         else {
           prevHash = Some(hash)
-          // Exclude already-labeled pairs by id: the labeled set is
-          // driver-resident and small, so an IN literal list keeps the
+          // Exclude every pair already SURFACED to the oracle (labeled
+          // or answered "unsure" — the contract says dropped rows are
+          // never re-surfaced; excluding only labeled rows re-asked the
+          // human the same unanswerable question every round) plus the
+          // seed. The set is driver-resident and bounded by
+          // budget + rounds×batch, so an IN literal list keeps the
           // exclusion inside codegen (no extra join). Compared
           // STRUCTURALLY — a delimiter-joined string would collide for
           // string ids containing the delimiter (l_id="a|b", r_id="c"
           // vs l_id="a", r_id="b|c") and silently exclude never-labeled
           // candidates.
-          val seen = labeledRows
-            .map(r => struct(lit(r.get(0)), lit(r.get(1))))
+          val seen = (labeledRows.map(r => (r.get(0), r.get(1))) ++
+            surfacedIds).distinct
+            .map { case (l, r) => struct(lit(l), lit(r)) }
           val scored = feats
             .where(!struct(col("l_id"), col("r_id")).isin(seen: _*))
             .withColumn("score", model.scoreColumnNamed)
           val want = math.min(batchSize, labelBudget - labeledRows.length)
-          val batch = labelOracle(
-            Training.uncertainPairs(scored, want)
-              .drop("uncertainty", "score")
-              .drop(Comparators.featureNames(cfg): _*))
+          // Collect the batch ONCE (≤ batchSize rows) and hand the
+          // oracle a LocalRelation: recording surfaced ids from the
+          // distributed frame would re-run the scoring scan per round.
+          val toLabel = Training.uncertainPairs(scored, want)
+            .drop("uncertainty", "score")
+            .drop(Comparators.featureNames(cfg): _*)
+          val toLabelRows = toLabel.collect()
+          surfacedIds ++= toLabelRows.map(r =>
+            (r.getAs[Any]("l_id"), r.getAs[Any]("r_id")))
+          val batch = labelOracle(spark.createDataFrame(
+            java.util.Arrays.asList(toLabelRows: _*), toLabel.schema))
           val fresh = toLabeledRows(batch)
           if (fresh.isEmpty) stoppedBy = Some("pool-exhausted")
           else labeledRows ++= fresh

@@ -40,7 +40,12 @@ object Multimodal {
       when(lower(hex(substring(col(binCol), 1, 2))) === "ffd8", "jpeg")
         .when(lower(hex(substring(col(binCol), 1, 4))) === "89504e47", "png")
         .when(lower(hex(substring(col(binCol), 1, 2))) === "424d", "bmp")
-        .when(lower(hex(substring(col(binCol), 1, 4))) === "52494646", "wav")
+        // RIFF is a container family (WebP, AVI share the magic): require
+      // the WAVE form type at offset 8 too, matching wavHeader — or the
+      // sniff and the decoder disagree and image/video payloads route
+      // down the audio path.
+      .when(lower(hex(substring(col(binCol), 1, 4))) === "52494646" &&
+        lower(hex(substring(col(binCol), 9, 4))) === "57415645", "wav")
         // ISO BMFF: "ftyp" at byte offset 4 (substring is 1-based).
         .when(lower(hex(substring(col(binCol), 5, 4))) === "66747970", "mp4")
         .otherwise("unknown").as("kind"))
@@ -255,7 +260,10 @@ object Multimodal {
           case "trak" =>
             tracks += 1
             walk(s2, e2) { (t3, s3, e3) =>
-              if (t3 == "tkhd") {
+              // The version byte is payload: a header-only tkhd box
+              // (size 8, s3 == e3 possibly == b.length) must not be
+              // dereferenced — guard BEFORE the u8 read.
+              if (t3 == "tkhd" && e3 - s3 >= 1) {
                 val p3 = s3.toInt
                 // width sits after version/flags, times, track id,
                 // layer/volume/matrix: +76 (v0) / +88 (v1), 16.16 fixed.

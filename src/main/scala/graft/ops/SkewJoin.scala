@@ -51,6 +51,18 @@ object SkewJoin {
     (base +: LazyList.from(1).map(i => s"${base}_$i"))
       .find(n => !taken.contains(n)).get
 
+  /** True when the type tree contains a MapType anywhere — such columns
+    * cannot feed `hash()` (analysis-time rejection). */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        containsMap(a.elementType)
+      case _ => false
+    }
+
   /** Inner equi-join of `fact` with `dim` on `key`, salt-spread over the
     * fact side's hot keys. Output columns = fact ⋈ dim as a plain inner
     * join on `key` (one shared `key` column, then fact payload, then dim
@@ -98,8 +110,15 @@ object SkewJoin {
     // Deterministic spread: hash of the whole fact row — distinct
     // payload rows of a hot key scatter across saltFactor sub-keys,
     // identically on every run. The hash covers only the ORIGINAL fact
-    // columns (captured before the tag join adds the marker).
-    val factCols = fact.columns.map(col)
+    // columns (captured before the tag join adds the marker), minus any
+    // column whose type transitively contains a MapType: `hash()`
+    // rejects maps at analysis time, and failing only on skewed runs
+    // (the unskewed path short-circuits above) would be a latent
+    // production-only crash. Rows differing only in excluded map
+    // payload share a salt — the documented duplicate-row limitation,
+    // slightly widened.
+    val factCols = fact.schema.fields.toSeq
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
     val factSalted = fact.join(hotDf, Seq(key), "left")
       .withColumn(saltCol,
         when(col(hotCol), pmod(hash(struct(factCols: _*)), lit(saltFactor)))

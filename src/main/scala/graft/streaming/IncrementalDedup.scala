@@ -86,17 +86,35 @@ object IncrementalDedup {
           org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.dropDuplicates(keyCols)
-        val toWrite =
-          landedKeysFor(spark, batch.schema, outDir, keyCols,
-              partitionCols, fresh) match {
-            case None => fresh
-            case Some(landedKeys) =>
-              fresh.join(landedKeys, keyCols, "left_anti")
-          }
-        val w = toWrite.write.mode("append")
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
-         else w).parquet(outDir)
-        ()
+        // Under partition pruning the batch feeds TWO actions (the
+        // partition-values collect, then the anti-join + write): persist
+        // it for the body's scope or the source micro-batch and the
+        // dropDuplicates shuffle re-execute per action.
+        if (partitionCols.nonEmpty)
+          fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val toWrite =
+            landedKeysFor(spark, batch.schema, outDir, keyCols,
+                partitionCols, fresh) match {
+              case None => fresh
+              case Some(landedKeys) =>
+                // Null-SAFE anti-join: a usingColumns join never matches
+                // a null key value (null == null is NULL), so a landed
+                // row with a null in any key column would be re-appended
+                // on every replay. dropDuplicates treats nulls as equal;
+                // the landed comparison must agree.
+                fresh.join(landedKeys,
+                  keyCols.map(c => fresh(c) <=> landedKeys(c))
+                    .reduce(_ && _),
+                  "left_anti")
+            }
+          val w = toWrite.write.mode("append")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+           else w).parquet(outDir)
+        } finally {
+          if (partitionCols.nonEmpty) fresh.unpersist(false)
+          ()
+        }
       }
       .start()
   }
@@ -140,9 +158,13 @@ object IncrementalDedup {
         val parts = fresh.select(partitionCols.map(col): _*)
           .distinct().collect()
         if (parts.isEmpty) None
+        // Null-SAFE equality: a null partition value lands under the
+        // default partition, and `=== lit(null)` is NULL for every
+        // landed row — the read-back would return zero landed keys for
+        // that partition and a replayed batch would append duplicates.
         else Some(landed.where(parts.map { r =>
           partitionCols.zipWithIndex.map { case (c, i) =>
-            col(c) === lit(r.get(i)) }.reduce(_ && _)
+            col(c) <=> lit(r.get(i)) }.reduce(_ && _)
         }.reduce(_ || _)))
       }
     }

@@ -139,6 +139,50 @@ class ActiveLearningSpec extends SparkSpec {
     assert(sess.model != null)
   }
 
+  test("finish given AFTER labels in a batch still ends the session") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream,
+      StringReader}
+    val outBuf = new ByteArrayOutputStream()
+    // Batch of 3: y, y, then finish MID-batch. The finish flag must
+    // outlive the invocation — a per-batch flag returned the two labels,
+    // `run` saw a non-empty batch, and the next round re-prompted (a
+    // real TTY session would block forever on a user who already quit).
+    val sess = ActiveLearning.run(cfg, pool,
+      ActiveLearning.consoleOracle(cfg,
+        new BufferedReader(new StringReader("y\ny\nf\n")),
+        new PrintStream(outBuf)),
+      seedPairs(pool), batchSize = 3, labelBudget = 20)
+    assert(sess.stoppedBy == "pool-exhausted",
+      s"stopped by ${sess.stoppedBy}")
+    val prompts = "\\(y\\)es".r.findAllIn(outBuf.toString).length
+    assert(prompts == 3,
+      s"$prompts pairs were prompted — finish must silence every pair " +
+        "after it, including all later batches")
+  }
+
+  test("pairs the oracle drops as unsure are never re-surfaced") {
+    val p = pool.persist()
+    try {
+      val surfaced =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+      // Labels only pairs with an even id sum; drops the rest as
+      // unsure. Excluding only LABELED pairs re-surfaced the dropped
+      // ones every round (the model barely moves between rounds, so
+      // the same unanswerable pairs stay the most uncertain).
+      val picky: DataFrame => DataFrame = df => {
+        surfaced += df.select("l_id", "r_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        oracle(df).where((col("l_id") + col("r_id")) % 2 === 0)
+      }
+      val sess = ActiveLearning.run(cfg, p, picky, seedPairs(p),
+        batchSize = 8, labelBudget = 40)
+      assert(sess.rounds.nonEmpty)
+      val all = surfaced.toSeq.flatten
+      assert(all.distinct.length == all.length,
+        s"re-surfaced pairs: ${all.diff(all.distinct).distinct}")
+    } finally p.unpersist(false)
+  }
+
   test("uncertainty sampling clears the quality bar with <= half the " +
       "labels random sampling needs") {
     val p = pool.persist()

@@ -194,6 +194,37 @@ class MultimodalSpec extends SparkSpec {
       info(5L).height == 4)
   }
 
+  test("header-only tkhd box ending at the buffer parses without " +
+      "reading out of bounds") {
+    // The tkhd version byte is PAYLOAD: a size-8 box (header only) at
+    // the very end of the buffer has s3 == e3 == b.length, and an
+    // unguarded u8 read threw ArrayIndexOutOfBoundsException — one
+    // hostile row killing the task, against the strict-on-malformed
+    // contract.
+    val mp4 = beBox("ftyp", "isomiso2".getBytes) ++
+      beBox("moov", beBox("trak", beBox("tkhd", Array.empty[Byte])))
+    val m = Multimodal.mp4Header(mp4)
+    assert(m.isDefined && m.get.n_tracks == 1 &&
+      m.get.width == 0 && m.get.height == 0, s"parsed $m")
+  }
+
+  test("RIFF payloads without a WAVE form type are not sniffed as wav") {
+    import spark.implicits._
+    // RIFF is a container family — WebP and AVI share the magic. The
+    // sniff must require WAVE at offset 8 like wavHeader does, or the
+    // two surfaces disagree and image/video payloads route down the
+    // audio path.
+    val webp = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 20) ++
+      "WEBPVP8 ".getBytes ++ new Array[Byte](12)
+    val wav = makeWav(8000, 1, new Array[Short](80))
+    val kinds = Multimodal.withByteStats(
+        Seq((1L, webp), (2L, wav)).toDF("id", "payload"), "payload", "id")
+      .select("id", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds(1L) == "unknown", s"WebP sniffed as ${kinds(1L)}")
+    assert(kinds(2L) == "wav")
+  }
+
   test("featurize routes real decoders and falls back to the stub") {
     import spark.implicits._
     // ftyp box at offset 4 = the MP4 magic; no JDK video codec, so this

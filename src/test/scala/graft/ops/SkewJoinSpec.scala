@@ -118,4 +118,22 @@ class SkewJoinSpec extends SparkSpec {
       .orderBy("k", "payload").collect().toSeq
     assert(run() == run())
   }
+
+  test("a map-typed fact column does not break the skewed path") {
+    import spark.implicits._
+    // hash() rejects MapType at analysis time, and only the SKEWED
+    // branch hashes — an unguarded whole-row hash made map-carrying
+    // schemas a latent production-only failure that plain join handles
+    // fine. Map columns are excluded from the salt derivation instead.
+    val (fact0, dim) = skewed()
+    val fact = fact0.withColumn("props",
+      map(lit("p"), col("payload").cast("string")))
+    val salted = SkewJoin.saltedInner(fact, dim, "k",
+      saltFactor = 8, hotKeyThreshold = 500)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "payload", "name")
+        .exceptAll(plain.select("k", "payload", "name")).isEmpty,
+      "salted join with a map column diverged from the plain join")
+  }
 }
