@@ -272,8 +272,9 @@ object Knn {
         s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
     val sigUdf = signatureUdf(nt, np, dim)
     def sigs(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"),
-        posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+      df.where(col(vecCol).isNotNull) // null vector would NPE the UDF
+        .select(col(idCol).as(s"${side}_id"),
+          posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
     val cand = sigs(queries, "query")
       .join(sigs(corpus, "neighbor"), Seq("table", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -304,8 +305,13 @@ object Knn {
   def tableSignatures(vectors: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, numTables: Int, dim: Int): DataFrame = {
     val sigUdf = signatureUdf(numTables, numPlanes, dim)
-    vectors.select(col(idCol).as("id"),
-      posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+    // A null vector cannot be bucketed — and Spark passes null through
+    // to the reference-typed Seq[Float] UDF arg, where v.length would
+    // NPE the whole job (in the streaming candidate op, permanently).
+    vectors
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
   }
 
   /** All id pairs with cosine ≥ `threshold`, generated through hyperplane
@@ -351,6 +357,10 @@ object Knn {
       s"planes=$np (${if (numPlanes > 0) "pinned" else "derived"}), " +
         s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
     val sigs = tableSignatures(vectors, idCol, vecCol, np, nt, dim)
+    // No persist needed for the self-join: both sides canonicalize to
+    // the same shuffle, so AQE inserts a ReusedExchange at runtime and
+    // the signature-UDF pipeline executes once (verified on the
+    // executed plan; a persist here would only add a disk round-trip).
     val cand = sigs.select(col("table"), col("sig"), col("id").as("a_id"))
       .join(sigs.select(col("table"), col("sig"), col("id").as("b_id")),
         Seq("table", "sig"))

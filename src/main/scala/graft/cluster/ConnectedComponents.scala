@@ -175,6 +175,20 @@ object ConnectedComponents {
       srcCol: String = "l_id",
       dstCol: String = "r_id",
       maxIter: Int = 50): DataFrame = {
+    // Vertices whose ONLY edges are self-loops still belong in the
+    // output as their own singleton component — the driver union-find
+    // kernel emits (x, x) for them, and `auto`'s contract is identical
+    // labels on either side of the size cap. Dropping the (x, x) edge
+    // below would silently delete the vertex. Typically empty/tiny.
+    // Eagerly checkpointed: the returned frame must not keep a live
+    // lineage on the caller's edge frame (`auto` unpersists it right
+    // after this returns — every downstream action would rescan the
+    // raw edge lineage otherwise).
+    val selfLoopIds = edges
+      .where(col(srcCol).cast("long") === col(dstCol).cast("long"))
+      .select(col(srcCol).cast("long").as("id"))
+      .distinct()
+      .localCheckpoint(true)
     var e = edges
       .select(greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .as("u"),
@@ -231,8 +245,11 @@ object ConnectedComponents {
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"star connected components converged in $iter rounds " +
         s"(maxIter=$maxIter)")
-    e.select(col("u").as("id"), col("v").as("component"))
+    val labeled = e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+    labeled.unionByName(
+      selfLoopIds.join(labeled.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
   }
 }

@@ -276,15 +276,62 @@ object Hierarchical {
     } ++ orphans.iterator.map(v => Assignment(ids(v), ids(v), 1.0))
   }
 
+  /** Stream one component's edge iterator into at most `cap` edges,
+    * keeping the STRONGEST by (score desc, lId asc, rId asc) — a total
+    * order, so the kept multiset is deterministic regardless of arrival
+    * order. Vertices whose every edge was evicted are returned
+    * separately so the caller can emit them as singletons (the same
+    * orphan contract splitOversized documents). Bounds flatMapGroups'
+    * per-task heap at O(cap + V) where the unbounded `it.toSeq` was
+    * O(E): a giant component (the usual shape of a similarity graph at
+    * scale) would otherwise OOM the task BEFORE hacOnGroup's
+    * maxComponentSize guard could run. Evicting the weakest edges is
+    * semantics-aligned with that guard: they are exactly the cut set
+    * splitOversized would drop first.
+    */
+  private[cluster] def strongestEdges(
+      it: Iterator[Edge], cap: Int): (Seq[Edge], Iterator[Long]) = {
+    // Min-heap on the keep-order (weakest at head) via reversed compare.
+    implicit val weakestFirst: Ordering[Edge] = Ordering.by((e: Edge) =>
+      (e.score, -e.lId, -e.rId))
+    val heap = mutable.PriorityQueue.empty[Edge](weakestFirst.reverse)
+    val seen = mutable.HashSet.empty[Long]
+    var total = 0L
+    it.foreach { e =>
+      total += 1
+      seen += e.lId; seen += e.rId
+      heap.enqueue(e)
+      if (heap.size > cap) heap.dequeue()
+    }
+    if (total <= cap) (heap.toSeq, Iterator.empty)
+    else {
+      val kept = heap.toSeq
+      kept.foreach { e => seen -= e.lId; seen -= e.rId }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"HAC component carries $total edge observations > " +
+          s"maxEdgesPerComponent=$cap; kept the $cap strongest " +
+          s"(weakest-cut eviction), ${seen.size} edge-orphaned vertices " +
+          "kept as singletons")
+      (kept, seen.iterator)
+    }
+  }
+
   /** Cluster scored pairs: components, then per-component HAC. Returns the
     * entity_map `(_unique_id, canon_id, cluster_score)`
     * (ref pgdedupe/run.py:397-399).
+    *
+    * `maxEdgesPerComponent` bounds the per-task edge materialization
+    * (see [[strongestEdges]]); at the 4M default the buffer is a few
+    * hundred MB worst-case — sized for a 4 GB executor — and the
+    * eviction only ever fires on components that were already headed
+    * for splitOversized's weakest-edge cut.
     */
   def cluster(
       scoredPairs: DataFrame, // l_id, r_id, score
       threshold: Double,
       maxComponentSize: Int = 1000,
-      ccEdgeCap: Long = 1000000L): DataFrame = {
+      ccEdgeCap: Long = 1000000L,
+      maxEdgesPerComponent: Int = 4000000): DataFrame = {
     val spark = scoredPairs.sparkSession
     import spark.implicits._
     val above = scoredPairs.where(col("score") >= threshold)
@@ -302,8 +349,11 @@ object Hierarchical {
       .as[Edge]
     withComp
       .groupByKey(_.component)
-      .flatMapGroups((_, it) =>
-        hacOnGroup(it.toSeq, threshold, maxComponentSize))
+      .flatMapGroups { (_, it) =>
+        val (edges, orphans) = strongestEdges(it, maxEdgesPerComponent)
+        hacOnGroup(edges, threshold, maxComponentSize) ++
+          orphans.map(id => Assignment(id, id, 1.0))
+      }
       .toDF("_unique_id", "canon_id", "cluster_score")
   }
 }

@@ -40,6 +40,12 @@ final case class DedupeConfig(
     // driver heap at the default; raise on a fat driver, lower (or 0 to
     // force the distributed kernel) when edges are wide of that.
     ccEdgeCap: Long = 1000000L,
+    // Per-task ceiling on one HAC component's materialized edge list
+    // (Hierarchical.strongestEdges): beyond it, only the strongest
+    // edges are agglomerated and edge-orphaned vertices become
+    // singletons. A few hundred MB of executor heap at the default —
+    // size to the executor, not the data.
+    maxEdgesPerComponent: Int = 4000000,
     settingsFile: Option[String] = None,
     trainingFile: Option[String] = None,
     useSavedModel: Boolean = false,
@@ -127,6 +133,8 @@ object DedupeConfig {
       maxBlockSize = str("max_block_size", "1000").toInt,
       maxComponentSize = str("max_component_size", "1000").toInt,
       ccEdgeCap = str("cc_edge_cap", "1000000").toLong,
+      maxEdgesPerComponent =
+        str("max_edges_per_component", "4000000").toInt,
       settingsFile = opt("settings_file"),
       trainingFile = opt("training_file"),
       useSavedModel = str("use_saved_model", "false").toBoolean,

@@ -42,12 +42,22 @@ object TextDedup {
     * document bodies.
     */
   def exactByHash(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    docs
-      .select(md5(col(textCol)).as("content_hash"), col(idCol))
+      idCol: String = "doc_id"): DataFrame = {
+    val src = docs.select(md5(col(textCol)).as("content_hash"), col(idCol))
+    // null text is NOT "identical text": md5(null) is null and groupBy
+    // treats null as an ordinary key, so every null-text document
+    // collapsed into ONE bogus duplicate cluster — at scale, dedup
+    // would then drop all but one of millions of empty documents. Null
+    // texts pass through as singletons instead.
+    val hashed = src.where(col("content_hash").isNotNull)
       .groupBy("content_hash")
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("dup_count"),
         sort_array(collect_list(idCol)).as("member_ids"))
+    val nulls = src.where(col("content_hash").isNull)
+      .select(col("content_hash"), col(idCol).as("canonical_id"),
+        lit(1L).as("dup_count"), array(col(idCol)).as("member_ids"))
+    hashed.unionByName(nulls)
+  }
 
   /** Whitespace word shingles of size k, distinct, as array<string>.
     * Tokenization is the codegen'd trim+split (TextAnalysis.tokens); the
@@ -351,8 +361,14 @@ object TextDedup {
     val chunks = math.min(maxHamming + 1, bits)
     val bounds = (0 to chunks).map(c => c * bits / chunks)
     // Persisted: the chunk self-join consumes this twice — otherwise the
-    // fingerprint scan runs twice. Released by sealResult before return.
-    val fp = fingerprints.persist(Disk)
+    // fingerprint scan runs twice. Released by sealResult before return —
+    // but ONLY if this call created the cache: Dataset.persist returns
+    // the same object, so unpersisting a frame the CALLER had already
+    // cached would silently drop their cache block and recompute the
+    // full simHash pipeline on their next action.
+    val callerCached = fingerprints.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val fp = if (callerCached) fingerprints else fingerprints.persist(Disk)
     // The full fingerprint RIDES THROUGH the chunk join (8 fixed bytes
     // per side) instead of being re-attached by two extra join shuffles
     // afterwards — the opposite call from the embedding LSH path, whose
@@ -377,7 +393,7 @@ object TextDedup {
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .where(col("hamming") <= maxHamming)
         .select("a_id", "b_id", "hamming"),
-      fp)
+      (if (callerCached) Seq.empty else Seq(fp)): _*)
   }
 
   /** Embedding near-dup: cosine ≥ threshold via brute-force within LSH

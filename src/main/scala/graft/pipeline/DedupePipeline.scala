@@ -129,9 +129,8 @@ object DedupePipeline {
       cfg: DedupeConfig,
       model: LogisticModel): (DataFrame, DataFrame) = {
     val pairs = RelationalOps.kolbPairs(smallerCoverage)
-    val lrec = cfg.columns.foldLeft(
-      entriesUnique.select(col("_unique_id").as("l_id"),
-        struct(cfg.columns.map(col): _*).as("l_rec")))((d, _) => d)
+    val lrec = entriesUnique.select(col("_unique_id").as("l_id"),
+      struct(cfg.columns.map(col): _*).as("l_rec"))
     val rrec = entriesUnique.select(col("_unique_id").as("r_id"),
       struct(cfg.columns.map(col): _*).as("r_rec"))
     val withRecs = pairs
@@ -148,7 +147,8 @@ object DedupePipeline {
   def cluster(scored: DataFrame, cfg: DedupeConfig): DataFrame =
     Hierarchical.cluster(
       scored.select("l_id", "r_id", "score"),
-      cfg.threshold, cfg.maxComponentSize, cfg.ccEdgeCap)
+      cfg.threshold, cfg.maxComponentSize, cfg.ccEdgeCap,
+      cfg.maxEdgesPerComponent)
 
   /** apply_results (ref run.py:429-491): right-join + coalesce, exact-match
     * merge passes over unique records, then explode to source grain;
@@ -231,8 +231,12 @@ object DedupePipeline {
       e
     }
     lazy val trained = trainOrLoad(eu, cfg)
-    val model = timed("train")(modelOpt.getOrElse(trained._1))
-    val predicates = predicatesOpt.getOrElse(trained._2)
+    // ONE timed block for both: with modelOpt supplied but
+    // predicatesOpt absent, the predicate getOrElse is what forces the
+    // lazy trainOrLoad — timing only the model lookup attributed the
+    // whole training wall-clock to no phase.
+    val (model, predicates) = timed("train")(
+      (modelOpt.getOrElse(trained._1), predicatesOpt.getOrElse(trained._2)))
     val (bm, sc, pb) = block(eu, cfg, predicates)
     val (pairs, scored0) = scorePairs(eu, sc, cfg, model)
     // Persist only the (l_id, r_id, score) projection the clustering and

@@ -232,7 +232,11 @@ object RelationalQueries {
           count(*) AS dup_count,
           coalesce(array_to_string(list_sort(array_agg(doc_id)), ','), '')
             AS member_ids
-        FROM documents GROUP BY md5(text)""")),
+        FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+        UNION ALL
+        SELECT NULL AS content_hash, doc_id AS canonical_id,
+          1 AS dup_count, CAST(doc_id AS VARCHAR) AS member_ids
+        FROM documents WHERE text IS NULL""")),
 
     // A4 — min + HAVING canonical-target groups (ref exact_matches.py:78).
     QueryDef(

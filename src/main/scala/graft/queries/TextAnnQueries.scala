@@ -184,7 +184,7 @@ object TextAnnQueries {
         m AS (
           SELECT doc_id,
             CAST(len(toks) AS DOUBLE) AS ntok,
-            (CAST(length(text) AS DOUBLE) - (len(toks) - 1)) /
+            CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
               CAST(len(toks) AS DOUBLE) AS mwl,
             CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
               AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS ar,

@@ -40,7 +40,8 @@ object TextAnalysis {
       size(tokens(t)).as("n_words"),
       length(t).as("n_chars"),
       size(splitNonEmpty(t, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\\s])" +
-        "|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])|\\s+"))
+        "|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])" +
+        "|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+"))
         .as("n_subtokens"))
   }
 
@@ -53,7 +54,13 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks).cast("double")
-    val meanWordLen = (length(t) - (size(toks) - 1)) / nTok
+    // Total NON-WHITESPACE chars over token count: the previous
+    // `(length - (ntok - 1)) / ntok` assumed exactly one separator
+    // space and no padding, so "  hi  " scored mean word length 6.0
+    // instead of 2.0 — systematically wrong quality for whitespace-
+    // padded or multi-spaced docs.
+    val meanWordLen =
+      length(regexp_replace(t, "\\s+", "")).cast("double") / nTok
     val alphaRatio =
       (length(regexp_replace(t, "[^a-zA-Z ]", "")).cast("double") /
         greatest(length(t), lit(1)).cast("double"))

@@ -70,10 +70,11 @@ class ClusterSpec extends SparkSpec {
     val dist = toMap(ConnectedComponents.auto(edges, smallEdgeCap = 2L))
     assert(driver.get(9L).contains(2L) && driver.get(7L).contains(2L))
     assert(dist == star, s"above-cap auto $dist vs runStar $star")
-    // runStar drops pure self-loop islands (40) — the driver path labels
-    // every id it sees; on shared ids the labels must agree exactly.
-    assert(star.keySet.forall(k => driver.get(k) == star.get(k)),
-      s"driver $driver vs star $star")
+    // Pure self-loop islands (40) are singleton components on BOTH
+    // kernels — auto's contract is identical labels across the cap, so
+    // the vertex sets (not just shared ids) must agree exactly.
+    assert(star.get(40L).contains(40L), s"runStar dropped 40: $star")
+    assert(driver == star, s"driver $driver vs star $star")
   }
 
   test("star CC collapses a long path in few rounds") {
@@ -166,6 +167,48 @@ class ClusterSpec extends SparkSpec {
     val out2 = Hierarchical.hacOnGroup(scala.util.Random.shuffle(edges),
       0.5, 6).toSeq.sortBy(_._unique_id)
     assert(out1 == out2)
+  }
+
+  test("strongestEdges caps materialization, orphans lose-all vertices") {
+    // 1-2 (0.9) and 3-4 (0.8) are the two strongest; 5's only edges are
+    // the two weakest, so with cap=2 vertex 5 is edge-orphaned.
+    val edges = Seq(
+      Hierarchical.Edge(1L, 1L, 2L, 0.9),
+      Hierarchical.Edge(1L, 3L, 4L, 0.8),
+      Hierarchical.Edge(1L, 1L, 5L, 0.4),
+      Hierarchical.Edge(1L, 2L, 5L, 0.3))
+    // Under the cap: pure pass-through, no orphans.
+    val (all, none) = Hierarchical.strongestEdges(edges.iterator, 10)
+    assert(all.sortBy(e => (e.lId, e.rId)) ==
+      edges.sortBy(e => (e.lId, e.rId)) && none.isEmpty)
+    // Over the cap: strongest kept, deterministic across arrival order.
+    val (kept1, orph1) = Hierarchical.strongestEdges(edges.iterator, 2)
+    val (kept2, orph2) =
+      Hierarchical.strongestEdges(edges.reverse.iterator, 2)
+    assert(kept1.map(_.score).sorted == Seq(0.8, 0.9))
+    assert(kept1.toSet == kept2.toSet)
+    assert(orph1.toSeq == Seq(5L) && orph2.toSeq == Seq(5L))
+  }
+
+  test("cluster() bounds per-component edges, loses no vertex") {
+    import spark.implicits._
+    // One component: tight pair (1,2)=0.9 chained to 3 via 0.6 edges.
+    // cap=1 keeps only the strongest edge; 3 must survive as its own
+    // singleton entity (score 1.0), exactly splitOversized's contract.
+    val scored = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.6), (1L, 3L, 0.55)
+    ).toDF("l_id", "r_id", "score")
+    val em = Hierarchical.cluster(scored, threshold = 0.5,
+      maxEdgesPerComponent = 1)
+    val rows = em.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"lost a vertex: $rows")
+    assert(rows(1L)._1 == 1L && rows(2L)._1 == 1L)
+    assert(rows(3L) == (3L, 1.0), s"orphan semantics: ${rows(3L)}")
+    // An ample cap yields the uncapped answer.
+    val full = Hierarchical.cluster(scored, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $full")
   }
 
   test("cluster() end-to-end over a scored-pairs DataFrame") {
