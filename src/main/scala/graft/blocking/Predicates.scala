@@ -275,14 +275,23 @@ object Blocker {
     // equi-joined on the field tag; block keys carry the predicate id,
     // so the combined collect_set explodes to the same (block_key, id)
     // multiset the per-predicate parts produced.
-    val canopies = idxPreds.collect { case p: TfIdfCanopy => p }
+    // `.distinct` collapses byte-identical predicates (same field AND
+    // threshold, so the same `id`): the combined collect_set below
+    // dedups their identical (block_key, id) rows anyway, so emitting
+    // them once is the semantics we document — the old per-predicate
+    // union emitted duplicates twice, a difference with no downstream
+    // effect since pair generation dedups pairs.
+    val canopies = idxPreds.collect { case p: TfIdfCanopy => p }.distinct
     canopies.groupBy(_.maxDfRatio).foreach { case (ratio, ps) =>
       val spark = records.sparkSession
       val fields = ps.map(_.field).distinct
       def tagged(extra: Seq[org.apache.spark.sql.Column]) = records
         .select(explode(array(fields.map(f =>
-            struct(lit(f).as("f"), col(f).as("value"))): _*)).as("fv")
-          +: extra: _*)
+            // Cast to string so mixed-type canopy fields unify under
+            // one array element type (canopy tokenization is
+            // string-based regardless).
+            struct(lit(f).as("f"), col(f).cast("string").as("value"))): _*))
+          .as("fv") +: extra: _*)
         .select(col("fv.f").as("f") +: col("fv.value").as("value")
           +: extra: _*)
         .where(col("value").isNotNull && col("value") =!= "")

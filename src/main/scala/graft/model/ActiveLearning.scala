@@ -139,8 +139,12 @@ object ActiveLearning {
       df.select((keep.map(col) :+ col("label").cast("double")): _*).collect()
 
     // Features over the pool: computed once, scored per round with
-    // literal weights. Released before return.
-    val feats = Comparators.withFeatures(cfg, candidates)
+    // literal weights. Released before return. Null-id pairs are
+    // dropped up front: the seen-pair exclusion compares ids
+    // structurally, and SQL NULL never equals anything, so a null-id
+    // pair could be re-surfaced to the oracle every round.
+    val feats = Comparators.withFeatures(cfg,
+        candidates.where(col("l_id").isNotNull && col("r_id").isNotNull))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var labeledRows = toLabeledRows(seed).toVector
@@ -176,9 +180,17 @@ object ActiveLearning {
           // string ids containing the delimiter (l_id="a|b", r_id="c"
           // vs l_id="a", r_id="b|c") and silently exclude never-labeled
           // candidates.
+          // Literals are cast to the pool's id types: a bare lit picks
+          // its own type from the runtime value (and NullType for
+          // null), which can fail In's type coercion at analysis when
+          // it disagrees with the frame's schema.
+          val lDt = feats.schema("l_id").dataType
+          val rDt = feats.schema("r_id").dataType
           val seen = (labeledRows.map(r => (r.get(0), r.get(1))) ++
             surfacedIds).distinct
-            .map { case (l, r) => struct(lit(l), lit(r)) }
+            .map { case (l, r) =>
+              struct(lit(l).cast(lDt), lit(r).cast(rDt))
+            }
           val scored = feats
             .where(!struct(col("l_id"), col("r_id")).isin(seen: _*))
             .withColumn("score", model.scoreColumnNamed)

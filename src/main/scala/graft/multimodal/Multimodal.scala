@@ -233,7 +233,11 @@ object Multimodal {
           if (pos + 16 > end) return false
           size = be64(b, p + 8); hdr = 16
         } else if (size == 0) size = end - pos
-        if (size < hdr || pos + size > end) return false
+        // Overflow-free bound: a crafted 64-bit largesize near
+        // Long.MaxValue makes `pos + size` wrap negative and pass a
+        // `pos + size > end` check; `end - pos` is small and
+        // non-negative, so this form cannot wrap.
+        if (size < hdr || size > end - pos) return false
         if (!f(new String(b, p + 4, 4, "ISO-8859-1"), pos + hdr, pos + size))
           return false
         pos += size
@@ -241,7 +245,9 @@ object Multimodal {
       true
     }
     var duration = 0.0; var tracks = 0; var w = 0; var h = 0
-    val ok = walk(0, b.length) { (t, s, e) =>
+    // Same last-resort net as bmpHeader/imageHeader: one hostile row
+    // must yield None, never kill the task.
+    val ok = try walk(0, b.length) { (t, s, e) =>
       if (t != "moov") true
       else walk(s, e) { (t2, s2, e2) =>
         val p2 = s2.toInt
@@ -281,7 +287,7 @@ object Multimodal {
           case _ => true
         }
       }
-    }
+    } catch { case _: Exception => false }
     if (ok) Some(Mp4Meta(duration, tracks, w, h)) else None
   }
 

@@ -115,6 +115,14 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0, 0, 1, 0) ++ "moov".getBytes
     assert(Multimodal.mp4Header(bad).isEmpty)
     assert(Multimodal.mp4Header("not an mp4 at all".getBytes).isEmpty)
+    // A 64-bit largesize near Long.MaxValue must not wrap `pos + size`
+    // negative and slip past the bounds check (overflow-free compare).
+    val huge = beBox("ftyp", "isomiso2".getBytes) ++
+      Array[Byte](0, 0, 0, 1) ++ "moov".getBytes ++
+      new Array[Byte](8) ++ new Array[Byte](16)
+    putBe32(huge, huge.length - 24 + 0, (Long.MaxValue >> 32) & 0xffffffffL)
+    putBe32(huge, huge.length - 24 + 4, Long.MaxValue & 0xffffffffL)
+    assert(Multimodal.mp4Header(huge).isEmpty)
     // mediaInfo routes the container metadata; withByteStats sniffs it.
     val df = Seq((9L, mp4)).toDF("id", "payload")
     val info = Multimodal.mediaInfo(df, "payload", "id").collect().head
