@@ -11,7 +11,8 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ AnalyticsQueries.defs ++
-      DedupQueries.defs ++ PipelineQueries.defs ++ TextAnnQueries.defs
+      DedupQueries.defs ++ PipelineQueries.defs ++ TextAnnQueries.defs ++
+      CorpusQueries.defs
 
   /** Flagship: full record-linkage pipeline (ref pgdedupe/cli.py:46-62)
     * on sf0.001-derived person records; rows = source-grain dedupe ids.

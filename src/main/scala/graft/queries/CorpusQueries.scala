@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.CorpusOps
+
+/** LLM corpus-curation operators (harness extensions past the reference
+  * surface — see [[graft.text.CorpusOps]]) with full DuckDB oracles.
+  *
+  * The demos use 5-gram keys where the published recipes use 8–13:
+  * the synthetic corpus draws from a ~40-word vocabulary, so 5-grams
+  * collide often enough to exercise the nonzero-overlap paths while
+  * 8-grams would make every answer trivially zero. The operators take
+  * `n` as a parameter; nothing in the plan shape changes with it.
+  */
+object CorpusQueries {
+
+  /** Shared oracle fragment: word n-grams of `documents.text` as
+    * space-joined strings (DuckDB range() is exclusive-stop and list
+    * slices are inclusive 1-based, so stop = len-n+2, slice i..i+n-1;
+    * short docs yield an empty range, hence zero unnested rows —
+    * mirroring the Spark side's empty-array guard).
+    */
+  private def gramsCte(n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents),
+        g AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(t) - ${n - 2}), i ->
+              array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+          FROM toks)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Benchmark decontamination: training docs sharing any 5-gram with
+    // the held-out eval slice (doc_id % 97 == 0) are contaminated.
+    QueryDef(
+      "q53_decontaminate",
+      (s, dir) => CorpusOps.decontaminate(
+        Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0,
+        "doc_id", "text", n = 5),
+      Some(s"""WITH ${gramsCte(5)},
+          eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+          m AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_matched
+            FROM g JOIN eg USING (gram)
+            WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+        SELECT d.doc_id, coalesce(m.n_matched, 0) AS n_matched,
+          coalesce(m.n_matched, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+        WHERE d.doc_id % 97 <> 0""")),
+
+    // Gopher-style repetition filter signal: duplicate 3-gram fraction
+    // within each document.
+    QueryDef(
+      "q54_repetition_score",
+      (s, dir) => CorpusOps.repetitionScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 3),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents),
+          gg AS (SELECT doc_id,
+              list_transform(range(1, len(t) - 1), i ->
+                array_to_string(t[i:i+2], ' ')) AS g
+            FROM toks)
+        SELECT doc_id,
+          CAST(len(g) AS BIGINT) AS n_grams,
+          CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+          CASE WHEN len(g) > 0 THEN
+            CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+          ELSE 0.0 END AS rep_ratio
+        FROM gg""")),
+
+    // PII hygiene over the event log: salted pseudonymous user key,
+    // numeric-run scrub of the JSON payload, audit count.
+    QueryDef(
+      "q55_pii_scrub",
+      (s, dir) => CorpusOps.piiScrub(
+        Tables.load(s, dir, "events"), "event_id", "user_id", "props",
+        salt = "graft-pii-v1"),
+      Some("""SELECT event_id,
+          md5('graft-pii-v1:' || CAST(user_id AS VARCHAR))
+            AS user_pseudo,
+          regexp_replace(coalesce(props, ''), '[0-9]+', '#', 'g')
+            AS payload_scrubbed,
+          CAST(len(regexp_extract_all(coalesce(props, ''), '[0-9]+'))
+            AS BIGINT) AS n_masked
+        FROM events""")),
+
+    // C4-style duplicate-span detection: 5-grams appearing in >= 2
+    // distinct docs are corpus boilerplate; per-doc span counts and
+    // the doc-grain retention decision.
+    QueryDef(
+      "q56_dup_spans",
+      (s, dir) => CorpusOps.duplicateSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 5,
+        minDocs = 2),
+      Some(s"""WITH ${gramsCte(5)},
+          dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+          per AS (SELECT g.doc_id, count(*) AS n_dup_spans
+            FROM g JOIN dup USING (gram) GROUP BY g.doc_id)
+        SELECT t.doc_id,
+          CAST(greatest(len(t.t) - 4, 0) AS BIGINT) AS n_spans,
+          coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+          coalesce(p.n_dup_spans, 0) * 2 <= greatest(len(t.t) - 4, 0)
+            AS keep
+        FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id"""))
+  )
+}

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines —
+  * extensions beyond the reference surface (dssg/pgdedupe has no text
+  * corpus layer; these follow the published curation recipes: C4-style
+  * duplicate-span removal, Raffel et al. 2020; repetition filtering,
+  * Rae et al. 2021 "Gopher" §A1.1; benchmark decontamination via
+  * n-gram overlap, Brown et al. 2020 GPT-3 appendix C).
+  *
+  * All four operators are pure DataFrame programs: word n-grams are
+  * built inside whole-stage codegen (`transform`/`slice`/`array_join`
+  * — no UDF), the corpus-wide steps are single equi-join/aggregate
+  * shuffles on the n-gram key, and nothing is collected to the driver.
+  *
+  * 100 TB notes:
+  *  - n-gram keys here are the literal strings so the DuckDB oracle
+  *    can replay them; at cluster scale group/join on
+  *    `xxhash64(gram)` (or a 128-bit pair for collision headroom) to
+  *    cut shuffle width ~10× — counts are unchanged, only the key
+  *    representation shrinks.
+  *  - [[decontaminate]] broadcasts the eval-set n-grams: eval suites
+  *    are MBs while training corpora are TBs, so the contaminated-doc
+  *    scan is one broadcast semi-join with no shuffle of the corpus.
+  *    If the eval side ever outgrows the broadcast threshold, swap to
+  *    a shuffle semi-join (or a bloom filter pre-pass) — same
+  *    semantics, one extra shuffle.
+  *  - [[duplicateSpans]] is the one corpus×corpus step; it shuffles
+  *    each span once (groupBy) and re-joins left-semi, both on the
+  *    span key, so AQE's skew split handles hot boilerplate spans.
+  */
+object CorpusOps {
+
+  /** Word `n`-grams of a tokenized document as space-joined strings,
+    * entirely inside codegen. Documents shorter than `n` tokens yield
+    * an empty array (NOT null — `sequence(1, len-n+1)` would count
+    * DOWN for short docs, so the guard is load-bearing).
+    */
+  def ngrams(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"ngram size $n")
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def tokens(textCol: String): Column = split(col(textCol), " ")
+
+  /** Benchmark decontamination (GPT-3 appendix C shape): flag every
+    * training document that shares at least one word `n`-gram with the
+    * held-out eval slice. Returns one row per TRAINING doc:
+    * `(idCol, n_matched BIGINT, contaminated BOOLEAN)` where
+    * `n_matched` counts distinct overlapping n-grams.
+    *
+    * `isEval` partitions `docs` into the eval slice (true) and the
+    * training corpus (false); eval n-grams are deduped and broadcast.
+    */
+  def decontaminate(
+      docs: DataFrame, isEval: Column, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val g = ngrams(tokens(textCol), n)
+    val evalGrams = docs.where(isEval)
+      .select(explode(g).as("gram")).distinct()
+    val train = docs.where(!isEval)
+    val matched = train.select(col(idCol), explode(g).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(idCol).agg(countDistinct("gram").as("n_matched"))
+    train.select(col(idCol)).join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Gopher-style within-document repetition score: the fraction of
+    * word `n`-grams that are repeats of an earlier n-gram in the same
+    * document. Per-row only — zero shuffle. Returns
+    * `(idCol, n_grams BIGINT, n_distinct BIGINT, rep_ratio DOUBLE)`;
+    * docs with no n-grams score 0.0 (nothing repeats).
+    */
+  def repetitionScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val g = ngrams(tokens(textCol), n)
+    docs.select(col(idCol), g.as("g"))
+      .select(col(idCol),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams"))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  /** C4-style duplicate-span detection: a word `n`-gram occurring in
+    * `minDocs`+ DISTINCT documents is corpus boilerplate; per document
+    * count its span occurrences and decide retention (`keep` = at most
+    * half the spans are boilerplate — C4 drops the offending spans,
+    * the retention decision here is the doc-grain version of the same
+    * signal). Returns `(idCol, n_spans, n_dup_spans BIGINT,
+    * keep BOOLEAN)`; span-less short docs keep trivially.
+    */
+  def duplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs")
+    val grams = docs
+      .select(col(idCol), explode(ngrams(tokens(textCol), n)).as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(idCol).as("nd"))
+      .where(col("nd") >= minDocs).select("gram")
+    val per = grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(col(idCol),
+        size(ngrams(tokens(textCol), n)).cast("long").as("n_spans"))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)) * 2 <= col("n_spans"))
+          .as("keep"))
+  }
+
+  /** PII hygiene for event/log payloads: deterministic pseudonymization
+    * of the user key (salted MD5 — same user maps to the same token
+    * across runs and tables, so joins still work downstream) plus a
+    * numeric-identifier scrub of the free-form payload, with an audit
+    * count of how many runs were masked. Pure per-row codegen — the
+    * exact shape a 100 TB scrub pass needs (no shuffle at all).
+    */
+  def piiScrub(
+      events: DataFrame, idCol: String, userCol: String,
+      payloadCol: String, salt: String): DataFrame = {
+    val payload = coalesce(col(payloadCol), lit(""))
+    events.select(col(idCol),
+      md5(concat(lit(salt + ":"), col(userCol).cast("string")))
+        .as("user_pseudo"),
+      regexp_replace(payload, "[0-9]+", "#").as("payload_scrubbed"),
+      size(regexp_extract_all(payload, lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_masked"))
+  }
+}

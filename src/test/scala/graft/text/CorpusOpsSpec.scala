@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byId[T](rows: Seq[(Long, T)]): Map[Long, T] = rows.toMap
+
+  test("ngrams builds word n-grams in codegen; short docs yield empty") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(CorpusOps.ngrams(split(col("text"), " "), 3).as("g"))
+    assert(df.as[Seq[String]].collect().toSeq ==
+      Seq(Seq("a b c", "b c d"), Seq(), Seq()))
+    // sequence(1, len-n+1) counts DOWN without the guard — a 2-token
+    // doc with n=3 must not produce phantom grams.
+  }
+
+  test("decontaminate flags exactly the train docs sharing an n-gram " +
+      "with the eval slice") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // eval
+      (1L, "quick brown fox jumps over a sleeping cat"),   // 1 shared 5g
+      (2L, "totally different words in this one here now"),
+      (3L, "the quick brown fox jumps over the lazy dog")  // exact dup
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(
+      docs, col("doc_id") === 0, "doc_id", "text", n = 5)
+    val m = byId(out.select("doc_id", "n_matched").as[(Long, Long)]
+      .collect().toSeq)
+    assert(m(2) == 0L)
+    // doc 1 shares "quick brown fox jumps over" (and only that 5-gram
+    // window aligned variants): windows of doc1 vs doc0 overlap in 1.
+    assert(m(1) == 1L, s"doc1 matched ${m(1)}")
+    assert(m(3) == 5L) // all 5 of doc0's 5-grams
+    val flags = byId(out.select("doc_id", "contaminated")
+      .as[(Long, Boolean)].collect().toSeq)
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
+    assert(!m.contains(0L), "eval docs are excluded from the output")
+  }
+
+  test("repetitionScore is the duplicate n-gram fraction, 0 for short docs") {
+    val docs = Seq(
+      (1L, "x y z x y z x y"), // 6 trigrams, 3 distinct -> 0.5
+      (2L, "a b c d"),         // 2 trigrams, both distinct -> 0.0
+      (3L, "a b")              // no trigrams -> 0.0
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionScore(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 3L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("duplicateSpans finds corpus-wide boilerplate spans and the " +
+      "doc-grain keep decision") {
+    val boiler = "all rights reserved by the site"
+    val docs = Seq(
+      (1L, s"unique alpha words here then $boiler"),
+      (2L, s"other beta content precedes it $boiler"),
+      (3L, "no shared spans in this document at all"),
+      (4L, "tiny doc") // 0 spans -> keep
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.duplicateSpans(docs, "doc_id", "text", n = 5,
+        minDocs = 2)
+      .select("doc_id", "n_spans", "n_dup_spans", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 11 tokens -> 7 spans; the 6-token boilerplate tail shares its 2
+    // five-gram windows between docs 1 and 2.
+    assert(out(1L) == ((7L, 2L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((7L, 2L, true)))
+    assert(out(3L) == ((4L, 0L, true)))
+    assert(out(4L) == ((0L, 0L, true)))
+    // Make the keep rule bite: a doc that IS the boilerplate (every
+    // span duplicated corpus-wide) must drop.
+    val heavy = Seq(
+      (1L, boiler),
+      (2L, s"$boiler again with padding words"),
+      (3L, s"$boiler more padded filler text")
+    ).toDF("doc_id", "text")
+    val kept = CorpusOps.duplicateSpans(heavy, "doc_id", "text", 5, 2)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!kept(1L), "a pure-boilerplate doc must drop")
+  }
+
+  test("piiScrub pseudonymizes stably and scrubs/audits numeric runs") {
+    val ev = Seq(
+      (1L, 42L, """{"k": 69, "ip": "10.0.0.1"}"""),
+      (2L, 42L, """{"k": 7}"""),
+      (3L, 99L, null.asInstanceOf[String])
+    ).toDF("event_id", "user_id", "props")
+    val out = CorpusOps.piiScrub(ev, "event_id", "user_id", "props",
+        "test-salt")
+      .select("event_id", "user_pseudo", "payload_scrubbed", "n_masked")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Same user -> same token (joinable downstream); different -> not.
+    assert(out(1L)._1 == out(2L)._1 && out(1L)._1 != out(3L)._1)
+    assert(out(1L)._2 == """{"k": #, "ip": "#.#.#.#"}""")
+    assert(out(1L)._3 == 5L)
+    assert(out(3L) == ((out(3L)._1, "", 0L)), "null payload scrubs to empty")
+  }
+}
