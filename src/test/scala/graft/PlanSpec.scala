@@ -147,4 +147,27 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"),
       s"q44's brute-force oracle no longer scans all pairs:\n$p")
   }
+
+  test("decontamination broadcasts the eval n-gram set — the corpus " +
+      "side never shuffles for the match") {
+    // Eval suites are MBs while training corpora are TBs: the
+    // contamination probe must be a broadcast join on the corpus scan,
+    // not a corpus-wide shuffle.
+    val p = finalPlan("q53_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q53 eval-gram join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q53 shuffles the corpus to match eval n-grams:\n$p")
+  }
+
+  test("per-row curation passes (repetition, PII scrub) plan zero " +
+      "exchanges") {
+    // These are the 100 TB scrub-pass shape: scan → project → write,
+    // nothing else. Any Exchange here is a bug.
+    Seq("q54_repetition_score", "q55_pii_scrub").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("Exchange"),
+        s"$q shuffles a pure per-row pass:\n$p")
+    }
+  }
 }
