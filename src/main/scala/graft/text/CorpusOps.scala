@@ -122,6 +122,33 @@ object CorpusOps {
           .as("keep"))
   }
 
+  /** Streaming decontamination — the incremental twin of
+    * [[decontaminate]]: the eval corpus is STATIC (benchmark suites
+    * change by release, not by micro-batch) with its n-grams deduped
+    * and broadcast, and arriving training documents are flagged by a
+    * stream-static left-semi join. Emits each contaminated doc id
+    * once (the quarantine feed); re-deliveries of a flagged doc are
+    * suppressed by the dedup state, whose size is one entry per
+    * contaminated doc — bound it in production by watermarking the
+    * arrival time and using `dropDuplicatesWithinWatermark` upstream.
+    *
+    * The per-row curation ops need no streaming twin at all:
+    * [[repetitionScore]] and [[piiScrub]] are pure column programs
+    * with no aggregation, so the SAME function body runs unchanged on
+    * a streaming frame (gated in CorpusStreamSpec).
+    */
+  def decontaminateStream(
+      train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(ngrams(tokens(textCol), n)).as("gram")).distinct()
+    train
+      .select(col(idCol), explode(ngrams(tokens(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .dropDuplicates(idCol)
+      .select(col(idCol))
+  }
+
   /** PII hygiene for event/log payloads: deterministic pseudonymization
     * of the user key (salted MD5 — same user maps to the same token
     * across runs and tables, so joins still work downstream) plus a

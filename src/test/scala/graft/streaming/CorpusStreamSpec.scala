@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.CorpusOps
+
+/** The corpus-curation operators on the streaming surface: the
+  * stream-static decontamination twin matches the batch answer across
+  * micro-batches (including a re-delivery), and the per-row ops run
+  * UNCHANGED on a streaming frame — the payoff of keeping them pure
+  * column programs.
+  */
+class CorpusStreamSpec extends SparkSpec {
+
+  private val evalText = "the quick brown fox jumps over the lazy dog"
+
+  test("decontaminateStream flags exactly the batch-contaminated docs, " +
+      "once, across micro-batches and re-deliveries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((0L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "quick brown fox jumps over a sleeping cat"), // shares one 5g
+      (2L, "totally different words in this one here now"),
+      (3L, evalText),                                    // exact overlap
+      (4L, "nothing shared here either in any window")
+    )
+    val input = MemoryStream[(Long, String)]
+    val out = CorpusOps.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), evalDocs, "doc_id", "text", 5)
+    val q = out.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(train(0), train(1))
+      q.processAllAvailable()
+      input.addData(train(2), train(3))
+      q.processAllAvailable()
+      input.addData(train(0)) // re-delivery must not re-flag
+      q.processAllAvailable()
+      val flagged = spark.table("decon_out")
+        .as[Long].collect().sorted.toSeq
+      // Batch truth on the same corpus:
+      val batch = CorpusOps.decontaminate(
+          evalDocs.unionByName(train.toDF("doc_id", "text")),
+          col("doc_id") === 0, "doc_id", "text", 5)
+        .where(col("contaminated")).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(flagged == batch, s"stream $flagged vs batch $batch")
+      assert(flagged == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("per-row curation ops run unchanged on a streaming frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Long, String)]
+    val scrub = CorpusOps.piiScrub(
+      events.toDF().toDF("event_id", "user_id", "props"),
+      "event_id", "user_id", "props", "test-salt")
+    val docs = MemoryStream[(Long, String)]
+    val rep = CorpusOps.repetitionScore(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text", 3)
+    val q1 = scrub.writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    val q2 = rep.writeStream.format("memory").queryName("rep_out")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, 42L, """{"k": 69}"""))
+      docs.addData((1L, "x y z x y z x y"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val s = spark.table("scrub_out")
+        .select("payload_scrubbed", "n_masked")
+        .as[(String, Long)].head()
+      assert(s == (("""{"k": #}""", 1L)))
+      val r = spark.table("rep_out").select("rep_ratio").as[Double].head()
+      assert(r == 0.5)
+    } finally { q1.stop(); q2.stop() }
+  }
+}
