@@ -29,6 +29,7 @@ object Bench {
     "q13_exact_dedup", "q35_minhash_candidates", "q37_simhash_pairs",
     "q43_fingerprint", "q41_quality_score",
     "q44_knn_bruteforce", "q45_knn_lsh", "q52_embedding_neardup_lsh",
+    "q53_decontaminate", "q56_dup_spans",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

@@ -131,6 +131,9 @@ object CorpusOps {
     * suppressed by the dedup state, whose size is one entry per
     * contaminated doc — bound it in production by watermarking the
     * arrival time and using `dropDuplicatesWithinWatermark` upstream.
+    * The static side is re-evaluated each micro-batch (Spark's
+    * stream-static join contract): persist `evalDocs` at the caller
+    * when the eval corpus isn't a trivial scan.
     *
     * The per-row curation ops need no streaming twin at all:
     * [[repetitionScore]] and [[piiScrub]] are pure column programs
