@@ -103,6 +103,45 @@ object CorpusQueries {
           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
           coalesce(p.n_dup_spans, 0) * 2 <= greatest(len(t.t) - 4, 0)
             AS keep
-        FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id"""))
+        FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id""")),
+
+    // Deterministic train/val/test split: salted-MD5 bucket, 80/10/10.
+    QueryDef(
+      "q57_split_assign",
+      (s, dir) => CorpusOps.splitAssign(
+        Tables.load(s, dir, "documents"), "doc_id", "graft-split-v1"),
+      Some("""WITH h AS (SELECT doc_id,
+            CAST(('0x' || substring(
+              md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+          CASE WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM h""")),
+
+    // Token-budget shard packing in doc_id order: shard id is the
+    // exclusive prefix sum of token counts / 2000. The Spark side runs
+    // the scale-safe two-pass partition-offset sum; the oracle states
+    // the same arithmetic as a window cumsum.
+    QueryDef(
+      "q58_shard_pack",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        CorpusOps.packShards(docs, "doc_id",
+          size(split(col("text"), " ")), budget = 2000L)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+          FROM documents),
+        c AS (SELECT doc_id, weight,
+            coalesce(sum(weight) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum
+          FROM w)
+        SELECT doc_id, weight,
+          CAST(floor(cum / 2000) AS BIGINT) AS shard_id
+        FROM c"""))
   )
 }

@@ -1,7 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Corpus-curation operators for LLM training-data pipelines —
   * extensions beyond the reference surface (dssg/pgdedupe has no text
@@ -150,6 +151,76 @@ object CorpusOps {
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .dropDuplicates(idCol)
       .select(col(idCol))
+  }
+
+  /** Deterministic train/val/test assignment: a salted MD5 of the doc
+    * key drives a 0–99 bucket, cut at `trainPct` / `trainPct+valPct`.
+    * Pure per-row codegen (zero shuffle), reproducible across runs,
+    * machines, and engines — re-running the split on a grown corpus
+    * never reassigns an existing document (the property that keeps
+    * eval sets uncontaminated as the corpus accretes; changing the
+    * salt is the ONLY way to reshuffle, and that is the point).
+    * Returns `(idCol, bucket BIGINT, split STRING)`.
+    */
+  def splitAssign(
+      docs: DataFrame, idCol: String, salt: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"splits $trainPct/$valPct")
+    val bucket = conv(substring(
+        md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    docs.select(col(idCol), bucket.as("bucket"))
+      .select(col(idCol), col("bucket"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Contiguous token-budget shard packing (the sequence-packing layout
+    * step of a training pipeline): documents in `idCol` order are
+    * assigned to shards of ~`budget` total weight — shard id =
+    * exclusive-prefix-sum(weight) / budget, so shards are contiguous
+    * id ranges and every shard except possibly the last holds at
+    * least `budget` weight once its last (boundary-straddling) doc
+    * lands. Returns `(idCol, weight BIGINT, shard_id BIGINT)`.
+    *
+    * The prefix sum is SCALE-SAFE, not a global single-task window:
+    * range-repartition + in-partition sort (distributed), one small
+    * job for per-partition weight sums, a driver-side prefix over
+    * those (bounded by the partition count), then a per-partition
+    * running sum seeded with the broadcast offsets — the same
+    * two-pass seam as `RelationalOps.denseIds`, and like it the
+    * sorted RDD's shuffle files are reused by the second pass.
+    */
+  def packShards(
+      docs: DataFrame, idCol: String, weight: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget")
+    val spark = docs.sparkSession
+    val sorted = docs
+      .select(col(idCol), coalesce(weight.cast("long"), lit(0L)).as("_w"))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema
+      .add("shard_id", LongType, nullable = false)
+    val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        val shard = cum / budget
+        cum += r.getLong(1)
+        Row(r.get(0), r.getLong(1), shard)
+      }
+    }
+    spark.createDataFrame(packed, schema)
+      .withColumnRenamed("_w", "weight")
   }
 
   /** PII hygiene for event/log payloads: deterministic pseudonymization

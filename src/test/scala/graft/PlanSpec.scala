@@ -160,14 +160,15 @@ class PlanSpec extends SparkSpec {
       s"q53 shuffles the corpus to match eval n-grams:\n$p")
   }
 
-  test("per-row curation passes (repetition, PII scrub) plan zero " +
-      "exchanges") {
+  test("per-row curation passes (repetition, PII scrub, split assign) " +
+      "plan zero exchanges") {
     // These are the 100 TB scrub-pass shape: scan → project → write,
     // nothing else. Any Exchange here is a bug.
-    Seq("q54_repetition_score", "q55_pii_scrub").foreach { q =>
-      val p = finalPlan(q)
-      assert(!p.contains("Exchange"),
-        s"$q shuffles a pure per-row pass:\n$p")
-    }
+    Seq("q54_repetition_score", "q55_pii_scrub", "q57_split_assign")
+      .foreach { q =>
+        val p = finalPlan(q)
+        assert(!p.contains("Exchange"),
+          s"$q shuffles a pure per-row pass:\n$p")
+      }
   }
 }

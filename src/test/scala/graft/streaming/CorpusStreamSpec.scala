@@ -62,20 +62,33 @@ class CorpusStreamSpec extends SparkSpec {
     val docs = MemoryStream[(Long, String)]
     val rep = CorpusOps.repetitionScore(
       docs.toDF().toDF("doc_id", "text"), "doc_id", "text", 3)
+    val split = CorpusOps.splitAssign(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "s1")
     val q1 = scrub.writeStream.format("memory").queryName("scrub_out")
       .outputMode("append").start()
     val q2 = rep.writeStream.format("memory").queryName("rep_out")
+      .outputMode("append").start()
+    val q3 = split.writeStream.format("memory").queryName("split_out")
       .outputMode("append").start()
     try {
       events.addData((1L, 42L, """{"k": 69}"""))
       docs.addData((1L, "x y z x y z x y"))
       q1.processAllAvailable(); q2.processAllAvailable()
+      q3.processAllAvailable()
       val s = spark.table("scrub_out")
         .select("payload_scrubbed", "n_masked")
         .as[(String, Long)].head()
       assert(s == (("""{"k": #}""", 1L)))
       val r = spark.table("rep_out").select("rep_ratio").as[Double].head()
       assert(r == 0.5)
-    } finally { q1.stop(); q2.stop() }
+      // The streaming assignment must equal the batch one (pure salted
+      // hash — nothing about the split depends on execution mode).
+      val st = spark.table("split_out").select("doc_id", "split")
+        .as[(Long, String)].head()
+      val bt = CorpusOps.splitAssign(
+          Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "s1")
+        .select("doc_id", "split").as[(Long, String)].head()
+      assert(st == bt)
+    } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 }

@@ -88,6 +88,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!kept(1L), "a pure-boilerplate doc must drop")
   }
 
+  test("splitAssign is a stable salted partition honoring the cut points") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val out = CorpusOps.splitAssign(docs, "doc_id", "s1", 80, 10)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.forall { case (_, b, s) =>
+      b >= 0 && b < 100 &&
+        s == (if (b < 80) "train" else if (b < 90) "val" else "test")
+    })
+    // Accretion safety: the same doc keeps its split when the corpus
+    // grows (assignment depends only on salt + id).
+    val again = CorpusOps.splitAssign(
+        (0L until 4000L).toDF("doc_id"), "doc_id", "s1", 80, 10)
+      .where(col("doc_id") < 2000).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, _, s) => again(id) == s })
+    // The salt is the only reshuffle lever.
+    val other = CorpusOps.splitAssign(docs, "doc_id", "s2", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.exists { case (id, _, s) => other(id) != s })
+    // Buckets are roughly uniform (md5 on 2000 ids: each pct bucket
+    // expects 20; a grossly lopsided hash would break the pcts).
+    val frac = out.count(_._3 == "train").toDouble / out.length
+    assert(math.abs(frac - 0.8) < 0.05, s"train fraction $frac")
+  }
+
+  test("packShards packs contiguous id ranges to the token budget, " +
+      "invariant to input partitioning") {
+    val docs = Seq(
+      (1L, 600L), (2L, 600L), (3L, 600L), // cum 0,600,1200 -> shard 0
+      (4L, 600L),                         // cum 1800 -> shard 1...
+      (5L, 600L), (6L, 600L),             // cum 2400,3000 -> shards
+      (7L, 5000L),                        // oversized doc
+      (8L, 100L)
+    ).toDF("doc_id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.packShards(df, "doc_id", col("w"), budget = 1000L)
+        .select("doc_id", "weight", "shard_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val out = run(docs)
+    val shards = out.map(r => r._1 -> r._3).toMap
+    // exclusive cums: 0,600,1200,1800,2400,3000,3600,8600
+    assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L, 7L -> 3L, 8L -> 8L), s"got $shards")
+    // Shard ids are non-decreasing in id order (contiguity).
+    assert(out.map(_._3) == out.map(_._3).sorted)
+    // Partitioning the input differently must not move a single doc.
+    assert(run(docs.repartition(7)) == out)
+    assert(run(docs.coalesce(1)) == out)
+  }
+
   test("piiScrub pseudonymizes stably and scrubs/audits numeric runs") {
     val ev = Seq(
       (1L, 42L, """{"k": 69, "ip": "10.0.0.1"}"""),
