@@ -29,6 +29,16 @@ object GraftExtensions {
         require(exprs.length == 2,
           s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("bounded_min_by_n"),
+      new ExpressionInfo(classOf[BoundedMinByN].getName,
+        "bounded_min_by_n"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"bounded_min_by_n expects 3 arguments, got ${exprs.length}")
+        // The analyzer wraps a bare AggregateFunction returned from a
+        // registry builder in AggregateExpression(_, Complete, _).
+        BoundedMinByN(exprs(0), exprs(1), exprs(2))
       }))
 
   def inject(ext: SparkSessionExtensions): Unit =
@@ -45,4 +55,12 @@ object GraftFunctions {
     */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** Skew-proof bounded per-group top-N (see [[BoundedMinByN]]): the
+    * payloads of the `n` smallest `(key, payload)` pairs, ascending.
+    * An aggregate — use inside `groupBy(...).agg(...)`.
+    */
+  def boundedMinByN(key: Column, payload: Column, n: Int): Column =
+    call_function("bounded_min_by_n", key, payload,
+      org.apache.spark.sql.functions.lit(n))
 }

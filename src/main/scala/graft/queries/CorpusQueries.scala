@@ -142,6 +142,72 @@ object CorpusQueries {
           FROM w)
         SELECT doc_id, weight,
           CAST(floor(cum / 2000) AS BIGINT) AS shard_id
+        FROM c""")),
+
+    // Deterministic per-language sampling: integer threshold compare
+    // against a 32-bit salted hash — rates en 50%, de 100%, zh 25%,
+    // default 75%. Thresholds are floor(rate * 2^32) literals on BOTH
+    // sides, so the oracle can never disagree on a boundary.
+    QueryDef(
+      "q59_stratified_sample",
+      (s, dir) => CorpusOps.stratifiedSample(
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25),
+        defaultRate = 0.75, salt = "graft-sample-v1"),
+      Some("""SELECT doc_id, lang,
+          CAST(('0x' || substring(
+            md5('graft-sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT)
+          < (CASE lang WHEN 'en' THEN 2147483648
+                       WHEN 'de' THEN 4294967296
+                       WHEN 'zh' THEN 1073741824
+                       ELSE 3221225472 END) AS sampled
+        FROM documents""")),
+
+    // Per-domain quota: at most 10 docs per source, smallest salted
+    // hash wins, doc-id tie-break. The oracle phrases it as the window
+    // row_number idiom; the Spark side runs the skew-proof bounded-heap
+    // aggregate — same answer, shuffle bounded at cap rows per domain
+    // per map partition.
+    QueryDef(
+      "q60_domain_cap",
+      (s, dir) => CorpusOps.domainCap(
+        Tables.load(s, dir, "documents"), "doc_id", "source", cap = 10,
+        salt = "graft-cap-v1"),
+      Some("""WITH h AS (SELECT doc_id, source,
+            CAST(('0x' || substring(
+              md5('graft-cap-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS k
+          FROM documents),
+        r AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+              AS rn
+          FROM h)
+        SELECT source, doc_id FROM r WHERE rn <= 10""")),
+
+    // Epoch mixture weighting: en 2.5x, zh 1.25x, fr 0.5x, default 1x.
+    // One output row per COPY; fractional parts resolve by the same
+    // integer-threshold hash compare as q59 (independent salt).
+    QueryDef(
+      "q61_mixture_expand",
+      (s, dir) => CorpusOps.mixtureExpand(
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 2.5, "zh" -> 1.25, "fr" -> 0.5),
+        defaultWeight = 1.0, salt = "graft-mix-v1"),
+      Some("""WITH c AS (SELECT doc_id, lang,
+            (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0
+                       WHEN 'zh' THEN 1 ELSE 1 END)
+            + (CASE WHEN CAST(('0x' || substring(
+                  md5('graft-mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT)
+                < (CASE lang WHEN 'en' THEN 2147483648
+                             WHEN 'fr' THEN 2147483648
+                             WHEN 'zh' THEN 1073741824
+                             ELSE 0 END)
+               THEN 1 ELSE 0 END) AS n
+          FROM documents)
+        SELECT doc_id, lang,
+          CAST(unnest(range(1, n + 1)) AS INTEGER) AS copy
         FROM c"""))
   )
 }

@@ -223,6 +223,109 @@ object CorpusOps {
       .withColumnRenamed("_w", "weight")
   }
 
+  /** Salted-MD5 uniform hash of the doc key: the first `hexLen` hex
+    * chars as a non-negative long (`hexLen` ≤ 15 so the value fits).
+    * Shared by the deterministic sampling family — identical arithmetic
+    * is stated in each oracle's SQL, so engines agree bit-for-bit.
+    */
+  private def hashKey(idCol: String, salt: String, hexLen: Int): Column =
+    conv(substring(
+        md5(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        1, hexLen),
+      16, 10).cast("long")
+
+  /** Deterministic per-stratum Bernoulli sampling (corpus mixture
+    * control: "keep 30% of en, 100% of zh"): a doc is sampled iff its
+    * 32-bit salted hash falls under `floor(rate · 2³²)` for its
+    * stratum. The comparison is INTEGER — both sides compute the exact
+    * same threshold literal, so there is no float-boundary flake. Pure
+    * per-row codegen, zero shuffle; accretion-safe and reproducible for
+    * the same reasons as [[splitAssign]] (and composable with it —
+    * different salts give independent decisions). Unknown strata use
+    * `defaultRate`. Returns `(idCol, stratumCol, sampled BOOLEAN)` for
+    * every doc — the flag, not the filtered subset, so callers can
+    * audit per-stratum realized rates before dropping rows.
+    */
+  def stratifiedSample(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r =>
+      r >= 0.0 && r <= 1.0), s"rates must be in [0,1]: $rates")
+    def thr(r: Double): Long = (r * 4294967296.0).toLong
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(thr(defaultRate))) { case ((s, r), acc) =>
+        when(col(stratumCol) === s, lit(thr(r))).otherwise(acc)
+      }
+    docs.select(col(idCol), col(stratumCol),
+      (hashKey(idCol, salt, 8) < threshold).as("sampled"))
+  }
+
+  /** Per-domain quota cap: keep at most `cap` documents per domain,
+    * chosen deterministically (smallest salted hash, doc-id tie-break).
+    * This is the anti-over-representation pass of a crawl pipeline —
+    * and the poster child for group skew: one domain can be 10% of a
+    * 100 TB crawl. The window idiom (`row_number() ... <= cap`, the
+    * oracle's phrasing) must move EVERY row of the hot domain into one
+    * task before ranking; this runs [[graft.functions.BoundedMinByN]]
+    * instead, whose map-side partial aggregation bounds the shuffle at
+    * `cap` rows per domain per map partition and memory at O(cap) per
+    * group — the plan survives any skew profile (PlanSpec-gated:
+    * partial+final ObjectHashAggregate, exactly one Exchange). Returns
+    * `(domainCol, idCol)`, exploded back to one row per kept doc.
+    */
+  def domainCap(
+      docs: DataFrame, idCol: String, domainCol: String, cap: Int,
+      salt: String): DataFrame = {
+    require(cap > 0, s"cap $cap")
+    docs
+      .select(col(domainCol), hashKey(idCol, salt, 15).as("_k"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy(col(domainCol))
+      .agg(graft.functions.GraftFunctions
+        .boundedMinByN(col("_k"), col("_id"), cap).as("_ids"))
+      .select(col(domainCol), explode(col("_ids")).as(idCol))
+  }
+
+  /** Deterministic mixture expansion (epoch weighting: "see en 2.3×
+    * per epoch"): each doc is emitted `floor(w)` times plus one more
+    * iff its salted hash lands under the fractional part — so realized
+    * multiplicity is exact per doc, has the right expectation per
+    * stratum, and never changes for a doc as the corpus grows. Weights
+    * below 1 subsample (w = 0.3 ⇒ 30% of docs appear once), the
+    * degenerate case being [[stratifiedSample]] as emit-count. The
+    * `when` guard keeps `sequence()` from counting DOWN for zero-copy
+    * docs (same footgun as [[ngrams]]). Pure per-row codegen + explode:
+    * zero shuffle. Returns one row per COPY:
+    * `(idCol, stratumCol, copy INT)`, copy = 1..multiplicity.
+    */
+  def mixtureExpand(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w =>
+      w >= 0.0 && w <= 100.0), s"weights must be in [0,100]: $weights")
+    def whole(w: Double): Int = math.floor(w).toInt
+    def fracThr(w: Double): Long =
+      ((w - math.floor(w)) * 4294967296.0).toLong
+    val sorted = weights.toSeq.sortBy(_._1)
+    val base = sorted.foldRight(lit(whole(defaultWeight))) {
+      case ((s, w), acc) =>
+        when(col(stratumCol) === s, lit(whole(w))).otherwise(acc)
+    }
+    val thr = sorted.foldRight(lit(fracThr(defaultWeight))) {
+      case ((s, w), acc) =>
+        when(col(stratumCol) === s, lit(fracThr(w))).otherwise(acc)
+    }
+    val copies = (base +
+      (hashKey(idCol, salt, 8) < thr).cast("int")).as("_copies")
+    docs.select(col(idCol), col(stratumCol), copies)
+      .select(col(idCol), col(stratumCol),
+        explode(when(col("_copies") >= 1,
+            sequence(lit(1), col("_copies")))
+          .otherwise(array().cast("array<int>"))).as("copy"))
+  }
+
   /** PII hygiene for event/log payloads: deterministic pseudonymization
     * of the user key (salted MD5 — same user maps to the same token
     * across runs and tables, so joins still work downstream) plus a

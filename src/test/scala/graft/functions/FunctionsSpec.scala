@@ -121,4 +121,122 @@ class FunctionsSpec extends SparkSpec {
       err.getMessage.contains("array<float>"),
       s"unexpected analysis error: ${err.getMessage}")
   }
+
+  // ---- bounded_min_by_n (BoundedMinByN TypedImperativeAggregate) ----
+
+  /** Skewed fixture: group 0 holds ~70% of rows (the hot-domain shape
+    * the aggregate exists for), keys deliberately collide (mod 97) so
+    * the payload tie-break is exercised, spread across 13 partitions so
+    * partial buffers must serialize and merge.
+    */
+  private def skewedGroups(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    import spark.implicits._
+    (0 until n).map { i =>
+      val g = if (rnd.nextDouble() < 0.7) 0L else rnd.nextInt(20).toLong
+      (g, rnd.nextInt(97).toLong, i.toLong)
+    }.toDF("g", "k", "id").repartition(13)
+  }
+
+  test("bounded_min_by_n equals the window row_number idiom on skewed " +
+      "multi-partition data (partial merges exercised)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = skewedGroups(10000, seed = 5L).cache()
+    try {
+      val viaAgg = df.groupBy("g")
+        .agg(GraftFunctions.boundedMinByN(col("k"), col("id"), 7)
+          .as("ids"))
+        .select(col("g"), explode(col("ids")).as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaWindow = df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("k"), col("id"))))
+        .where(col("rn") <= 7).select("g", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaAgg === viaWindow)
+      // Ascending (key, payload) output order within each group.
+      val ordered = df.groupBy("g")
+        .agg(GraftFunctions.boundedMinByN(col("k"), col("id"), 7)
+          .as("ids"))
+        .collect().forall { r =>
+          val keyOf = df.select("k", "id").where(col("g") === r.getLong(0))
+            .collect().map(x => x.getLong(1) -> x.getLong(0)).toMap
+          val ids = r.getSeq[Long](1)
+          val pairs = ids.map(id => (keyOf(id), id))
+          pairs == pairs.sorted
+        }
+      assert(ordered, "payloads must come back in (key, payload) order")
+    } finally df.unpersist()
+  }
+
+  test("bounded_min_by_n: cap over group size returns the whole group; " +
+      "null keys/payloads are skipped; empty input gives empty array") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5L), Some(10L)), (1L, Some(3L), Some(11L)),
+      (1L, None, Some(12L)), (1L, Some(1L), None)
+    ).toDF("g", "k", "id")
+    val out = df.groupBy("g")
+      .agg(GraftFunctions.boundedMinByN(col("k"), col("id"), 100)
+        .as("ids")).head().getSeq[Long](1)
+    assert(out === Seq(11L, 10L), s"got $out")
+    val empty = df.where(col("g") === 99).groupBy("g")
+      .agg(GraftFunctions.boundedMinByN(col("k"), col("id"), 5).as("ids"))
+    assert(empty.collect().isEmpty)
+  }
+
+  test("bounded_min_by_n resolves from SQL and plans partial+final " +
+      "ObjectHashAggregate around one Exchange") {
+    skewedGroups(2000, seed = 7L).createOrReplaceTempView("bmb_t")
+    val df = spark.sql(
+      "SELECT g, bounded_min_by_n(k, id, 3) AS ids FROM bmb_t GROUP BY g")
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_bounded_min_by_n"),
+      s"no map-side partial aggregation — the skew story is gone:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+    val rows = df.collect()
+    assert(rows.length == 21 &&
+      rows.forall(_.getSeq[Long](1).length == 3))
+  }
+
+  test("bounded_min_by_n survives the sort-based aggregation fallback " +
+      "(buffer serialize/deserialize round-trip)") {
+    // ObjectHashAggregate spills to sort-based merge past this
+    // threshold; 1 forces EVERY group through serialize/deserialize.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1")
+    try {
+      val df = skewedGroups(3000, seed = 9L)
+      import org.apache.spark.sql.expressions.Window
+      val viaAgg = df.groupBy("g")
+        .agg(GraftFunctions.boundedMinByN(col("k"), col("id"), 5)
+          .as("ids"))
+        .select(col("g"), explode(col("ids")).as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaWindow = df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("k"), col("id"))))
+        .where(col("rn") <= 5).select("g", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaAgg === viaWindow)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("bounded_min_by_n rejects bad types and a non-positive or " +
+      "non-literal limit at analysis") {
+    import spark.implicits._
+    Seq((1L, 2L, 3L)).toDF("g", "k", "id")
+      .createOrReplaceTempView("bmb_bad")
+    Seq(
+      "SELECT bounded_min_by_n(CAST(k AS STRING), id, 3) FROM bmb_bad " +
+        "GROUP BY g",
+      "SELECT bounded_min_by_n(k, id, 0) FROM bmb_bad GROUP BY g",
+      "SELECT bounded_min_by_n(k, id, id) FROM bmb_bad GROUP BY g"
+    ).foreach { sql =>
+      intercept[AnalysisException] { spark.sql(sql).collect() }
+    }
+  }
 }

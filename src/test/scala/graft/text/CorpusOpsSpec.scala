@@ -139,6 +139,86 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run(docs.coalesce(1)) == out)
   }
 
+  test("stratifiedSample honors per-stratum rates deterministically " +
+      "and stays stable under corpus growth") {
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx"))
+      .toDF("doc_id", "lang")
+    val out = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.0), defaultRate = 1.0, salt = "s1")
+      .select("doc_id", "lang", "sampled")
+      .as[(Long, String, Boolean)].collect()
+    val byLang = out.groupBy(_._2)
+    // rate 0 and rate 1 are exact; 0.5 is statistical (1000 draws).
+    assert(byLang("zh").forall(!_._3), "rate 0.0 must keep nothing")
+    assert(byLang("xx").forall(_._3), "rate 1.0 must keep everything")
+    val frac = byLang("en").count(_._3).toDouble / byLang("en").length
+    assert(math.abs(frac - 0.5) < 0.06, s"en fraction $frac")
+    // Accretion safety: same doc, same decision on a grown corpus.
+    val again = CorpusOps.stratifiedSample(
+        (0L until 6000L).map(i => (i, "en")).toDF("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 0.5), 1.0, salt = "s1")
+      .where(col("doc_id") < 3000 && col("doc_id") % 3 === 0)
+      .select("doc_id", "sampled").as[(Long, Boolean)].collect().toMap
+    assert(out.filter(_._2 == "en").forall { case (id, _, s) =>
+      again(id) == s })
+  }
+
+  test("domainCap keeps exactly cap docs per domain, the same set the " +
+      "window idiom picks, regardless of input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 2000L).map { i =>
+      // domain 'hot' holds 75% of rows — the skew shape the op targets.
+      (i, if (i % 4 != 0) "hot" else s"d${i % 7}")
+    }.toDF("doc_id", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.domainCap(df, "doc_id", "source", cap = 9, salt = "c1")
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val out = run(docs)
+    assert(out.groupBy(_._1).forall(_._2.size == 9))
+    // Oracle twin: row_number over the same salted hash.
+    val k = conv(substring(
+        md5(concat(lit("c1:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val viaWindow = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(k, col("doc_id"))))
+      .where(col("rn") <= 9).select("source", "doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(out === viaWindow)
+    assert(run(docs.repartition(17)) === out)
+    assert(run(docs.coalesce(1)) === out)
+  }
+
+  test("mixtureExpand emits floor(w) or ceil(w) copies with hash-exact " +
+      "fractions; weight 0 drops, weight 1 passes through once") {
+    val docs = (0L until 4000L).map(i =>
+      (i, Seq("up", "down", "zero", "one")((i % 4).toInt)))
+      .toDF("doc_id", "lang")
+    val out = CorpusOps.mixtureExpand(docs, "doc_id", "lang",
+      Map("up" -> 2.5, "down" -> 0.25, "zero" -> 0.0),
+      defaultWeight = 1.0, salt = "m1")
+      .select("doc_id", "lang", "copy").as[(Long, String, Int)].collect()
+    val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val perLang = out.groupBy(_._2)
+    assert(!perLang.contains("zero"), "weight 0 must emit nothing")
+    assert(perLang("one").length == 1000 &&
+      perLang("one").forall(_._3 == 1))
+    // 'up' docs appear 2 or 3 times, mean ~2.5; 'down' 0 or 1, ~0.25.
+    val upCounts = (0L until 4000L).filter(_ % 4 == 0)
+      .map(id => copies.getOrElse(id, 0))
+    assert(upCounts.forall(c => c == 2 || c == 3))
+    val upMean = upCounts.sum.toDouble / upCounts.length
+    assert(math.abs(upMean - 2.5) < 0.1, s"up mean $upMean")
+    val downCounts = (0L until 4000L).filter(_ % 4 == 1)
+      .map(id => copies.getOrElse(id, 0))
+    assert(downCounts.forall(c => c == 0 || c == 1))
+    val downMean = downCounts.sum.toDouble / downCounts.length
+    assert(math.abs(downMean - 0.25) < 0.08, s"down mean $downMean")
+    // copy is a dense 1..n index per doc.
+    assert(out.groupBy(_._1).values.forall(rows =>
+      rows.map(_._3).sorted == (1 to rows.length)))
+  }
+
   test("piiScrub pseudonymizes stably and scrubs/audits numeric runs") {
     val ev = Seq(
       (1L, 42L, """{"k": 69, "ip": "10.0.0.1"}"""),
