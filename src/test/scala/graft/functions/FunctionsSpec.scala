@@ -185,21 +185,39 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("bounded_min_by_n resolves from SQL and plans partial+final " +
-      "ObjectHashAggregate around one Exchange") {
-    skewedGroups(2000, seed = 7L).createOrReplaceTempView("bmb_t")
-    val df = spark.sql(
-      "SELECT g, bounded_min_by_n(k, id, 3) AS ids FROM bmb_t GROUP BY g")
-    df.queryExecution.toRdd.count()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ObjectHashAggregate"),
-      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
-    assert(p.contains("partial_bounded_min_by_n"),
-      s"no map-side partial aggregation — the skew story is gone:\n$p")
-    assert("Exchange".r.findAllIn(p).size == 1,
-      s"expected exactly one shuffle:\n$p")
-    val rows = df.collect()
-    assert(rows.length == 21 &&
-      rows.forall(_.getSeq[Long](1).length == 3))
+      "ObjectHashAggregate around one hash-partitioning Exchange") {
+    // AQE off for this one assertion: the adaptive executedPlan string
+    // prints Initial+Final plans and hides exchanges inside query-stage
+    // leaves, so node-level counting is only meaningful on a plain plan.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      skewedGroups(2000, seed = 7L).createOrReplaceTempView("bmb_t")
+      val df = spark.sql(
+        "SELECT g, bounded_min_by_n(k, id, 3) AS ids FROM bmb_t GROUP BY g")
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan
+      val p = plan.toString
+      assert(p.contains("ObjectHashAggregate"),
+        s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+      assert(p.contains("partial_bounded_min_by_n"),
+        s"no map-side partial aggregation — the skew story is gone:\n$p")
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      // Exactly one aggregation shuffle; the fixture's repartition(13)
+      // contributes a round-robin exchange that must not be counted.
+      val hashShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashShuffles.size == 1,
+        s"expected exactly one hash-partitioning shuffle:\n$p")
+      // Groups are the hot 0 plus nextInt(20) ∈ [0,20) → 20 distinct.
+      val rows = df.collect()
+      assert(rows.length == 20 &&
+        rows.forall(_.getSeq[Long](1).length == 3))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   test("bounded_min_by_n survives the sort-based aggregation fallback " +

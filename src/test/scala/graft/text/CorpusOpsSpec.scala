@@ -216,7 +216,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(downMean - 0.25) < 0.08, s"down mean $downMean")
     // copy is a dense 1..n index per doc.
     assert(out.groupBy(_._1).values.forall(rows =>
-      rows.map(_._3).sorted == (1 to rows.length)))
+      rows.map(_._3).sorted.sameElements(1 to rows.length)))
   }
 
   test("piiScrub pseudonymizes stably and scrubs/audits numeric runs") {
