@@ -30,6 +30,10 @@ object Bench {
     "q43_fingerprint", "q41_quality_score",
     "q44_knn_bruteforce", "q45_knn_lsh", "q52_embedding_neardup_lsh",
     "q53_decontaminate", "q56_dup_spans",
+    // The two nontrivial curation plans: shard-pack (sort shuffle +
+    // driver prefix pass) and domain-cap (ObjectHashAggregate path) —
+    // benched so regressions in either plan show round-over-round.
+    "q58_shard_pack", "q60_domain_cap",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

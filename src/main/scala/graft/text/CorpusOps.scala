@@ -22,12 +22,12 @@ import org.apache.spark.sql.types.LongType
   *    `xxhash64(gram)` (or a 128-bit pair for collision headroom) to
   *    cut shuffle width ~10× — counts are unchanged, only the key
   *    representation shrinks.
-  *  - [[decontaminate]] broadcasts the eval-set n-grams: eval suites
-  *    are MBs while training corpora are TBs, so the contaminated-doc
-  *    scan is one broadcast semi-join with no shuffle of the corpus.
-  *    If the eval side ever outgrows the broadcast threshold, swap to
-  *    a shuffle semi-join (or a bloom filter pre-pass) — same
-  *    semantics, one extra shuffle.
+  *  - [[decontaminate]] broadcasts the eval-set n-grams by default:
+  *    eval suites are MBs while training corpora are TBs, so the
+  *    contaminated-doc scan is one broadcast semi-join with no shuffle
+  *    of the corpus. If the eval side ever outgrows the broadcast
+  *    threshold, pass `broadcastEval = false` for a shuffle hash join
+  *    — same semantics, one extra shuffle (both plans PlanSpec-gated).
   *  - [[duplicateSpans]] is the one corpus×corpus step; it shuffles
   *    each span once (groupBy) and re-joins left-semi, both on the
   *    span key, so AQE's skew split handles hot boilerplate spans.
@@ -56,17 +56,21 @@ object CorpusOps {
     * `n_matched` counts distinct overlapping n-grams.
     *
     * `isEval` partitions `docs` into the eval slice (true) and the
-    * training corpus (false); eval n-grams are deduped and broadcast.
+    * training corpus (false); eval n-grams are deduped and, by
+    * default, broadcast. `broadcastEval = false` drops the hint so the
+    * match plans as a shuffle hash join — the overflow path for an
+    * eval side too big to broadcast, a flag rather than a rewrite.
     */
   def decontaminate(
       docs: DataFrame, isEval: Column, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, broadcastEval: Boolean = true): DataFrame = {
     val g = ngrams(tokens(textCol), n)
     val evalGrams = docs.where(isEval)
       .select(explode(g).as("gram")).distinct()
     val train = docs.where(!isEval)
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
     val matched = train.select(col(idCol), explode(g).as("gram"))
-      .join(broadcast(evalGrams), "gram")
+      .join(evalSide, "gram")
       .groupBy(idCol).agg(countDistinct("gram").as("n_matched"))
     train.select(col(idCol)).join(matched, Seq(idCol), "left")
       .select(col(idCol),
@@ -129,9 +133,16 @@ object CorpusOps {
     * and broadcast, and arriving training documents are flagged by a
     * stream-static left-semi join. Emits each contaminated doc id
     * once (the quarantine feed); re-deliveries of a flagged doc are
-    * suppressed by the dedup state, whose size is one entry per
-    * contaminated doc — bound it in production by watermarking the
-    * arrival time and using `dropDuplicatesWithinWatermark` upstream.
+    * suppressed by the dedup state. Without a watermark that state is
+    * one entry per contaminated doc FOREVER — fine for a bounded
+    * backfill, unbounded for a long-running feed. Pass
+    * `watermark = Some((eventTimeCol, delay))` and the operator
+    * watermarks arrivals and switches to
+    * `dropDuplicatesWithinWatermark`, so state for a doc expires once
+    * the watermark passes it — re-deliveries inside the delay are
+    * still suppressed, and production callers get bounded state
+    * without reimplementing the operator (the emitted frame then also
+    * carries the event-time column, since the dedup state needs it).
     * The static side is re-evaluated each micro-batch (Spark's
     * stream-static join contract): persist `evalDocs` at the caller
     * when the eval corpus isn't a trivial scan.
@@ -143,14 +154,24 @@ object CorpusOps {
     */
   def decontaminateStream(
       train: DataFrame, evalDocs: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int,
+      watermark: Option[(String, String)] = None): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(ngrams(tokens(textCol), n)).as("gram")).distinct()
-    train
-      .select(col(idCol), explode(ngrams(tokens(textCol), n)).as("gram"))
+    val arrivals = watermark.fold(train) { case (timeCol, delay) =>
+      train.withWatermark(timeCol, delay)
+    }
+    val keep: Seq[Column] =
+      col(idCol) +: watermark.map(w => col(w._1)).toSeq
+    val flagged = arrivals
+      .select(keep :+ explode(ngrams(tokens(textCol), n)).as("gram"): _*)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .dropDuplicates(idCol)
-      .select(col(idCol))
+    watermark match {
+      case Some(_) =>
+        flagged.dropDuplicatesWithinWatermark(idCol).select(keep: _*)
+      case None =>
+        flagged.dropDuplicates(idCol).select(col(idCol))
+    }
   }
 
   /** Deterministic train/val/test assignment: a salted MD5 of the doc
