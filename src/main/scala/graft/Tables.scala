@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Harness table loader (TESTDATA.md): one parquet file per table under a
   * scale-factor directory.
@@ -17,9 +17,30 @@ object Tables {
     // spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench); convert
     // the long nanos back to a micros timestamp. DuckDB truncates ns→µs
     // the same way, so oracle comparisons stay exact.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else df
+    val nanoFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts",
+          timestamp_micros((col("ts") / 1000L).cast("long")))
+      else df
+    normalizeNtz(nanoFixed)
+  }
+
+  /** The harness regenerates fixtures with whatever timestamp encoding
+    * its writer of the day emits — TIMESTAMP(NANOS), micros with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or UTC micros have
+    * all shipped. Downstream code (and `Row.getTimestamp` accessors)
+    * should see ONE type regardless, so every top-level TIMESTAMP_NTZ
+    * column is cast to session-zone TimestampType here. All graft
+    * sessions pin `spark.sql.session.timeZone=UTC`, making the cast a
+    * pure reinterpretation — wall-clock values, window results, and
+    * oracle hashes are unchanged (both fixture eras are oracle-green).
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -25,9 +25,11 @@ import org.apache.spark.sql.types.LongType
   *  - [[decontaminate]] broadcasts the eval-set n-grams by default:
   *    eval suites are MBs while training corpora are TBs, so the
   *    contaminated-doc scan is one broadcast semi-join with no shuffle
-  *    of the corpus. If the eval side ever outgrows the broadcast
-  *    threshold, pass `broadcastEval = false` for a shuffle hash join
-  *    — same semantics, one extra shuffle (both plans PlanSpec-gated).
+  *    of the corpus (PlanSpec pins the eval-gram join as broadcast).
+  *    If the eval side ever outgrows the broadcast threshold, pass
+  *    `broadcastEval = false` for a shuffled join — same semantics,
+  *    one extra shuffle (PlanSpec gates the fallback as non-broadcast
+  *    and answer-equal to the default).
   *  - [[duplicateSpans]] is the one corpus×corpus step; it shuffles
   *    each span once (groupBy) and re-joins left-semi, both on the
   *    span key, so AQE's skew split handles hot boilerplate spans.
@@ -181,16 +183,16 @@ object CorpusOps {
     * never reassigns an existing document (the property that keeps
     * eval sets uncontaminated as the corpus accretes; changing the
     * salt is the ONLY way to reshuffle, and that is the point).
+    * `hashFn` picks md5 (oracle-replayable, default) or xxhash64 (the
+    * cheaper 100 TB mode) — see [[HashFns]].
     * Returns `(idCol, bucket BIGINT, split STRING)`.
     */
   def splitAssign(
       docs: DataFrame, idCol: String, salt: String, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
+      valPct: Int = 10, hashFn: String = "md5"): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"splits $trainPct/$valPct")
-    val bucket = conv(substring(
-        md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8),
-      16, 10).cast("long") % 100
+    val bucket = hashKey(idCol, salt, 8, hashFn) % 100
     docs.select(col(idCol), bucket.as("bucket"))
       .select(col(idCol), col("bucket"),
         when(col("bucket") < trainPct, "train")
@@ -228,6 +230,17 @@ object CorpusOps {
         var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
+    // The second pass replays the SAME RDD and indexes `offsets` by
+    // partition id: its correctness depends on the sorted RDD keeping
+    // the partitioning the sums were computed under. That holds because
+    // `rdd` is one materialized lineage reused by both jobs (the range
+    // shuffle's files are reused, not re-sampled) — but make the
+    // dependency loud rather than silent, so any future change that
+    // re-evaluates the lineage (e.g. dropping the shared `val rdd`)
+    // fails here instead of mis-seeding running sums.
+    require(partSums.length == rdd.getNumPartitions,
+      s"packShards partition drift: ${partSums.length} sums for " +
+        s"${rdd.getNumPartitions} partitions")
     val offsets = partSums.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = sorted.schema
@@ -244,16 +257,40 @@ object CorpusOps {
       .withColumnRenamed("_w", "weight")
   }
 
-  /** Salted-MD5 uniform hash of the doc key: the first `hexLen` hex
-    * chars as a non-negative long (`hexLen` ≤ 15 so the value fits).
-    * Shared by the deterministic sampling family — identical arithmetic
-    * is stated in each oracle's SQL, so engines agree bit-for-bit.
+  /** Hash functions accepted by the deterministic sampling family
+    * ([[splitAssign]] / [[stratifiedSample]] / [[domainCap]] /
+    * [[mixtureExpand]]).
+    *
+    *  - `"md5"` (default): the first `hexLen` hex chars of the salted
+    *    MD5 as a non-negative long. Identical arithmetic is stated in
+    *    each oracle's SQL, so engines agree bit-for-bit — the
+    *    replayability mode.
+    *  - `"xxhash64"`: the top `4·hexLen` bits of the salted xxhash64,
+    *    via unsigned shift — same `[0, 16^hexLen)` range, so every
+    *    threshold/modulus downstream is unchanged. One codegen'd
+    *    64-bit hash instead of a full MD5 over an intermediate string:
+    *    the 100 TB mode (SURVEY §9 — ~10× narrower hash work per row;
+    *    no DuckDB twin, so oracle queries keep md5).
+    *
+    * Both are salted the same way, uniform, and pure per-row; the salt
+    * remains the only reshuffle lever in either mode.
     */
-  private def hashKey(idCol: String, salt: String, hexLen: Int): Column =
-    conv(substring(
-        md5(concat(lit(salt + ":"), col(idCol).cast("string"))),
-        1, hexLen),
-      16, 10).cast("long")
+  val HashFns: Set[String] = Set("md5", "xxhash64")
+
+  /** Salted uniform hash of the doc key in `[0, 16^hexLen)`
+    * (`hexLen` ≤ 15 so the value fits a long). See [[HashFns]].
+    */
+  private def hashKey(idCol: String, salt: String, hexLen: Int,
+      hashFn: String): Column = {
+    require(HashFns.contains(hashFn), s"hashFn $hashFn not in $HashFns")
+    val salted = concat(lit(salt + ":"), col(idCol).cast("string"))
+    hashFn match {
+      case "md5" =>
+        conv(substring(md5(salted), 1, hexLen), 16, 10).cast("long")
+      case "xxhash64" =>
+        shiftrightunsigned(xxhash64(salted), 64 - 4 * hexLen)
+    }
+  }
 
   /** Deterministic per-stratum Bernoulli sampling (corpus mixture
     * control: "keep 30% of en, 100% of zh"): a doc is sampled iff its
@@ -270,7 +307,7 @@ object CorpusOps {
   def stratifiedSample(
       docs: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double,
-      salt: String): DataFrame = {
+      salt: String, hashFn: String = "md5"): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r =>
       r >= 0.0 && r <= 1.0), s"rates must be in [0,1]: $rates")
     def thr(r: Double): Long = (r * 4294967296.0).toLong
@@ -279,11 +316,13 @@ object CorpusOps {
         when(col(stratumCol) === s, lit(thr(r))).otherwise(acc)
       }
     docs.select(col(idCol), col(stratumCol),
-      (hashKey(idCol, salt, 8) < threshold).as("sampled"))
+      (hashKey(idCol, salt, 8, hashFn) < threshold).as("sampled"))
   }
 
   /** Per-domain quota cap: keep at most `cap` documents per domain,
-    * chosen deterministically (smallest salted hash, doc-id tie-break).
+    * chosen deterministically (smallest salted hash; ties break by doc
+    * id for integral ids, by the id's salted surrogate hash otherwise —
+    * deterministic either way).
     * This is the anti-over-representation pass of a crawl pipeline —
     * and the poster child for group skew: one domain can be 10% of a
     * 100 TB crawl. The window idiom (`row_number() ... <= cap`, the
@@ -291,21 +330,50 @@ object CorpusOps {
     * task before ranking; this runs [[graft.functions.BoundedMinByN]]
     * instead, whose map-side partial aggregation bounds the shuffle at
     * `cap` rows per domain per map partition and memory at O(cap) per
-    * group — the plan survives any skew profile (PlanSpec-gated:
-    * partial+final ObjectHashAggregate, exactly one Exchange). Returns
-    * `(domainCol, idCol)`, exploded back to one row per kept doc.
+    * group — the plan survives any skew profile (FunctionsSpec gates
+    * partial+final ObjectHashAggregate around exactly one
+    * hash-partitioning Exchange). Returns
+    * `(domainCol, idCol)`, one row per kept doc, idCol keeping its
+    * input type.
+    *
+    * Integral doc ids ride through the aggregate as the heap payload
+    * directly. Any other id type (string keys are first-class
+    * everywhere else in this family) is carried as a salted-xxhash64
+    * surrogate and the winners are joined back to restore the original
+    * column — the join's build side is the OUTPUT (≤ cap·domains
+    * rows), far below the corpus, so AQE broadcasts it. A same-domain
+    * surrogate collision (two ids sharing a 64-bit hash) could return
+    * one extra doc for that domain; at p ≈ cap²/2⁶⁵ per domain that is
+    * negligible against the operator's statistical purpose.
     */
   def domainCap(
       docs: DataFrame, idCol: String, domainCol: String, cap: Int,
-      salt: String): DataFrame = {
+      salt: String, hashFn: String = "md5"): DataFrame = {
     require(cap > 0, s"cap $cap")
-    docs
-      .select(col(domainCol), hashKey(idCol, salt, 15).as("_k"),
-        col(idCol).cast("long").as("_id"))
-      .groupBy(col(domainCol))
-      .agg(graft.functions.GraftFunctions
-        .boundedMinByN(col("_k"), col("_id"), cap).as("_ids"))
-      .select(col(domainCol), explode(col("_ids")).as(idCol))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    val k = hashKey(idCol, salt, 15, hashFn).as("_k")
+    idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        docs
+          .select(col(domainCol), k, col(idCol).cast("long").as("_id"))
+          .groupBy(col(domainCol))
+          .agg(graft.functions.GraftFunctions
+            .boundedMinByN(col("_k"), col("_id"), cap).as("_ids"))
+          .select(col(domainCol), explode(col("_ids")).as("_id"))
+          .select(col(domainCol), col("_id").cast(idType).as(idCol))
+      case _ =>
+        val keyed = docs.select(col(domainCol), col(idCol), k,
+          xxhash64(concat(lit(salt + "#sid:"),
+            col(idCol).cast("string"))).as("_sid"))
+        val kept = keyed
+          .groupBy(col(domainCol))
+          .agg(graft.functions.GraftFunctions
+            .boundedMinByN(col("_k"), col("_sid"), cap).as("_sids"))
+          .select(col(domainCol), explode(col("_sids")).as("_sid"))
+        keyed.join(kept, Seq(domainCol, "_sid"), "left_semi")
+          .select(col(domainCol), col(idCol))
+    }
   }
 
   /** Deterministic mixture expansion (epoch weighting: "see en 2.3×
@@ -323,7 +391,7 @@ object CorpusOps {
   def mixtureExpand(
       docs: DataFrame, idCol: String, stratumCol: String,
       weights: Map[String, Double], defaultWeight: Double,
-      salt: String): DataFrame = {
+      salt: String, hashFn: String = "md5"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w =>
       w >= 0.0 && w <= 100.0), s"weights must be in [0,100]: $weights")
     def whole(w: Double): Int = math.floor(w).toInt
@@ -339,7 +407,7 @@ object CorpusOps {
         when(col(stratumCol) === s, lit(fracThr(w))).otherwise(acc)
     }
     val copies = (base +
-      (hashKey(idCol, salt, 8) < thr).cast("int")).as("_copies")
+      (hashKey(idCol, salt, 8, hashFn) < thr).cast("int")).as("_copies")
     docs.select(col(idCol), col(stratumCol), copies)
       .select(col(idCol), col(stratumCol),
         explode(when(col("_copies") >= 1,

@@ -148,16 +148,81 @@ class PlanSpec extends SparkSpec {
       s"q44's brute-force oracle no longer scans all pairs:\n$p")
   }
 
+  /** The join execs whose keys are the n-gram column — the
+    * decontamination match subtree, as a typed tree walk rather than a
+    * plan-wide string grep (the surrounding id-join/aggregate are free
+    * to plan however they like). Executes the frame first so AQE
+    * finalizes.
+    */
+  private def gramJoins(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    df.queryExecution.toRdd.count()
+    // AQE materializes stages as QueryStageExec LEAVES — a plain
+    // `collect` never enters them, so walk through explicitly.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan).filter {
+      case j: BaseJoinExec => (j.leftKeys ++ j.rightKeys).exists(
+        _.references.exists(_.name == "gram"))
+      case _ => false
+    }
+  }
+
   test("decontamination broadcasts the eval n-gram set — the corpus " +
       "side never shuffles for the match") {
     // Eval suites are MBs while training corpora are TBs: the
     // contamination probe must be a broadcast join on the corpus scan,
-    // not a corpus-wide shuffle.
-    val p = finalPlan("q53_decontaminate")
-    assert(p.contains("BroadcastHashJoin"),
-      s"q53 eval-gram join is not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"q53 shuffles the corpus to match eval n-grams:\n$p")
+    // not a corpus-wide shuffle. Scoped to the eval-gram join subtree:
+    // the trailing id-join/aggregate may plan freely.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("q53_decontaminate")(spark, sf0001)
+    val joins = gramJoins(df)
+    assert(joins.nonEmpty, "q53 plan has no join on the gram column")
+    assert(joins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"q53 eval-gram join is not broadcast:\n${joins.mkString("\n")}")
+  }
+
+  test("decontaminate broadcastEval=false plans the eval-gram match " +
+      "as a shuffled join and answers exactly like the default") {
+    // The overflow path for an eval side too big to broadcast: with
+    // both broadcast thresholds off (modelling that size), the hint is
+    // the only thing that could force a broadcast — the fallback must
+    // not have one, and must return the same rows.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    import graft.text.CorpusOps
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    keys.foreach(conf.set(_, "-1"))
+    try {
+      val docs = Tables.load(spark, sf0001, "documents")
+      val isEval = col("doc_id") % 97 === 0
+      val dflt = CorpusOps.decontaminate(docs, isEval, "doc_id", "text",
+        n = 5)
+      val fb = CorpusOps.decontaminate(docs, isEval, "doc_id", "text",
+        n = 5, broadcastEval = false)
+      val joins = gramJoins(fb)
+      assert(joins.nonEmpty, "fallback plan has no join on gram")
+      assert(!joins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"broadcastEval=false still broadcasts:\n${joins.mkString("\n")}")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .toSet
+      assert(rows(fb) == rows(dflt),
+        "fallback answers differ from the broadcast path")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("per-row curation passes (repetition, PII scrub, split assign) " +

@@ -52,6 +52,61 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream with a watermark suppresses re-deliveries " +
+      "inside the delay, expires state past it, and emits event time") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hhmm: String): Timestamp =
+      Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val evalDocs = Seq((0L, evalText)).toDF("doc_id", "text")
+    val clean = "totally different words in this one here now"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = CorpusOps.decontaminateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), evalDocs,
+      "doc_id", "text", 5, watermark = Some(("ts", "10 minutes")))
+    // (c) the emitted frame carries the event-time column.
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("decon_wm_out")
+      .outputMode("append").start()
+    try {
+      def flagged(): Seq[(Long, Timestamp)] =
+        spark.table("decon_wm_out").as[(Long, Timestamp)]
+          .collect().sortBy(_._2.getTime).toSeq
+      input.addData((at("10:00"), 1L, evalText))
+      q.processAllAvailable()
+      assert(flagged() == Seq((1L, at("10:00"))))
+      // (a) a re-delivery inside the 10-minute delay is suppressed by
+      // the dedup state (a clean doc rides along, unflagged).
+      input.addData((at("10:05"), 1L, evalText), (at("10:05"), 2L, clean))
+      q.processAllAvailable()
+      assert(flagged() == Seq((1L, at("10:00"))),
+        "re-delivery inside the watermark delay was re-emitted")
+      // Advance event time well past doc 1's expiry (10:00 + 10 min),
+      // then run one more batch so the state commit evicts it.
+      input.addData((at("12:00"), 3L, clean))
+      q.processAllAvailable()
+      input.addData((at("12:02"), 4L, clean))
+      q.processAllAvailable()
+      // (b) state for doc 1 is gone: a fresh delivery past the
+      // watermark is a state miss and flags again — bounded state, not
+      // forever-dedup, is the contract of the watermark mode.
+      input.addData((at("12:03"), 1L, evalText))
+      q.processAllAvailable()
+      assert(flagged() == Seq((1L, at("10:00")), (1L, at("12:03"))),
+        s"expired doc was not re-flagged: ${flagged()}")
+      // ...and the progress metrics saw the eviction: the dedup
+      // operator's state row count dropped to zero between the two
+      // emissions (then back to one for the fresh entry).
+      val stateCounts = q.recentProgress.toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal)
+      assert(stateCounts.contains(0L),
+        s"state never drained: $stateCounts")
+      assert(stateCounts.last == 1L,
+        s"final state should hold just the fresh entry: $stateCounts")
+    } finally q.stop()
+  }
+
   test("per-row curation ops run unchanged on a streaming frame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

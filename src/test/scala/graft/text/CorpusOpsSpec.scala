@@ -189,6 +189,127 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run(docs.coalesce(1)) === out)
   }
 
+  test("domainCap preserves string doc ids — capped exactly, nothing " +
+      "silently dropped, id column keeps its type") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StringType
+    val docs = (0L until 1200L).map { i =>
+      (s"doc-$i", if (i % 3 != 0) "hot" else s"d${i % 5}")
+    }.toDF("doc_id", "source")
+    val capped = CorpusOps.domainCap(docs, "doc_id", "source", cap = 7,
+      salt = "c2")
+    assert(capped.schema("doc_id").dataType == StringType)
+    val out = capped.select("source", "doc_id")
+      .as[(String, String)].collect().toSet
+    assert(out.groupBy(_._1).forall(_._2.size == 7),
+      s"per-domain counts ${out.groupBy(_._1).view.mapValues(_.size).toMap}")
+    // Oracle twin: row_number over the same salted hash; ties (none
+    // here) would break by the surrogate hash the operator carries.
+    val k = conv(substring(
+        md5(concat(lit("c2:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val sid = xxhash64(concat(lit("c2#sid:"), col("doc_id")))
+    val viaWindow = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(k, sid)))
+      .where(col("rn") <= 7).select("source", "doc_id")
+      .as[(String, String)].collect().toSet
+    assert(out === viaWindow)
+    // Partitioning invariance, same as the integral path.
+    val again = CorpusOps.domainCap(docs.repartition(13), "doc_id",
+        "source", cap = 7, salt = "c2")
+      .select("source", "doc_id").as[(String, String)].collect().toSet
+    assert(again === out)
+  }
+
+  test("hashFn=xxhash64 keeps every salted-hash property (rates, " +
+      "splits, caps, mixtures) without the md5 string hop") {
+    // The 100 TB mode: same [0, 16^hexLen) range from the top bits of
+    // xxhash64, so thresholds and moduli are unchanged — only the hash
+    // draw differs. No DuckDB twin, so properties (not oracle hashes)
+    // are what binds it.
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx"))
+      .toDF("doc_id", "lang")
+    val sampled = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.0), defaultRate = 1.0, salt = "s1",
+      hashFn = "xxhash64")
+      .select("doc_id", "lang", "sampled")
+      .as[(Long, String, Boolean)].collect()
+    val byLang = sampled.groupBy(_._2)
+    assert(byLang("zh").forall(!_._3) && byLang("xx").forall(_._3))
+    val frac = byLang("en").count(_._3).toDouble / byLang("en").length
+    assert(math.abs(frac - 0.5) < 0.06, s"en fraction $frac")
+    val split = CorpusOps.splitAssign(docs, "doc_id", "s1", 80, 10,
+        hashFn = "xxhash64")
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect()
+    assert(split.forall { case (_, b, s) =>
+      b >= 0 && b < 100 &&
+        s == (if (b < 80) "train" else if (b < 90) "val" else "test")
+    })
+    val trainFrac = split.count(_._3 == "train").toDouble / split.length
+    assert(math.abs(trainFrac - 0.8) < 0.05, s"train fraction $trainFrac")
+    // Different draw than md5, same distribution — and deterministic.
+    val md5Split = CorpusOps.splitAssign(docs, "doc_id", "s1", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.exists { case (id, _, s) => md5Split(id) != s })
+    val againSplit = CorpusOps.splitAssign(docs, "doc_id", "s1", 80, 10,
+        hashFn = "xxhash64")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.forall { case (id, _, s) => againSplit(id) == s })
+    val copies = CorpusOps.mixtureExpand(docs, "doc_id", "lang",
+        Map("en" -> 2.5), defaultWeight = 1.0, salt = "m1",
+        hashFn = "xxhash64")
+      .select("doc_id", "lang", "copy").as[(Long, String, Int)].collect()
+    val en = copies.filter(_._2 == "en").groupBy(_._1).values.map(_.size)
+    assert(en.forall(c => c == 2 || c == 3))
+    val enMean = en.sum.toDouble / en.size
+    assert(math.abs(enMean - 2.5) < 0.1, s"en mean $enMean")
+    val cap = CorpusOps.domainCap(docs, "doc_id", "lang", cap = 9,
+        salt = "c1", hashFn = "xxhash64")
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(cap.groupBy(_._1).forall(_._2.size == 9))
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitAssign(docs, "doc_id", "s1", hashFn = "crc32")
+    }
+  }
+
+  test("packShards handles empty range partitions (duplicate-heavy " +
+      "key distribution)") {
+    // 50 rows share one key plus two distinct stragglers: the range
+    // bounds become [5, 100, 200], so the final partition (> 200) is
+    // EMPTY — the seam where a mis-seeded per-partition offset would
+    // corrupt every cumulative sum after it. AQE's partition coalescing
+    // would absorb the empties at this toy size (at real scale they
+    // survive), so switch it off for the duration.
+    val docs = (Seq.fill(50)((5L, 10L)) ++ Seq((100L, 10L), (200L, 10L)))
+      .toDF("doc_id", "w")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val savedCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    val (parts, out) = try {
+      val parts = docs.repartitionByRange(col("doc_id")).rdd
+        .mapPartitions(it => Iterator(it.size)).collect()
+      val out = CorpusOps.packShards(docs, "doc_id", col("w"),
+          budget = 120L)
+        .select("doc_id", "weight", "shard_id")
+        .as[(Long, Long, Long)].collect()
+      (parts, out)
+    } finally savedCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    assert(parts.exists(_ == 0),
+      s"premise: expected an empty range partition, got ${parts.toSeq}")
+    // cums 0,10,...,490,500,510; shard k covers cum in [120k, 120k+110].
+    assert(out.length == 52 && out.forall(_._2 == 10L))
+    val perShard = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(perShard == Map(0L -> 12, 1L -> 12, 2L -> 12, 3L -> 12,
+      4L -> 4), s"got $perShard")
+    assert(out.filter(_._1 > 5L).forall(_._3 == 4L),
+      "straggler keys must land in the last shard")
+  }
+
   test("mixtureExpand emits floor(w) or ceil(w) copies with hash-exact " +
       "fractions; weight 0 drops, weight 1 passes through once") {
     val docs = (0L until 4000L).map(i =>
