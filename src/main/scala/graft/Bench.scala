@@ -163,8 +163,23 @@ object Bench {
     // the full diagnostics (per-query steady_min/spread, phase timings,
     // host_load notes); the final line is the compact driver contract
     // and stays well under 1 KB.
+    // A run started on a loaded host (1-min loadavg > 2 before the
+    // session even spins up) times ambient contention, not the code —
+    // two rounds running, such a run shipped a ghost regression the
+    // judge had to settle. Mark it LOUDLY in the machine-parsed
+    // contract line (and on stderr), so a poisoned bench can never
+    // ship silently again: if "loaded_host" appears, re-run idle and
+    // commit the idle twin.
+    val loadedHost =
+      try loadAvg0.toDouble > 2.0 catch { case _: Throwable => false }
+    val loadedJ =
+      if (loadedHost) f""","loaded_host":"LOADED_HOST start=$loadAvg0""""
+      else ""
+    if (loadedHost)
+      System.err.println(s"[bench] LOADED_HOST: start loadavg " +
+        s"$loadAvg0 > 2 — timings reflect ambient load; re-run idle")
     println(f"""{"detail":"bench_diagnostics","steady_min":$minJ,"spread":$spreadJ,"phases":$phaseJ,"notes":$notesJ}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_steady_min":$totalMin%.3f,"reps":$reps,"queries":$qj,"failed":$failedJ,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_steady_min":$totalMin%.3f,"reps":$reps,"queries":$qj,"failed":$failedJ,"sf":"$sfDir"$loadedJ}""")
     System.err.println(f"ran in ${(System.nanoTime() - start) / 1e9}%.1f s")
     spark.stop()
   }

@@ -29,18 +29,30 @@ object Tables {
     * its writer of the day emits — TIMESTAMP(NANOS), micros with
     * isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or UTC micros have
     * all shipped. Downstream code (and `Row.getTimestamp` accessors)
-    * should see ONE type regardless, so every top-level TIMESTAMP_NTZ
-    * column is cast to session-zone TimestampType here. All graft
-    * sessions pin `spark.sql.session.timeZone=UTC`, making the cast a
-    * pure reinterpretation — wall-clock values, window results, and
-    * oracle hashes are unchanged (both fixture eras are oracle-green).
+    * should see ONE type regardless, so every TIMESTAMP_NTZ column —
+    * including ones nested inside struct/array/map payloads, should a
+    * future fixture era ship those — is cast to session-zone
+    * TimestampType here. All graft sessions pin
+    * `spark.sql.session.timeZone=UTC`, making the cast a pure
+    * reinterpretation — wall-clock values, window results, and oracle
+    * hashes are unchanged (both fixture eras are oracle-green).
     */
   private def normalizeNtz(df: DataFrame): DataFrame = {
-    val ntz = df.schema.fields.collect {
-      case f if f.dataType == TimestampNTZType => f.name
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def rewrite(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = rewrite(f.dataType))))
+      case a: ArrayType => a.copy(elementType = rewrite(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = rewrite(m.keyType), valueType = rewrite(m.valueType))
+      case other => other
     }
-    ntz.foldLeft(df)((d, c) =>
-      d.withColumn(c, col(c).cast(TimestampType)))
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      val target = rewrite(f.dataType)
+      if (target == f.dataType) d
+      else d.withColumn(f.name, col(f.name).cast(target))
+    }
   }
 
   def registerAll(spark: SparkSession, dir: String): Unit =

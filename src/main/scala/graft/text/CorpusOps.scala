@@ -17,11 +17,11 @@ import org.apache.spark.sql.types.LongType
   * shuffles on the n-gram key, and nothing is collected to the driver.
   *
   * 100 TB notes:
-  *  - n-gram keys here are the literal strings so the DuckDB oracle
-  *    can replay them; at cluster scale group/join on
-  *    `xxhash64(gram)` (or a 128-bit pair for collision headroom) to
-  *    cut shuffle width ~10× — counts are unchanged, only the key
-  *    representation shrinks.
+  *  - n-gram keys default to the literal strings so the DuckDB oracle
+  *    can replay them; at cluster scale pass `gramHash = "xxhash64"`
+  *    ([[GramKeys]]) to group/join on the 64-bit gram hash instead,
+  *    cutting shuffle width ~10× — decisions are unchanged (up to
+  *    negligible collisions), only the key representation shrinks.
   *  - [[decontaminate]] broadcasts the eval-set n-grams by default:
   *    eval suites are MBs while training corpora are TBs, so the
   *    contaminated-doc scan is one broadcast semi-join with no shuffle
@@ -51,6 +51,32 @@ object CorpusOps {
 
   private def tokens(textCol: String): Column = split(col(textCol), " ")
 
+  /** Join/group key representations for the corpus-wide n-gram steps
+    * ([[decontaminate]] / [[decontaminateStream]] / [[duplicateSpans]]).
+    *
+    *  - `"literal"` (default): the space-joined n-gram string itself —
+    *    the DuckDB-replayable mode every oracle query uses.
+    *  - `"xxhash64"`: `xxhash64(gram)` as the key — one codegen'd long
+    *    instead of an ~`n`-word string, cutting shuffle/broadcast key
+    *    width ~10× at corpus scale (SURVEY §9). Match/count decisions
+    *    are identical up to 64-bit hash collisions: a cross-document
+    *    collision needs two distinct grams sharing a hash among the
+    *    ~2³² grams where birthday odds reach 50%, and its worst case is
+    *    one spurious gram match — negligible against these operators'
+    *    statistical thresholds (gated answer-equal on real fixture text
+    *    in CorpusOpsSpec).
+    */
+  val GramKeys: Set[String] = Set("literal", "xxhash64")
+
+  private def gramKey(gram: Column, gramHash: String): Column = {
+    require(GramKeys.contains(gramHash),
+      s"gramHash $gramHash not in $GramKeys")
+    gramHash match {
+      case "literal" => gram
+      case "xxhash64" => xxhash64(gram)
+    }
+  }
+
   /** Benchmark decontamination (GPT-3 appendix C shape): flag every
     * training document that shares at least one word `n`-gram with the
     * held-out eval slice. Returns one row per TRAINING doc:
@@ -62,16 +88,23 @@ object CorpusOps {
     * default, broadcast. `broadcastEval = false` drops the hint so the
     * match plans as a shuffle hash join — the overflow path for an
     * eval side too big to broadcast, a flag rather than a rewrite.
+    * `gramHash = "xxhash64"` swaps the literal gram strings for their
+    * 64-bit hashes as the match/count key (see [[GramKeys]]) — the
+    * 100 TB mode; `n_matched` then counts distinct overlapping HASHES,
+    * identical up to negligible collisions.
     */
   def decontaminate(
       docs: DataFrame, isEval: Column, idCol: String, textCol: String,
-      n: Int, broadcastEval: Boolean = true): DataFrame = {
+      n: Int, broadcastEval: Boolean = true,
+      gramHash: String = "literal"): DataFrame = {
     val g = ngrams(tokens(textCol), n)
     val evalGrams = docs.where(isEval)
-      .select(explode(g).as("gram")).distinct()
+      .select(explode(g).as("_g"))
+      .select(gramKey(col("_g"), gramHash).as("gram")).distinct()
     val train = docs.where(!isEval)
     val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    val matched = train.select(col(idCol), explode(g).as("gram"))
+    val matched = train.select(col(idCol), explode(g).as("_g"))
+      .select(col(idCol), gramKey(col("_g"), gramHash).as("gram"))
       .join(evalSide, "gram")
       .groupBy(idCol).agg(countDistinct("gram").as("n_matched"))
     train.select(col(idCol)).join(matched, Seq(idCol), "left")
@@ -108,13 +141,18 @@ object CorpusOps {
     * the retention decision here is the doc-grain version of the same
     * signal). Returns `(idCol, n_spans, n_dup_spans BIGINT,
     * keep BOOLEAN)`; span-less short docs keep trivially.
+    * `gramHash = "xxhash64"` shuffles 64-bit span hashes instead of the
+    * literal span strings (see [[GramKeys]]) — this operator is the one
+    * corpus×corpus n-gram shuffle, so the ~10× key-width cut lands on
+    * the biggest shuffle in the curation family.
     */
   def duplicateSpans(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
-      minDocs: Int): DataFrame = {
+      minDocs: Int, gramHash: String = "literal"): DataFrame = {
     require(minDocs >= 2, s"minDocs $minDocs")
     val grams = docs
-      .select(col(idCol), explode(ngrams(tokens(textCol), n)).as("gram"))
+      .select(col(idCol), explode(ngrams(tokens(textCol), n)).as("_g"))
+      .select(col(idCol), gramKey(col("_g"), gramHash).as("gram"))
     val dup = grams.groupBy("gram")
       .agg(countDistinct(idCol).as("nd"))
       .where(col("nd") >= minDocs).select("gram")
@@ -157,16 +195,19 @@ object CorpusOps {
   def decontaminateStream(
       train: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, n: Int,
-      watermark: Option[(String, String)] = None): DataFrame = {
+      watermark: Option[(String, String)] = None,
+      gramHash: String = "literal"): DataFrame = {
     val evalGrams = evalDocs
-      .select(explode(ngrams(tokens(textCol), n)).as("gram")).distinct()
+      .select(explode(ngrams(tokens(textCol), n)).as("_g"))
+      .select(gramKey(col("_g"), gramHash).as("gram")).distinct()
     val arrivals = watermark.fold(train) { case (timeCol, delay) =>
       train.withWatermark(timeCol, delay)
     }
     val keep: Seq[Column] =
       col(idCol) +: watermark.map(w => col(w._1)).toSeq
     val flagged = arrivals
-      .select(keep :+ explode(ngrams(tokens(textCol), n)).as("gram"): _*)
+      .select(keep :+ explode(ngrams(tokens(textCol), n)).as("_g"): _*)
+      .select(keep :+ gramKey(col("_g"), gramHash).as("gram"): _*)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
     watermark match {
       case Some(_) =>
@@ -230,27 +271,40 @@ object CorpusOps {
         var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
-    // The second pass replays the SAME RDD and indexes `offsets` by
-    // partition id: its correctness depends on the sorted RDD keeping
-    // the partitioning the sums were computed under. That holds because
-    // `rdd` is one materialized lineage reused by both jobs (the range
-    // shuffle's files are reused, not re-sampled) — but make the
-    // dependency loud rather than silent, so any future change that
-    // re-evaluates the lineage (e.g. dropping the shared `val rdd`)
-    // fails here instead of mis-seeding running sums.
-    require(partSums.length == rdd.getNumPartitions,
-      s"packShards partition drift: ${partSums.length} sums for " +
-        s"${rdd.getNumPartitions} partitions")
     val offsets = partSums.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = sorted.schema
       .add("shard_id", LongType, nullable = false)
+    // The second pass replays the SAME RDD and indexes `offsets` by
+    // partition id: its correctness depends on the sorted RDD keeping
+    // the partitioning (and contents) the sums were computed under.
+    // That holds because `rdd` is one materialized lineage reused by
+    // both jobs (the range shuffle's files are reused, not re-sampled)
+    // — but verify it with guards that CAN fail (a bare
+    // `partSums.length == getNumPartitions` check is tautological:
+    // pass 1 emits exactly one sum per partition by construction).
+    // Each pass-2 partition checks (a) its index is inside the pass-1
+    // offset table and (b) after draining, its running sum landed
+    // exactly on the next pass-1 offset — any lineage re-evaluation
+    // that moved rows across partitions trips (b) instead of silently
+    // mis-sharding everything after the drifted partition.
     val packed = rdd.mapPartitionsWithIndex { (i, it) =>
-      var cum = bc.value(i)
+      val off = bc.value
+      if (i + 1 >= off.length)
+        throw new IllegalStateException(
+          s"packShards partition drift: partition $i outside the " +
+            s"${off.length - 1} ranges summed in pass 1")
+      var cum = off(i)
       it.map { r =>
         val shard = cum / budget
         cum += r.getLong(1)
         Row(r.get(0), r.getLong(1), shard)
+      } ++ {
+        if (cum != off(i + 1))
+          throw new IllegalStateException(
+            s"packShards partition drift: partition $i weight " +
+              s"${cum - off(i)} != pass-1 sum ${off(i + 1) - off(i)}")
+        Iterator.empty
       }
     }
     spark.createDataFrame(packed, schema)
@@ -283,6 +337,11 @@ object CorpusOps {
   private def hashKey(idCol: String, salt: String, hexLen: Int,
       hashFn: String): Column = {
     require(HashFns.contains(hashFn), s"hashFn $hashFn not in $HashFns")
+    // hexLen = 16 would make the xxhash64 branch a shift-by-0 (signed,
+    // possibly negative — silently breaking every downstream threshold
+    // and modulus) and overflow the md5 branch's long conv; enforce the
+    // documented bound instead of assuming it.
+    require(hexLen >= 1 && hexLen <= 15, s"hexLen $hexLen not in [1,15]")
     val salted = concat(lit(salt + ":"), col(idCol).cast("string"))
     hashFn match {
       case "md5" =>
@@ -370,8 +429,15 @@ object CorpusOps {
           .groupBy(col(domainCol))
           .agg(graft.functions.GraftFunctions
             .boundedMinByN(col("_k"), col("_sid"), cap).as("_sids"))
-          .select(col(domainCol), explode(col("_sids")).as("_sid"))
-        keyed.join(kept, Seq(domainCol, "_sid"), "left_semi")
+          .select(col(domainCol).as("_dom"), explode(col("_sids")).as("_ksid"))
+        // Null-SAFE domain equality: groupBy keeps a null-domain GROUP
+        // (so the integral path caps-and-keeps missing domains), and the
+        // join-back must match it — a plain equi-join would never match
+        // null = null and silently drop every null-domain doc, the exact
+        // silent-loss failure mode this operator exists to avoid.
+        keyed.join(kept,
+            keyed(domainCol) <=> kept("_dom") &&
+              keyed("_sid") === kept("_ksid"), "left_semi")
           .select(col(domainCol), col(idCol))
     }
   }

@@ -195,6 +195,14 @@ class PlanSpec extends SparkSpec {
     // both broadcast thresholds off (modelling that size), the hint is
     // the only thing that could force a broadcast — the fallback must
     // not have one, and must return the same rows.
+    //
+    // These overrides mutate the suite-wide shared SparkSession conf
+    // (restored in finally). That is safe here because suites run
+    // SEQUENTIALLY in the forked test JVM: build.sbt sets
+    // `Test / fork := true` and sbt's `testForkedParallel` defaults to
+    // false, so no concurrent suite can observe the disabled
+    // thresholds. If forked-parallel testing is ever enabled, scope
+    // these with a per-query SQLConf instead.
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.functions.col
     import graft.text.CorpusOps

@@ -22,4 +22,33 @@ class TablesSpec extends SparkSpec {
     val t = events.select("ts").orderBy("ts").head().getTimestamp(0)
     assert(t != null && t.getTime > 0)
   }
+
+  test("NTZ normalization reaches timestamps nested in struct/array " +
+      "payloads, not just top-level columns") {
+    // No current fixture nests timestamps, but the next fixture era
+    // might (e.g. a struct-typed event payload); pin the recursive
+    // rewrite now so that surprise has a known landing spot.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ntz_nested").toString
+    spark.range(3)
+      .select(col("id"),
+        struct(
+          timestamp_seconds(col("id") + 1).cast(TimestampNTZType).as("at"),
+          array(timestamp_seconds(col("id") + 1).cast(TimestampNTZType))
+            .as("ats"))
+          .as("payload"))
+      .write.mode("overwrite").parquet(s"$dir/nested.parquet")
+    val df = Tables.load(spark, dir, "nested")
+    val payload = df.schema("payload").dataType.asInstanceOf[StructType]
+    assert(payload("at").dataType == TimestampType,
+      s"nested at read as ${payload("at").dataType}")
+    assert(payload("ats").dataType ==
+      ArrayType(TimestampType, containsNull = true) ||
+      payload("ats").dataType == ArrayType(TimestampType, false),
+      s"nested array read as ${payload("ats").dataType}")
+    val row = df.orderBy("id").select("payload.at").head()
+    assert(row.getTimestamp(0) != null)
+  }
 }

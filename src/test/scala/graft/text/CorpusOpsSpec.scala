@@ -88,6 +88,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!kept(1L), "a pure-boilerplate doc must drop")
   }
 
+  test("gramHash=xxhash64 reproduces every literal-mode decision on " +
+      "real fixture text (decontaminate and duplicateSpans)") {
+    // The 100 TB key mode shuffles 64-bit gram hashes instead of the
+    // literal span strings; on the sf0.001 documents table every flag,
+    // count, and keep decision must be identical — 64-bit collisions
+    // among thousands of grams are vanishingly unlikely, and THIS gate
+    // is what lets the mode claim answer-equality.
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val isEval = col("doc_id") % 97 === 0
+    def decon(mode: String) =
+      CorpusOps.decontaminate(docs, isEval, "doc_id", "text", n = 5,
+          gramHash = mode)
+        .select("doc_id", "n_matched", "contaminated")
+        .as[(Long, Long, Boolean)].collect().toSet
+    assert(decon("xxhash64") === decon("literal"))
+    def spans(mode: String) =
+      CorpusOps.duplicateSpans(docs, "doc_id", "text", n = 5,
+          minDocs = 2, gramHash = mode)
+        .select("doc_id", "n_spans", "n_dup_spans", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(spans("xxhash64") === spans("literal"))
+    intercept[IllegalArgumentException] {
+      CorpusOps.decontaminate(docs, isEval, "doc_id", "text", n = 5,
+        gramHash = "md5")
+    }
+  }
+
   test("splitAssign is a stable salted partition honoring the cut points") {
     val docs = (0L until 2000L).toDF("doc_id")
     val out = CorpusOps.splitAssign(docs, "doc_id", "s1", 80, 10)
@@ -190,11 +217,19 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("domainCap preserves string doc ids — capped exactly, nothing " +
-      "silently dropped, id column keeps its type") {
+      "silently dropped (null domains included), id column keeps its " +
+      "type") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StringType
+    // i % 11 == 0 rows have a NULL domain: the integral path keeps a
+    // null group via groupBy, and the string-id path's join-back must
+    // match it null-safely — a plain equi-join would silently drop all
+    // ~109 of these rows (ADVICE r15 medium).
     val docs = (0L until 1200L).map { i =>
-      (s"doc-$i", if (i % 3 != 0) "hot" else s"d${i % 5}")
+      (s"doc-$i",
+        if (i % 11 == 0) null
+        else if (i % 3 != 0) "hot"
+        else s"d${i % 5}")
     }.toDF("doc_id", "source")
     val capped = CorpusOps.domainCap(docs, "doc_id", "source", cap = 7,
       salt = "c2")
@@ -203,6 +238,8 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(out.groupBy(_._1).forall(_._2.size == 7),
       s"per-domain counts ${out.groupBy(_._1).view.mapValues(_.size).toMap}")
+    assert(out.exists(_._1 == null),
+      "null-domain docs silently dropped by the string-id path")
     // Oracle twin: row_number over the same salted hash; ties (none
     // here) would break by the surrogate hash the operator carries.
     val k = conv(substring(
