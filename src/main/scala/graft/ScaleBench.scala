@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope measurement: run the scale-sensitive headline queries on
+  * the sf0.1 fixtures AND on a synthesized ~10× corpus, and report the
+  * runtime/row ratios — the empirical leg of the 100 TB story that plan
+  * assertions (PlanSpec) and cap constructions (BlockingSkewSpec) argue
+  * but cannot measure.
+  *
+  * Synthesis keeps the per-scale STATISTICS fixed so a ratio is
+  * attributable to the engine, not to changed data properties:
+  *
+  *  - `documents` ×10: replica `r` rewrites every token `t` → `t~r`, so
+  *    each replica reproduces the base corpus's intra-replica dup/shingle
+  *    structure EXACTLY while sharing zero n-grams/shingles/simhash
+  *    features across replicas — dup rate per doc is constant, so true
+  *    candidate volume must scale ×10, and anything super-linear is the
+  *    engine's fault. (Naive replication would instead make every doc a
+  *    10-way exact dup — a ×100 blowup in TRUE pairs, by construction.)
+  *  - `customer` ×10: custkey offset per replica. personEntries derives
+  *    names via fixed moduli (4000/7000), so a 150k-custkey corpus has
+  *    ~5 distinct persons per name pair where sf0.1 has 1 — name-block
+  *    growth is therefore partly a DATA property here (like a real crawl
+  *    whose duplicate-name density grows); maxBlockSize + learned
+  *    predicates are what must keep the pipeline's candidate volume
+  *    bounded, which is exactly what this measures.
+  *  - embeddings: replication cannot work — measured on the sf0.1
+  *    vectors, sign-decorrelated replicas still land 543 spurious
+  *    cross-replica pairs over q52's 0.44 threshold per replica pair
+  *    (the threshold sits ~3.5σ into the d=64 random-cosine tail; the
+  *    fixture's own 211 pairs > 0.44 among 2000 vectors ARE mostly that
+  *    N²-growing tail, so literal q52's true-pair count is quadratic on
+  *    this data shape BY CONSTRUCTION — no engine can emit fewer pairs
+  *    than exist). The embedding-family scale claim is therefore
+  *    measured on its kernel in the declared scale mode:
+  *    [[graft.ann.Knn.lshSimilarPairs]] with DERIVED planes/tables over
+  *    a seeded corpus with planted near-dups (1 in 5 docs is a 0.94-
+  *    cosine dup of its neighbor) at θ = 0.85, where the random tail is
+  *    ~6.8σ out (≈ 0 spurious pairs at either size) and true pairs are
+  *    n/5 — exactly linear ground truth.
+  *
+  * Output: one JSON line (stdout, last line) with per-query
+  * base/scaled seconds (min over reps — the load-robust statistic),
+  * row counts, and ratios; redirect it into `SCALE_rN.json`.
+  */
+object ScaleBench {
+
+  val Dim = 64
+
+  /** Token-suffix document replication (see class doc). */
+  def replicateDocuments(spark: SparkSession, baseDir: String,
+      factor: Int): DataFrame = {
+    val docs = Tables.load(spark, baseDir, "documents")
+    val baseCount = docs.count()
+    docs.crossJoin(spark.range(factor).toDF("_r"))
+      .select(
+        (col("doc_id") + col("_r") * lit(baseCount)).as("doc_id"),
+        when(col("_r") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("_r"))), " ")).as("text"),
+        col("lang"), col("source"),
+        length(when(col("_r") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("_r"))), " ")))
+          .as("n_chars"))
+  }
+
+  /** Custkey-offset customer replication (q50 input, see class doc). */
+  def replicateCustomer(spark: SparkSession, baseDir: String,
+      factor: Int): DataFrame = {
+    val c = Tables.load(spark, baseDir, "customer")
+    val baseCount = c.count()
+    val cols = c.columns.map {
+      case "c_custkey" =>
+        (col("c_custkey") + col("_r") * lit(baseCount)).as("c_custkey")
+      case other => col(other)
+    }
+    c.crossJoin(spark.range(factor).toDF("_r")).select(cols.toSeq: _*)
+  }
+
+  /** Seeded embedding corpus with planted near-dups: id ≡ 4 (mod 5) is
+    * a ~0.94-cosine perturbation of id−1; every other vector is an
+    * independent unit Gaussian. True pairs over θ=0.85 = n/5 exactly
+    * (random-pair tail at 0.85 is ~6.8σ for d=64 ⇒ ≈ 0 spurious).
+    * Deterministic per id (partitioning-independent).
+    */
+  def genEmbeddings(spark: SparkSession, n: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val phi = 0x9E3779B97F4A7C15L
+    def raw(id: Long, salt: Long): Array[Double] = {
+      val r = new java.util.Random(seed ^ (id * phi) + salt)
+      Array.fill(Dim)(r.nextGaussian())
+    }
+    def unit(v: Array[Double]): Array[Float] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val rows: Seq[(Long, Array[Float])] = (0L until n).map { id =>
+      val v =
+        if (id % 5 == 4) {
+          val b = raw(id - 1, 0L)
+          val g = raw(id, 1L)
+          Array.tabulate(Dim)(k => b(k) + 0.35 * g(k))
+        } else raw(id, 0L)
+      (id, unit(v))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Min-over-reps timing of `build().count()`; returns (sec, rows). */
+  private def time(reps: Int)(build: () => DataFrame): (Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      val df = build()
+      rows = df.count()
+      df.unpersist(false)
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scaleDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", graft.functions.GraftExtensions.CONF)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val loadAvg0 =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split("\\s+")(0) finally src.close()
+      } catch { case _: Throwable => "n/a" }
+
+    // ---- synthesize the scaled corpus (idempotent per dir) ----
+    val marker = new java.io.File(s"$scaleDir/_SYNTH_OK_x$factor")
+    if (!marker.exists()) {
+      System.err.println(s"[scale] synthesizing ${factor}x corpus at $scaleDir")
+      replicateDocuments(spark, baseDir, factor)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+      replicateCustomer(spark, baseDir, factor)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$scaleDir/customer.parquet")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+
+    // warmup (JIT + codegen + parquet paths)
+    Tables.load(spark, baseDir, "documents").groupBy("lang").count().count()
+
+    val queries = Seq("q35_minhash_candidates", "q37_simhash_pairs",
+      "q50_dedupe_pipeline", "q53_decontaminate", "q56_dup_spans",
+      "q58_shard_pack", "q60_domain_cap")
+    val qs = SparkEntry.queries
+    var phaseRecords = Map.empty[String, Map[String, Double]]
+
+    val perQuery = queries.map { name =>
+      def runAt(dir: String): (Double, Long) = {
+        graft.pipeline.PhaseLog.drain(); graft.pipeline.PhaseLog.drainNotes()
+        val r = time(reps)(() => qs(name)(spark, dir))
+        val ph = graft.pipeline.PhaseLog.drain()
+        if (ph.nonEmpty)
+          phaseRecords += s"$name@${if (dir == baseDir) "base" else "x" + factor}" -> ph
+        r
+      }
+      val (bSec, bRows) = runAt(baseDir)
+      System.err.println(f"[scale] $name base: $bSec%.2f s, $bRows rows")
+      val (sSec, sRows) = runAt(scaleDir)
+      System.err.println(f"[scale] $name x$factor: $sSec%.2f s, $sRows rows")
+      name -> (bSec, bRows, sSec, sRows)
+    }
+
+    // ---- embedding-family kernel: derived-parameter LSH near-dup ----
+    val nBase = 2000
+    def kernelAt(n: Int): (Double, Long, String) = {
+      val emb = genEmbeddings(spark, n, seed = 20260813L)
+        .repartition(32).persist()
+      emb.count()
+      graft.pipeline.PhaseLog.drainNotes()
+      val (sec, rows) = time(reps) { () =>
+        graft.ann.Knn.lshSimilarPairs(emb, threshold = 0.85,
+          numPlanes = 0, numTables = 0, targetBucketSize = 128L,
+          knownCount = n, knownDim = Dim)
+      }
+      emb.unpersist()
+      val params = graft.pipeline.PhaseLog.drainNotes()
+        .getOrElse("lsh_params.pairs", "n/a")
+      (sec, rows, params)
+    }
+    val (kbSec, kbRows, kbParams) = kernelAt(nBase)
+    System.err.println(f"[scale] lsh_kernel base: $kbSec%.2f s, $kbRows pairs")
+    val (ksSec, ksRows, ksParams) = kernelAt(nBase * factor)
+    System.err.println(f"[scale] lsh_kernel x$factor: $ksSec%.2f s, $ksRows pairs")
+    val kernelNotes = Map(
+      "lsh_params.base" -> kbParams, s"lsh_params.x$factor" -> ksParams)
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qj = perQuery.map { case (n, (bs, br, ss, sr)) =>
+      jstr(n) + ":" + f"""{"base_sec":$bs%.3f,"x${factor}_sec":$ss%.3f,""" +
+        f""""time_ratio":${ss / math.max(1e-9, bs)}%.2f,""" +
+        f""""base_rows":$br,"x${factor}_rows":$sr,""" +
+        f""""row_ratio":${sr.toDouble / math.max(1, br)}%.2f}"""
+    }.mkString("{", ",", "}")
+    val kj =
+      f"""{"lsh_neardup_derived_params":{"n_base":$nBase,"n_scaled":${nBase * factor},""" +
+        f""""base_sec":$kbSec%.3f,"x${factor}_sec":$ksSec%.3f,""" +
+        f""""time_ratio":${ksSec / math.max(1e-9, kbSec)}%.2f,""" +
+        f""""base_pairs":$kbRows,"x${factor}_pairs":$ksRows,""" +
+        f""""pair_ratio":${ksRows.toDouble / math.max(1, kbRows)}%.2f,""" +
+        kernelNotes.toSeq.sortBy(_._1).map { case (k, v) =>
+          jstr(k) + ":" + jstr(v) }.mkString(",") + "}}"
+    val phJ = phaseRecords.toSeq.sortBy(_._1).map { case (k, ph) =>
+      jstr(k) + ":" + ph.toSeq.sortBy(_._1)
+        .map { case (p, s) => jstr(p) + ":" + f"$s%.3f" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"scale_factor":$factor,"reps":$reps,"base_dir":${jstr(baseDir)},""" +
+        s""""host_load_start":${jstr(loadAvg0)},"queries":$qj,""" +
+        s""""kernels":$kj,"phases":$phJ,""" +
+        s""""notes":${jstr("documents x" + factor + " via per-replica token " +
+          "suffixing (intra-replica dup structure exact, zero cross-replica " +
+          "n-gram overlap); customer x" + factor + " via custkey offset " +
+          "(name-modulus collisions grow ~5x at 150k keys - a data " +
+          "property the block caps must absorb); embedding family measured " +
+          "on its kernel (lshSimilarPairs, derived planes/tables, theta=0.85, " +
+          "planted n/5 near-dups) because literal q52's theta=0.44 sits in " +
+          "the d=64 random-cosine tail where TRUE pair count grows " +
+          "quadratically on Gaussian-like data by construction")}}""")
+    spark.stop()
+  }
+}

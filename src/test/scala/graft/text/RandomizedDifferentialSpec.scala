@@ -1,0 +1,234 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Generator-driven differential gate for the curation family: every op
+  * is replayed against an INDEPENDENT Spark-SQL restatement of its
+  * semantics (the same role the DuckDB oracle plays in the driver's
+  * correctness gate, which only ever sees the fixed fixtures) on seeded
+  * random corpora packed with the inputs that have historically broken
+  * fixture eras — nulls, empty strings, empty-token runs, unicode,
+  * skewed and null domains, negative/huge ids, empty range partitions.
+  * Two of the last three rounds broke on fixture drift; this suite is
+  * the "next weird corpus" arriving every test run instead of once per
+  * regeneration.
+  *
+  * The SQL twins are written from the operator CONTRACTS (scaladoc),
+  * not from the implementations: a bug in how an op composes Spark
+  * primitives shows up as a twin mismatch even though both sides share
+  * the engine's primitive semantics. Partitioning invariance is
+  * asserted separately (the packShards class of bugs).
+  */
+class RandomizedDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = Seq("the", "cat", "sat", "on", "a", "mat", "字符",
+    "ünïcode", "🚀", "", "x" * 40, "end")
+
+  /** Random documents-like corpus: ~1/8 docs share boilerplate tails
+    * (so span/decontamination paths see real overlap), ~1/10 have empty
+    * text, domains are skewed 60% to one value with nulls and "" mixed
+    * in, ids are spread over negative and huge values.
+    */
+  private def corpus(seed: Long, n: Int): DataFrame = {
+    val r = new scala.util.Random(seed)
+    val boiler = "all rights reserved by the site owner"
+    val domains = Seq("hot", null, "", "d1", "ünï™", "d2")
+    val rows = (0 until n).map { i =>
+      val id = i.toLong * 1000003L - 500000000L // spread, negative+huge
+      val text =
+        if (r.nextInt(10) == 0) ""
+        else {
+          val body = Seq.fill(2 + r.nextInt(12))(
+            words(r.nextInt(words.length))).mkString(" ")
+          if (r.nextInt(8) == 0) s"$body $boiler" else body
+        }
+      val domain =
+        if (r.nextInt(10) < 6) "hot" else domains(r.nextInt(domains.length))
+      val lang = Seq("en", "zh", null, "de")(r.nextInt(4))
+      (id, text, lang, domain)
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  private def check(name: String, seed: Long, got: DataFrame,
+      want: DataFrame): Unit = {
+    val g = got.collect().map(_.toSeq).toSeq.sortBy(_.toString())
+    val w = want.collect().map(_.toSeq).toSeq.sortBy(_.toString())
+    assert(g == w, s"$name diverged from its SQL twin at seed $seed " +
+      s"(got ${g.size} rows, want ${w.size})")
+  }
+
+  test("curation ops match their SQL twins on random adversarial " +
+      "corpora (3 seeds)") {
+    Seq(11L, 29L, 4242L).foreach { seed =>
+      val docs = corpus(seed, 400)
+      docs.createOrReplaceTempView("rdocs")
+
+      // splitAssign twin: the salted-md5 bucket arithmetic, restated.
+      check("splitAssign", seed,
+        CorpusOps.splitAssign(docs, "doc_id", "fz", 80, 10),
+        spark.sql("""
+          WITH h AS (SELECT doc_id,
+              conv(substring(md5(concat('fz:', cast(doc_id AS string))),
+                1, 8), 16, 10) % 100 AS bucket
+            FROM rdocs)
+          SELECT doc_id, cast(bucket AS bigint) AS bucket,
+            CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+          FROM h"""))
+
+      // stratifiedSample twin: integer-threshold hash compare per lang
+      // (null lang falls to the default rate).
+      check("stratifiedSample", seed,
+        CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.0), defaultRate = 0.75, salt = "fs"),
+        spark.sql("""
+          SELECT doc_id, lang,
+            cast(conv(substring(md5(concat('fs:', cast(doc_id AS string))),
+              1, 8), 16, 10) AS bigint)
+            < (CASE WHEN lang = 'en' THEN 2147483648
+                    WHEN lang = 'zh' THEN 0
+                    ELSE 3221225472 END) AS sampled
+          FROM rdocs"""))
+
+      // domainCap twin: the window row_number idiom over the same
+      // salted hash — including NULL and '' domains and skew.
+      check("domainCap", seed,
+        CorpusOps.domainCap(docs, "doc_id", "source", cap = 5, salt = "fc"),
+        spark.sql("""
+          WITH h AS (SELECT doc_id, source,
+              cast(conv(substring(md5(concat('fc:',
+                cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) AS k
+            FROM rdocs),
+          r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+                AS rn
+            FROM h)
+          SELECT source, doc_id FROM r WHERE rn <= 5"""))
+
+      // packShards twin: window cumulative sum in id order (the oracle
+      // phrasing the distributed two-pass prefix sum must reproduce).
+      check("packShards", seed,
+        CorpusOps.packShards(docs, "doc_id", size(split(col("text"), " ")),
+          budget = 50L),
+        spark.sql("""
+          WITH w AS (SELECT doc_id,
+              cast(size(split(text, ' ')) AS bigint) AS weight
+            FROM rdocs),
+          c AS (SELECT doc_id, weight,
+              coalesce(sum(weight) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum
+            FROM w)
+          SELECT doc_id, weight,
+            cast(floor(cum / 50) AS bigint) AS shard_id
+          FROM c"""))
+
+      // mixtureExpand twin: whole copies + fractional hash draw,
+      // exploded (null lang falls to the default weight).
+      check("mixtureExpand", seed,
+        CorpusOps.mixtureExpand(docs, "doc_id", "lang",
+          Map("en" -> 2.5, "zh" -> 0.25), defaultWeight = 1.0,
+          salt = "fm"),
+        spark.sql("""
+          WITH c AS (SELECT doc_id, lang,
+              (CASE WHEN lang = 'en' THEN 2 WHEN lang = 'zh' THEN 0
+                    ELSE 1 END)
+              + (CASE WHEN
+                   cast(conv(substring(md5(concat('fm:',
+                     cast(doc_id AS string))), 1, 8), 16, 10) AS bigint)
+                   < (CASE WHEN lang = 'en' THEN 2147483648
+                           WHEN lang = 'zh' THEN 1073741824
+                           ELSE 0 END)
+                 THEN 1 ELSE 0 END) AS n
+            FROM rdocs)
+          SELECT doc_id, lang, explode(sequence(1, n)) AS copy
+          FROM c WHERE n >= 1"""))
+
+      // decontaminate twin: explode/join/aggregate restatement of the
+      // eval n-gram overlap (empty texts yield zero grams).
+      check("decontaminate", seed,
+        CorpusOps.decontaminate(docs, col("doc_id") % 7 === 0,
+          "doc_id", "text", n = 3),
+        spark.sql("""
+          WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM rdocs),
+          g AS (SELECT doc_id, explode(transform(
+              sequence(1, greatest(size(t) - 2, 0)),
+              i -> concat_ws(' ', slice(t, i, 3)))) AS gram
+            FROM toks WHERE size(t) >= 3),
+          eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+          m AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_matched
+            FROM g JOIN eg USING (gram)
+            WHERE g.doc_id % 7 != 0 GROUP BY g.doc_id)
+          SELECT d.doc_id, coalesce(m.n_matched, 0) AS n_matched,
+            coalesce(m.n_matched, 0) > 0 AS contaminated
+          FROM rdocs d LEFT JOIN m ON m.doc_id = d.doc_id
+          WHERE d.doc_id % 7 != 0"""))
+
+      // duplicateSpans twin: boilerplate 3-grams in >= 2 docs, per-doc
+      // span counts, doc-grain keep rule.
+      check("duplicateSpans", seed,
+        CorpusOps.duplicateSpans(docs, "doc_id", "text", n = 3,
+          minDocs = 2),
+        spark.sql("""
+          WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM rdocs),
+          g AS (SELECT doc_id, explode(transform(
+              sequence(1, greatest(size(t) - 2, 0)),
+              i -> concat_ws(' ', slice(t, i, 3)))) AS gram
+            FROM toks WHERE size(t) >= 3),
+          dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+          per AS (SELECT g.doc_id, count(*) AS n_dup_spans
+            FROM g JOIN dup USING (gram) GROUP BY g.doc_id)
+          SELECT t.doc_id,
+            cast(greatest(size(t.t) - 2, 0) AS bigint) AS n_spans,
+            coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+            coalesce(p.n_dup_spans, 0) * 2
+              <= greatest(size(t.t) - 2, 0) AS keep
+          FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id"""))
+
+      // exactDedup twin: GROUP BY all fields + sorted id agg + dense
+      // order-stated row_number (A1's SQL phrasing), on the same corpus
+      // reshaped as entries. Null-first ordering must match.
+      val entries = docs.select(col("doc_id").as("entry_id"),
+        col("lang").as("f1"), col("source").as("f2"))
+      entries.createOrReplaceTempView("rentries")
+      check("exactDedup", seed,
+        graft.ops.RelationalOps.exactDedup(entries, Seq("f1", "f2"),
+            "entry_id")
+          .withColumn("src_ids",
+            array_join(col("src_ids").cast("array<string>"), ",")),
+        spark.sql("""
+          SELECT f1, f2,
+            array_join(cast(sort_array(collect_list(entry_id))
+              AS array<string>), ',') AS src_ids,
+            row_number() OVER (ORDER BY f1 ASC NULLS FIRST,
+              f2 ASC NULLS FIRST) AS _unique_id
+          FROM rentries GROUP BY f1, f2"""))
+    }
+  }
+
+  test("curation ops are invariant to input partitioning on random " +
+      "corpora (incl. empty range partitions)") {
+    val docs = corpus(77L, 300)
+    def canon(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString())
+    def runAll(d: DataFrame): Seq[Seq[Seq[Any]]] = Seq(
+      canon(CorpusOps.splitAssign(d, "doc_id", "pz", 80, 10)),
+      canon(CorpusOps.domainCap(d, "doc_id", "source", 5, "pc")),
+      canon(CorpusOps.packShards(d, "doc_id",
+        size(split(col("text"), " ")), budget = 50L)),
+      canon(CorpusOps.duplicateSpans(d, "doc_id", "text", 3, 2)))
+    val base = runAll(docs)
+    // 1-partition, many-partition, and skew-clustered layouts must all
+    // produce identical answers (range partitioning on the skewed
+    // domain column leaves some partitions empty).
+    assert(runAll(docs.coalesce(1)) == base)
+    assert(runAll(docs.repartition(17)) == base)
+    assert(runAll(docs.repartitionByRange(13, col("source"))) == base)
+  }
+}
