@@ -121,18 +121,7 @@ object Bench {
       val steady = if (good.length >= 3) good.drop(1) else good
       (name, good, steady, samples.count(!_._2))
     }
-    // Full JSON string escape (same contract as Verify's q / Settings
-    // .toJson): the previous quote→apostrophe swap would emit invalid
-    // JSON for a backslash, newline, or control char in a note value.
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = JsonStr.escape(s)
     def fmtMap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}")

@@ -49,11 +49,28 @@ object ScaleBench {
 
   val Dim = 64
 
+  /** The replica-offset id scheme (`id + r · baseCount`) is only
+    * collision-free when base ids are contiguous in [0, baseCount);
+    * guard it at runtime so an arbitrary baseDir with 1-based or sparse
+    * ids fails loudly instead of silently corrupting the ratios with
+    * duplicate ids (the sf fixtures all satisfy it; ScaleCorpusSpec
+    * gates the fixture case).
+    */
+  private def requireContiguous(df: DataFrame, idCol: String,
+      baseCount: Long): Unit = {
+    val Array(mn, mx) = df.agg(min(col(idCol)), max(col(idCol))).head()
+      .toSeq.map(_.asInstanceOf[Number].longValue()).toArray
+    require(mn == 0L && mx == baseCount - 1,
+      s"replication needs contiguous $idCol in [0, $baseCount); " +
+        s"found [$mn, $mx]")
+  }
+
   /** Token-suffix document replication (see class doc). */
   def replicateDocuments(spark: SparkSession, baseDir: String,
       factor: Int): DataFrame = {
     val docs = Tables.load(spark, baseDir, "documents")
     val baseCount = docs.count()
+    requireContiguous(docs, "doc_id", baseCount)
     docs.crossJoin(spark.range(factor).toDF("_r"))
       .select(
         (col("doc_id") + col("_r") * lit(baseCount)).as("doc_id"),
@@ -61,12 +78,8 @@ object ScaleBench {
           .otherwise(array_join(
             transform(split(col("text"), " "),
               t => concat(t, lit("~"), col("_r"))), " ")).as("text"),
-        col("lang"), col("source"),
-        length(when(col("_r") === 0, col("text"))
-          .otherwise(array_join(
-            transform(split(col("text"), " "),
-              t => concat(t, lit("~"), col("_r"))), " ")))
-          .as("n_chars"))
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
   }
 
   /** Custkey-offset customer replication (q50 input, see class doc). */
@@ -74,6 +87,7 @@ object ScaleBench {
       factor: Int): DataFrame = {
     val c = Tables.load(spark, baseDir, "customer")
     val baseCount = c.count()
+    requireContiguous(c, "c_custkey", baseCount)
     val cols = c.columns.map {
       case "c_custkey" =>
         (col("c_custkey") + col("_r") * lit(baseCount)).as("c_custkey")
@@ -147,18 +161,25 @@ object ScaleBench {
         try src.mkString.split("\\s+")(0) finally src.close()
       } catch { case _: Throwable => "n/a" }
 
-    // ---- synthesize the scaled corpus (idempotent per dir) ----
-    val marker = new java.io.File(s"$scaleDir/_SYNTH_OK_x$factor")
-    if (!marker.exists()) {
-      System.err.println(s"[scale] synthesizing ${factor}x corpus at $scaleDir")
+    // ---- synthesize the scaled corpus (idempotent per config) ----
+    // The marker's CONTENT is the (factor, baseDir) the parquet was
+    // written from: a re-run with a DIFFERENT factor or base into the
+    // same scaleDir re-synthesizes instead of silently timing the old
+    // corpus under a wrong label.
+    val marker = java.nio.file.Paths.get(scaleDir, "_SYNTH_OK")
+    val config = s"x$factor from ${new java.io.File(baseDir).getAbsolutePath}"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == config
+    if (!fresh) {
+      System.err.println(s"[scale] synthesizing corpus ($config) at $scaleDir")
       replicateDocuments(spark, baseDir, factor)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
       replicateCustomer(spark, baseDir, factor)
         .repartition(8)
         .write.mode("overwrite").parquet(s"$scaleDir/customer.parquet")
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, config)
     }
 
     // warmup (JIT + codegen + parquet paths)
@@ -210,13 +231,7 @@ object ScaleBench {
     val kernelNotes = Map(
       "lsh_params.base" -> kbParams, s"lsh_params.x$factor" -> ksParams)
 
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = JsonStr.escape(s)
     val qj = perQuery.map { case (n, (bs, br, ss, sr)) =>
       jstr(n) + ":" + f"""{"base_sec":$bs%.3f,"x${factor}_sec":$ss%.3f,""" +
         f""""time_ratio":${ss / math.max(1e-9, bs)}%.2f,""" +

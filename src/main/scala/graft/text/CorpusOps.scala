@@ -404,6 +404,13 @@ object CorpusOps {
     * surrogate collision (two ids sharing a 64-bit hash) could return
     * one extra doc for that domain; at p ≈ cap²/2⁶⁵ per domain that is
     * negligible against the operator's statistical purpose.
+    *
+    * Null DOMAINS form a capped group like any other (both paths,
+    * null-safely). Null IDS are dropped — by both paths identically: a
+    * doc without an id has no deterministic hash to rank by
+    * ([[graft.functions.BoundedMinByN]] skips null keys/payloads, and
+    * the string path's surrogate of a null id is null). Gated in
+    * CorpusOpsSpec.
     */
   def domainCap(
       docs: DataFrame, idCol: String, domainCol: String, cap: Int,

@@ -88,6 +88,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!kept(1L), "a pure-boilerplate doc must drop")
   }
 
+  test("domainCap drops null-id docs identically on both paths (no " +
+      "deterministic rank exists for them) and still caps the rest") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // Integral path: 40 real docs in one domain + 3 null-id rows.
+    val longDocs = (0L until 40L).map(i => (i, "hot")).toDF("doc_id", "source")
+      .unionByName(Seq("hot", "hot", "cold").toDF("source")
+        .withColumn("doc_id", lit(null).cast(LongType))
+        .select("doc_id", "source"))
+    val longOut = CorpusOps.domainCap(longDocs, "doc_id", "source",
+        cap = 5, salt = "n1")
+      .select("source", "doc_id").as[(String, java.lang.Long)].collect()
+    assert(longOut.forall(_._2 != null), "null id leaked (integral path)")
+    assert(longOut.count(_._1 == "hot") == 5)
+    assert(!longOut.exists(_._1 == "cold"),
+      "a domain containing ONLY null-id docs must vanish, not crash")
+    // String path: same shape, same contract.
+    val strDocs = (0L until 40L).map(i => (s"d$i", "hot"))
+      .toDF("doc_id", "source")
+      .unionByName(Seq("hot", "cold").toDF("source")
+        .withColumn("doc_id", lit(null).cast(StringType))
+        .select("doc_id", "source"))
+    val strOut = CorpusOps.domainCap(strDocs, "doc_id", "source",
+        cap = 5, salt = "n1")
+      .select("source", "doc_id").as[(String, String)].collect()
+    assert(strOut.forall(_._2 != null), "null id leaked (string path)")
+    assert(strOut.count(_._1 == "hot") == 5)
+    assert(!strOut.exists(_._1 == "cold"))
+  }
+
   test("gramHash=xxhash64 reproduces every literal-mode decision on " +
       "real fixture text (decontaminate and duplicateSpans)") {
     // The 100 TB key mode shuffles 64-bit gram hashes instead of the
