@@ -34,6 +34,10 @@ object Bench {
     // driver prefix pass) and domain-cap (ObjectHashAggregate path) —
     // benched so regressions in either plan show round-over-round.
     "q58_shard_pack", "q60_domain_cap",
+    // Bloom-prefiltered incremental dedup (round 16): a Bloom build
+    // action + filter/anti-join union — benched so both the build cost
+    // and the confirm join show round-over-round.
+    "q62_incremental_dedup",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

@@ -187,7 +187,13 @@ object ScaleBench {
 
     val queries = Seq("q35_minhash_candidates", "q37_simhash_pairs",
       "q50_dedupe_pipeline", "q53_decontaminate", "q56_dup_spans",
-      "q58_shard_pack", "q60_domain_cap")
+      "q58_shard_pack", "q60_domain_cap",
+      // Bloom-prefiltered incremental dedup: the token-suffix replicas
+      // keep doc_id % 10 digits AND the per-replica text-overlap
+      // structure (replica texts never collide across replicas), so
+      // the re-crawl dup rate is scale-invariant and survivors must
+      // grow exactly linearly.
+      "q62_incremental_dedup")
     val qs = SparkEntry.queries
     var phaseRecords = Map.empty[String, Map[String, Double]]
 

@@ -208,6 +208,28 @@ object CorpusQueries {
           FROM documents)
         SELECT doc_id, lang,
           CAST(unnest(range(1, n + 1)) AS INTEGER) AS copy
-        FROM c"""))
+        FROM c""")),
+
+    // Incremental dedup of a re-crawl batch against the already-
+    // ingested corpus: historical = docs with id digit 0-5, incoming =
+    // digit 4-9, so digits 4-5 model the re-fetched pages (identical
+    // text under the same id — 1/3 of the batch) and must be dropped.
+    // The Spark side runs the Bloom-prefiltered anti-join; the oracle
+    // states the bare anti-join semantics the prefilter must preserve.
+    QueryDef(
+      "q62_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        CorpusOps.dedupAgainst(
+          docs.where(col("doc_id") % 10 >= 4),
+          docs.where(col("doc_id") % 10 < 6),
+          "text", expectedItems = 200000L, fpp = 0.01)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT i.doc_id, i.lang, i.source
+        FROM documents i
+        WHERE i.doc_id % 10 >= 4
+          AND NOT EXISTS (SELECT 1 FROM documents h
+            WHERE h.doc_id % 10 < 6 AND h.text = i.text)"""))
   )
 }

@@ -506,4 +506,91 @@ object CorpusOps {
       size(regexp_extract_all(payload, lit("[0-9]+"), lit(0)))
         .cast("long").as("n_masked"))
   }
+
+  /** Incremental exact dedup of a new batch against the historical
+    * corpus — the accretion step of a production training-data
+    * pipeline: every crawl round re-fetches mostly already-ingested
+    * pages, and they must be dropped before any downstream pass pays
+    * for them. Keeps every `incoming` row whose `textCol` does NOT
+    * occur in `historical`. Semantically that is a plain left-anti
+    * join on the text; the 100 TB problem with stating it that way is
+    * that the anti-join shuffles the ENTIRE batch against the ENTIRE
+    * history every round. This runs the standard Bloom-prefilter
+    * shape instead:
+    *
+    *  1. one pass over `historical` builds a Bloom filter of
+    *     `xxhash64(textCol)` (a distributed `treeAggregate`; the
+    *     driver holds the merged bits — `expectedItems`/`fpp` size
+    *     them, ~1.2 GB per 10⁹ docs at 1% — and broadcasts them
+    *     ONCE);
+    *  2. Bloom-NEGATIVE incoming rows are DEFINITELY new (Bloom
+    *     filters have no false negatives): they bypass the join
+    *     entirely as a pure map-side filter — zero shuffle for
+    *     `1 - dup_rate - fpp` of the batch;
+    *  3. only Bloom-POSITIVE rows (the true re-fetches plus ~`fpp` of
+    *     the new) enter the exact left-anti confirm that strips the
+    *     false positives, so the incoming side of the anti-join
+    *     shuffle is `dup_rate + fpp` of the batch instead of 1.0. At
+    *     cluster scale point `historical` at a text-bucketed index
+    *     written with [[graft.Tables.sinkBucketed]] and the history
+    *     side of the confirm ships zero Exchange too (the shuffle was
+    *     paid once at ingest).
+    *
+    * The output is EXACTLY the anti-join's (PlanSpec gates both the
+    * answer parity and the one-anti-join-under-a-union plan shape).
+    *
+    * `confirm = false` skips step 3 — the zero-join, zero-shuffle
+    * Bloom-only mode (the CCNet/Dolma trade), and the only mode a
+    * STREAMING `incoming` can run (enforced by `require`; the
+    * filter-only plan is trivially streaming-safe, gated in
+    * CorpusStreamSpec): ~`fpp` of genuinely-new rows are falsely
+    * dropped, no duplicate ever survives. The filter is built once at
+    * plan time from the historical snapshot; re-point the stream at a
+    * refreshed filter between batch windows to pick up newer history.
+    *
+    * Null `textCol` rows are always kept — no content to match, and
+    * SQL equality semantics agree (the oracle's `NOT EXISTS … h.text
+    * = i.text` never matches a null). Duplicates WITHIN `incoming`
+    * all survive together: within-batch dedup is
+    * [[graft.ops.RelationalOps.exactDedup]]'s job, and fusing the two
+    * would turn this op's map-side bypass into a shuffle. Returns
+    * `incoming`'s surviving rows with their original schema.
+    */
+  def dedupAgainst(
+      incoming: DataFrame, historical: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      confirm: Boolean = true): DataFrame = {
+    require(expectedItems > 0, s"expectedItems $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp not in (0,1)")
+    require(!historical.isStreaming,
+      "historical must be a batch snapshot (the Bloom side is built " +
+        "by an action at plan time)")
+    require(!incoming.isStreaming || !confirm,
+      "streaming dedupAgainst is Bloom-only: pass confirm = false")
+    val bloom = historical
+      .where(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((h: Long) => bc.value.mightContainLong(h))
+        .withName("bloomMightContain")
+    val hashed = incoming.withColumn("_bh", xxhash64(col(textCol)))
+    val definitelyNew = hashed
+      .where(col(textCol).isNull || !mightContain(col("_bh")))
+      .drop("_bh")
+    if (!confirm) definitelyNew
+    else {
+      val suspects = hashed
+        .where(col(textCol).isNotNull && mightContain(col("_bh")))
+        .drop("_bh")
+      // The right side carries ONLY the renamed text key, so the join
+      // key is unambiguous even when incoming and historical share
+      // lineage (the q62 re-crawl demo splits one table).
+      val confirmedNew = suspects.join(
+        historical.select(col(textCol).as("_ht")),
+        col(textCol) === col("_ht"), "left_anti")
+      definitelyNew.unionByName(confirmedNew)
+    }
+  }
 }

@@ -277,4 +277,52 @@ class PlanSpec extends SparkSpec {
           s"$q shuffles a pure per-row pass:\n$p")
       }
   }
+
+  test("q62 incremental dedup: Bloom prefilter feeds ONE left-anti " +
+      "confirm under a union; Bloom-only mode plans zero joins and " +
+      "zero exchanges") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.functions.col
+    import graft.text.CorpusOps
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    // Exact mode (the q62 demo): the ONLY join is the left-anti
+    // confirm, its input already thinned by the Bloom filter — the
+    // bypass branch reaches the union join-free, which is the whole
+    // point (at 100 TB it is ~1-dup_rate of the batch skipping the
+    // shuffle).
+    val exact = SparkEntry.queries("q62_incremental_dedup")(spark, sf0001)
+    exact.queryExecution.toRdd.count()
+    val joins = nodes(exact.queryExecution.executedPlan)
+      .collect { case j: BaseJoinExec => j }
+    assert(joins.length == 1,
+      s"q62 plans ${joins.length} joins, want exactly the anti confirm:" +
+        s"\n${joins.mkString("\n")}")
+    assert(joins.head.joinType == LeftAnti,
+      s"q62 confirm join is ${joins.head.joinType}, not LeftAnti")
+    val ps = exact.queryExecution.executedPlan.toString
+    assert(ps.contains("bloomMightContain"),
+      s"q62 plan lost the Bloom prefilter:\n$ps")
+    assert(ps.contains("Union"),
+      s"q62 plan lost the bypass-branch union:\n$ps")
+    // Bloom-only mode: a pure map-side filter — no join, no Exchange.
+    val docs = Tables.load(spark, sf0001, "documents")
+    val bloomOnly = CorpusOps.dedupAgainst(
+      docs.where(col("doc_id") % 10 >= 4),
+      docs.where(col("doc_id") % 10 < 6),
+      "text", expectedItems = 200000L, fpp = 0.01, confirm = false)
+    bloomOnly.queryExecution.toRdd.count()
+    val bo = bloomOnly.queryExecution.executedPlan
+    assert(nodes(bo).collect { case j: BaseJoinExec => j }.isEmpty,
+      s"Bloom-only mode plans a join:\n$bo")
+    assert(!bo.toString.contains("Exchange"),
+      s"Bloom-only mode shuffles:\n$bo")
+  }
 }

@@ -184,4 +184,46 @@ class CorpusStreamSpec extends SparkSpec {
       assert(st == bt)
     } finally { q1.stop(); q2.stop(); q3.stop() }
   }
+
+  test("dedupAgainst confirm=false runs on a streaming batch and " +
+      "matches the batch Bloom-only answer; confirm=true is refused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val historical = (0 until 200)
+      .map(i => (i.toLong, s"hist doc $i payload"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1000L, "hist doc 7 payload"),   // re-fetch: dropped
+      (1001L, "genuinely new page a"),
+      (1002L, "hist doc 150 payload"), // re-fetch: dropped
+      (1003L, "genuinely new page b"))
+    val input = MemoryStream[(Long, String)]
+    val out = CorpusOps.dedupAgainst(
+      input.toDF().toDF("doc_id", "text"), historical, "text",
+      expectedItems = 200L, fpp = 0.01, confirm = false)
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.take(2))
+      q.processAllAvailable()
+      input.addData(arrivals.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      val batch = CorpusOps.dedupAgainst(
+          arrivals.toDF("doc_id", "text"), historical, "text",
+          expectedItems = 200L, fpp = 0.01, confirm = false)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"streaming Bloom-only answer $streamed != batch $batch")
+      assert(streamed == Set(1001L, 1003L))
+    } finally q.stop()
+    // The exact-confirm anti-join has no stream-static shape; the
+    // operator must refuse it loudly rather than fail at start().
+    intercept[IllegalArgumentException] {
+      CorpusOps.dedupAgainst(
+        input.toDF().toDF("doc_id", "text"), historical, "text",
+        expectedItems = 200L, confirm = true)
+    }
+  }
 }

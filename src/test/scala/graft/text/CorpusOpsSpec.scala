@@ -423,4 +423,85 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L)._3 == 5L)
     assert(out(3L) == ((out(3L)._1, "", 0L)), "null payload scrubs to empty")
   }
+
+  test("dedupAgainst (exact mode) reproduces the plain anti-join on the " +
+      "fixture re-crawl split") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val incoming = docs.where(col("doc_id") % 10 >= 4)
+    val historical = docs.where(col("doc_id") % 10 < 6)
+    val got = CorpusOps.dedupAgainst(incoming, historical, "text",
+        expectedItems = 200000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    val want = incoming.join(
+        historical.select(col("text").as("_t")),
+        col("text") === col("_t"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"Bloom-prefiltered answer diverged: " +
+      s"extra ${got -- want}, missing ${want -- got}")
+    // The split is nontrivial: the overlapping id digits (4-5) are
+    // true re-fetches and must be dropped.
+    val nIncoming = incoming.count()
+    assert(got.size < nIncoming,
+      s"nothing was deduped (${got.size} of $nIncoming)")
+    assert(got.forall(_ % 10 >= 6),
+      "a re-fetched doc (id digit 4-5) survived the dedup")
+  }
+
+  test("dedupAgainst Bloom-only mode never keeps a duplicate and drops " +
+      "at most ~fpp of the genuinely-new rows") {
+    // 1000 historical texts; incoming = 600 exact re-fetches + 1000 new.
+    val historical = (0 until 1000)
+      .map(i => (i.toLong, s"hist doc number $i body"))
+      .toDF("doc_id", "text")
+    val incoming = ((0 until 600)
+      .map(i => (10000L + i, s"hist doc number $i body")) ++
+      (0 until 1000).map(i => (20000L + i, s"fresh doc number $i body")))
+      .toDF("doc_id", "text")
+    val bloomOnly = CorpusOps.dedupAgainst(incoming, historical, "text",
+        expectedItems = 1000L, fpp = 0.05, confirm = false)
+      .select("doc_id").as[Long].collect().toSet
+    // No false negatives: every true re-fetch is dropped, always.
+    assert(bloomOnly.forall(_ >= 20000L),
+      s"a true duplicate survived Bloom-only dedup: " +
+        s"${bloomOnly.filter(_ < 20000L)}")
+    // False positives cost at most ~fpp of the new rows (deterministic
+    // for fixed data — the bound is generous, not probabilistic).
+    assert(bloomOnly.size >= 800,
+      s"Bloom-only dropped ${1000 - bloomOnly.size} of 1000 new rows " +
+        s"(fpp was 0.05)")
+    // And the exact mode on the same inputs keeps ALL 1000 new rows.
+    val exact = CorpusOps.dedupAgainst(incoming, historical, "text",
+        expectedItems = 1000L, fpp = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == (0 until 1000).map(20000L + _).toSet)
+    assert(bloomOnly.subsetOf(exact),
+      "Bloom-only kept a row the exact mode dropped")
+  }
+
+  test("dedupAgainst keeps null-text rows and within-batch duplicates " +
+      "in both modes") {
+    val historical = Seq(
+      (1L, "already ingested page"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, null.asInstanceOf[String]), // no content to match: kept
+      (11L, "brand new page"),          // kept
+      (12L, "brand new page"),          // within-batch dup: ALSO kept
+      (13L, "already ingested page")    // true re-fetch: dropped
+    ).toDF("doc_id", "text")
+    Seq(true, false).foreach { confirm =>
+      val got = CorpusOps.dedupAgainst(incoming, historical, "text",
+          expectedItems = 100L, fpp = 0.01, confirm = confirm)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(10L, 11L, 12L),
+        s"confirm=$confirm kept $got (null-text row and both " +
+          "within-batch copies must survive; the re-fetch must not)")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dedupAgainst(incoming, historical, "text", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dedupAgainst(incoming, historical, "text", 100L, fpp = 1.0)
+    }
+  }
 }

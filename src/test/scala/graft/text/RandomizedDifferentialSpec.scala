@@ -191,6 +191,21 @@ class RandomizedDifferentialSpec extends SparkSpec {
               <= greatest(size(t.t) - 2, 0) AS keep
           FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id"""))
 
+      // dedupAgainst twin (exact mode): the bare NOT EXISTS anti-join
+      // the Bloom prefilter must preserve — on the dup-heavy
+      // small-vocabulary corpus, where identical texts (including the
+      // empty string) straddle the incoming/historical halves.
+      check("dedupAgainst", seed,
+        CorpusOps.dedupAgainst(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 =!= 0),
+          "text", expectedItems = 1000L, fpp = 0.05),
+        spark.sql("""
+          SELECT i.* FROM rdocs i
+          WHERE i.doc_id % 2 = 0
+            AND NOT EXISTS (SELECT 1 FROM rdocs h
+              WHERE h.doc_id % 2 != 0 AND h.text = i.text)"""))
+
       // exactDedup twin: GROUP BY all fields + sorted id agg + dense
       // order-stated row_number (A1's SQL phrasing), on the same corpus
       // reshaped as entries. Null-first ordering must match.
