@@ -82,4 +82,53 @@ class BucketedJoinSpec extends SparkSpec {
       expected.exceptAll(agg).isEmpty)
     spark.sql("DROP TABLE IF EXISTS orders_bkt_agg_spec")
   }
+
+  test("dedupAgainst confirm against a text-bucketed history plans the " +
+      "history side with zero Exchange") {
+    // The q62 scaladoc's 100 TB claim, gated: when the historical
+    // corpus is stored text-bucketed (the shuffle paid once at
+    // ingest), the exact-confirm anti-join re-shuffles ONLY the
+    // Bloom-positive sliver of the batch — the history side reads
+    // straight from its buckets.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_bucketed_dedup_spec").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+    val histSlice = docs.where(col("doc_id") % 10 < 6)
+    Tables.sinkBucketed(histSlice, "hist_bkt_spec",
+      s"$wh/hist_bkt_spec", 8, "text", "text")
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val incoming = docs.where(col("doc_id") % 10 >= 4)
+      val out = graft.text.CorpusOps.dedupAgainst(
+        incoming, Tables.loadTable(spark, "hist_bkt_spec"), "text",
+        expectedItems = 10000L, fpp = 0.01)
+      out.queryExecution.toRdd.count() // finalize AQE
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val joins = nodes(out.queryExecution.executedPlan)
+        .collect { case j: BaseJoinExec => j }
+      assert(joins.length == 1, s"want the one confirm join:\n$joins")
+      val right = nodes(joins.head.right)
+      assert(!right.exists(_.nodeName.contains("Exchange")),
+        s"bucketed history side still shuffles for the confirm:\n" +
+          joins.head.right)
+      assert(right.map(_.toString).exists(s =>
+          s.contains("SelectedBucketsCount") || s.contains("Bucketed: true")),
+        s"confirm right side is not the bucketed scan:\n${joins.head.right}")
+      // Answer parity with the plain (unbucketed) history frame.
+      val expected = graft.text.CorpusOps.dedupAgainst(
+        incoming, histSlice, "text", expectedItems = 10000L, fpp = 0.01)
+      assert(out.select("doc_id").exceptAll(expected.select("doc_id"))
+          .isEmpty &&
+        expected.select("doc_id").exceptAll(out.select("doc_id")).isEmpty,
+        "bucketed-history answer diverged from the plain history")
+    }
+    spark.sql("DROP TABLE IF EXISTS hist_bkt_spec")
+  }
 }
