@@ -555,18 +555,37 @@ object CorpusOps {
     * [[graft.ops.RelationalOps.exactDedup]]'s job, and fusing the two
     * would turn this op's map-side bypass into a shuffle. Returns
     * `incoming`'s surviving rows with their original schema.
+    *
+    * SIZING the Bloom: the merged bits live on the DRIVER and ship to
+    * every executor — ~1.2 bytes per historical doc at 1% fpp, so
+    * ~12 GB at 10¹⁰ docs is the practical ceiling (raise `fpp` to
+    * trade bits for confirm-join traffic). Past it, pass
+    * `prefilter = false`: no Bloom is built at all and the operator
+    * IS the plain left-anti join — still the exact answer, and still
+    * Exchange-free on the history side when `historical` is the
+    * bucketed index (the BucketedJoinSpec-gated path); you give up
+    * only the map-side bypass of the incoming batch.
     */
   def dedupAgainst(
       incoming: DataFrame, historical: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      confirm: Boolean = true): DataFrame = {
+      confirm: Boolean = true, prefilter: Boolean = true): DataFrame = {
     require(expectedItems > 0, s"expectedItems $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp not in (0,1)")
+    require(prefilter || confirm,
+      "prefilter=false with confirm=false would keep every duplicate")
     require(!historical.isStreaming,
       "historical must be a batch snapshot (the Bloom side is built " +
         "by an action at plan time)")
     require(!incoming.isStreaming || !confirm,
       "streaming dedupAgainst is Bloom-only: pass confirm = false")
+    // The right side carries ONLY the renamed text key, so the join
+    // key is unambiguous even when incoming and historical share
+    // lineage (the q62 re-crawl demo splits one table).
+    def antiJoin(left: DataFrame): DataFrame = left.join(
+      historical.select(col(textCol).as("_ht")),
+      col(textCol) === col("_ht"), "left_anti")
+    if (!prefilter) return antiJoin(incoming)
     val bloom = historical
       .where(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("_h"))
@@ -584,13 +603,7 @@ object CorpusOps {
       val suspects = hashed
         .where(col(textCol).isNotNull && mightContain(col("_bh")))
         .drop("_bh")
-      // The right side carries ONLY the renamed text key, so the join
-      // key is unambiguous even when incoming and historical share
-      // lineage (the q62 re-crawl demo splits one table).
-      val confirmedNew = suspects.join(
-        historical.select(col(textCol).as("_ht")),
-        col(textCol) === col("_ht"), "left_anti")
-      definitelyNew.unionByName(confirmedNew)
+      definitelyNew.unionByName(antiJoin(suspects))
     }
   }
 }

@@ -504,4 +504,26 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.dedupAgainst(incoming, historical, "text", 100L, fpp = 1.0)
     }
   }
+
+  test("dedupAgainst prefilter=false is the bare anti-join (the " +
+      "beyond-Bloom-ceiling mode): same answer, no Bloom in the plan") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val incoming = docs.where(col("doc_id") % 10 >= 4)
+    val historical = docs.where(col("doc_id") % 10 < 6)
+    val bare = CorpusOps.dedupAgainst(incoming, historical, "text",
+      expectedItems = 200000L, prefilter = false)
+    assert(!bare.queryExecution.executedPlan.toString
+        .contains("bloomMightContain"),
+      "prefilter=false must not build or apply a Bloom filter")
+    val withBloom = CorpusOps.dedupAgainst(incoming, historical, "text",
+      expectedItems = 200000L)
+    assert(bare.select("doc_id").as[Long].collect().toSet ==
+      withBloom.select("doc_id").as[Long].collect().toSet,
+      "prefilter=false diverged from the Bloom-prefiltered answer")
+    // Skipping the Bloom AND the confirm would keep every duplicate.
+    intercept[IllegalArgumentException] {
+      CorpusOps.dedupAgainst(incoming, historical, "text", 200000L,
+        confirm = false, prefilter = false)
+    }
+  }
 }
