@@ -11,10 +11,13 @@ import org.apache.spark.sql.types.LongType
   * Rae et al. 2021 "Gopher" §A1.1; benchmark decontamination via
   * n-gram overlap, Brown et al. 2020 GPT-3 appendix C).
   *
-  * All four operators are pure DataFrame programs: word n-grams are
+  * Every operator here is a pure DataFrame program: word n-grams are
   * built inside whole-stage codegen (`transform`/`slice`/`array_join`
   * — no UDF), the corpus-wide steps are single equi-join/aggregate
-  * shuffles on the n-gram key, and nothing is collected to the driver.
+  * shuffles on the n-gram key, and nothing unbounded is collected to
+  * the driver (the two driver-side artifacts — [[packShards]]'s
+  * per-partition sums and [[dedupAgainst]]'s Bloom bits — are
+  * explicitly sized and documented at their definitions).
   *
   * 100 TB notes:
   *  - n-gram keys default to the literal strings so the DuckDB oracle
