@@ -584,10 +584,16 @@ object CorpusOps {
       "streaming dedupAgainst is Bloom-only: pass confirm = false")
     // The right side carries ONLY the renamed text key, so the join
     // key is unambiguous even when incoming and historical share
-    // lineage (the q62 re-crawl demo splits one table).
+    // lineage (the q62 re-crawl demo splits one table). The rename
+    // must not collide with an incoming column (schema is preserved,
+    // so an ambiguous key would otherwise surface as a confusing
+    // analysis error deep in the plan).
+    val ht = "_graft_dedup_ht"
+    require(!incoming.columns.contains(ht),
+      s"incoming already has a $ht column")
     def antiJoin(left: DataFrame): DataFrame = left.join(
-      historical.select(col(textCol).as("_ht")),
-      col(textCol) === col("_ht"), "left_anti")
+      historical.select(col(textCol).as(ht)),
+      col(textCol) === col(ht), "left_anti")
     if (!prefilter) return antiJoin(incoming)
     val bloom = historical
       .where(col(textCol).isNotNull)
@@ -597,15 +603,21 @@ object CorpusOps {
     val mightContain =
       udf((h: Long) => bc.value.mightContainLong(h))
         .withName("bloomMightContain")
-    val hashed = incoming.withColumn("_bh", xxhash64(col(textCol)))
+    // Unlike the select()-projecting ops above, this operator PRESERVES
+    // the caller's schema, so the staged hash column must not collide
+    // with a real one — guard loudly rather than silently overwrite.
+    val bh = "_graft_dedup_bh"
+    require(!incoming.columns.contains(bh),
+      s"incoming already has a $bh column")
+    val hashed = incoming.withColumn(bh, xxhash64(col(textCol)))
     val definitelyNew = hashed
-      .where(col(textCol).isNull || !mightContain(col("_bh")))
-      .drop("_bh")
+      .where(col(textCol).isNull || !mightContain(col(bh)))
+      .drop(bh)
     if (!confirm) definitelyNew
     else {
       val suspects = hashed
-        .where(col(textCol).isNotNull && mightContain(col("_bh")))
-        .drop("_bh")
+        .where(col(textCol).isNotNull && mightContain(col(bh)))
+        .drop(bh)
       definitelyNew.unionByName(antiJoin(suspects))
     }
   }
