@@ -71,6 +71,14 @@ object ScaleBench {
     val docs = Tables.load(spark, baseDir, "documents")
     val baseCount = docs.count()
     requireContiguous(docs, "doc_id", baseCount)
+    // q62's re-crawl split (and any doc_id % k selector) is only
+    // scale-invariant if the replica offset preserves id digits:
+    // replica ids are id + r·baseCount, so baseCount must be a
+    // multiple of 10 or the digit windows shift per replica and the
+    // measured ratios silently describe changed data, not the engine.
+    require(baseCount % 10 == 0,
+      s"doc replication needs baseCount % 10 == 0 to preserve " +
+        s"doc_id % 10 structure; found $baseCount")
     docs.crossJoin(spark.range(factor).toDF("_r"))
       .select(
         (col("doc_id") + col("_r") * lit(baseCount)).as("doc_id"),

@@ -539,8 +539,9 @@ object CorpusOps {
     *     side of the confirm ships zero Exchange too (the shuffle was
     *     paid once at ingest).
     *
-    * The output is EXACTLY the anti-join's (PlanSpec gates both the
-    * answer parity and the one-anti-join-under-a-union plan shape).
+    * The output is EXACTLY the anti-join's (answer parity is gated in
+    * CorpusOpsSpec and RandomizedDifferentialSpec; the
+    * one-anti-join-under-a-union plan shape in PlanSpec).
     *
     * `confirm = false` skips step 3 — the zero-join, zero-shuffle
     * Bloom-only mode (the CCNet/Dolma trade), and the only mode a
@@ -582,15 +583,24 @@ object CorpusOps {
         "by an action at plan time)")
     require(!incoming.isStreaming || !confirm,
       "streaming dedupAgainst is Bloom-only: pass confirm = false")
+    // This operator PRESERVES the caller's schema (unlike the
+    // select()-projecting ops above), so its two internal names — the
+    // staged hash column and the renamed history join key — must not
+    // collide with real caller columns: the hash column would be
+    // silently replaced-then-dropped, the join key would surface as a
+    // confusing ambiguity error deep in the plan. Spark resolves
+    // column names case-INsensitively by default, so the guard must
+    // too — and it runs BEFORE the Bloom build, so a colliding caller
+    // fails free instead of after a full history scan.
+    val bh = "_graft_dedup_bh"
+    val ht = "_graft_dedup_ht"
+    Seq(bh, ht).foreach { n =>
+      require(!incoming.columns.exists(_.equalsIgnoreCase(n)),
+        s"incoming already has a $n column")
+    }
     // The right side carries ONLY the renamed text key, so the join
     // key is unambiguous even when incoming and historical share
-    // lineage (the q62 re-crawl demo splits one table). The rename
-    // must not collide with an incoming column (schema is preserved,
-    // so an ambiguous key would otherwise surface as a confusing
-    // analysis error deep in the plan).
-    val ht = "_graft_dedup_ht"
-    require(!incoming.columns.contains(ht),
-      s"incoming already has a $ht column")
+    // lineage (the q62 re-crawl demo splits one table).
     def antiJoin(left: DataFrame): DataFrame = left.join(
       historical.select(col(textCol).as(ht)),
       col(textCol) === col(ht), "left_anti")
@@ -603,12 +613,6 @@ object CorpusOps {
     val mightContain =
       udf((h: Long) => bc.value.mightContainLong(h))
         .withName("bloomMightContain")
-    // Unlike the select()-projecting ops above, this operator PRESERVES
-    // the caller's schema, so the staged hash column must not collide
-    // with a real one — guard loudly rather than silently overwrite.
-    val bh = "_graft_dedup_bh"
-    require(!incoming.columns.contains(bh),
-      s"incoming already has a $bh column")
     val hashed = incoming.withColumn(bh, xxhash64(col(textCol)))
     val definitelyNew = hashed
       .where(col(textCol).isNull || !mightContain(col(bh)))

@@ -156,19 +156,9 @@ class PlanSpec extends SparkSpec {
     */
   private def gramJoins(df: org.apache.spark.sql.DataFrame)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     df.queryExecution.toRdd.count()
-    // AQE materializes stages as QueryStageExec LEAVES — a plain
-    // `collect` never enters them, so walk through explicitly.
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => q +: nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
-    nodes(df.queryExecution.executedPlan).filter {
+    planNodes(df.queryExecution.executedPlan).filter {
       case j: BaseJoinExec => (j.leftKeys ++ j.rightKeys).exists(
         _.references.exists(_.name == "gram"))
       case _ => false
@@ -281,18 +271,10 @@ class PlanSpec extends SparkSpec {
   test("q62 incremental dedup: Bloom prefilter feeds ONE left-anti " +
       "confirm under a union; Bloom-only mode plans zero joins and " +
       "zero exchanges") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.functions.col
     import graft.text.CorpusOps
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => q +: nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
     // Exact mode (the q62 demo): the ONLY join is the left-anti
     // confirm, its input already thinned by the Bloom filter — the
     // bypass branch reaches the union join-free, which is the whole
@@ -300,7 +282,7 @@ class PlanSpec extends SparkSpec {
     // shuffle).
     val exact = SparkEntry.queries("q62_incremental_dedup")(spark, sf0001)
     exact.queryExecution.toRdd.count()
-    val joins = nodes(exact.queryExecution.executedPlan)
+    val joins = planNodes(exact.queryExecution.executedPlan)
       .collect { case j: BaseJoinExec => j }
     assert(joins.length == 1,
       s"q62 plans ${joins.length} joins, want exactly the anti confirm:" +
@@ -320,7 +302,7 @@ class PlanSpec extends SparkSpec {
       "text", expectedItems = 200000L, fpp = 0.01, confirm = false)
     bloomOnly.queryExecution.toRdd.count()
     val bo = bloomOnly.queryExecution.executedPlan
-    assert(nodes(bo).collect { case j: BaseJoinExec => j }.isEmpty,
+    assert(planNodes(bo).collect { case j: BaseJoinExec => j }.isEmpty,
       s"Bloom-only mode plans a join:\n$bo")
     assert(!bo.toString.contains("Exchange"),
       s"Bloom-only mode shuffles:\n$bo")

@@ -8,6 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** Typed walk of a physical plan that enters AQE's materialized
+    * stages — AQE wraps them as QueryStageExec LEAVES, so a plain
+    * `collect`/`children` walk never sees inside them. Every plan
+    * assertion that collects nodes must go through here (one shared
+    * walker, so a future AQE wrapper node type is added in ONE place).
+    */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      planNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: planNodes(q.plan)
+    case other => other +: other.children.flatMap(planNodes)
+  }
 }
 
 object SparkSpec {

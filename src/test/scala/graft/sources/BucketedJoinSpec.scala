@@ -90,9 +90,6 @@ class BucketedJoinSpec extends SparkSpec {
     // ingest), the exact-confirm anti-join re-shuffles ONLY the
     // Bloom-positive sliver of the batch — the history side reads
     // straight from its buckets.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val wh = java.nio.file.Files
       .createTempDirectory("graft_bucketed_dedup_spec").toString
@@ -106,15 +103,10 @@ class BucketedJoinSpec extends SparkSpec {
         incoming, Tables.loadTable(spark, "hist_bkt_spec"), "text",
         expectedItems = 10000L, fpp = 0.01)
       out.queryExecution.toRdd.count() // finalize AQE
-      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => q +: nodes(q.plan)
-        case other => other +: other.children.flatMap(nodes)
-      }
-      val joins = nodes(out.queryExecution.executedPlan)
+      val joins = planNodes(out.queryExecution.executedPlan)
         .collect { case j: BaseJoinExec => j }
       assert(joins.length == 1, s"want the one confirm join:\n$joins")
-      val right = nodes(joins.head.right)
+      val right = planNodes(joins.head.right)
       assert(!right.exists(_.nodeName.contains("Exchange")),
         s"bucketed history side still shuffles for the confirm:\n" +
           joins.head.right)
