@@ -46,7 +46,7 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  private def readLoadAvg(): String =
+  private[graft] def readLoadAvg(): String =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.split("\\s+")(0) finally src.close()

@@ -58,11 +58,16 @@ object ScaleBench {
     */
   private def requireContiguous(df: DataFrame, idCol: String,
       baseCount: Long): Unit = {
-    val Array(mn, mx) = df.agg(min(col(idCol)), max(col(idCol))).head()
-      .toSeq.map(_.asInstanceOf[Number].longValue()).toArray
-    require(mn == 0L && mx == baseCount - 1,
-      s"replication needs contiguous $idCol in [0, $baseCount); " +
-        s"found [$mn, $mx]")
+    // min/max alone would accept a duplicate-plus-gap id set (same
+    // bounds, same count) and then emit colliding replica ids —
+    // exactly the silent ratio corruption this guard exists to stop —
+    // so the distinct count is part of the check.
+    val Array(mn, mx, nd) = df
+      .agg(min(col(idCol)), max(col(idCol)), countDistinct(col(idCol)))
+      .head().toSeq.map(_.asInstanceOf[Number].longValue()).toArray
+    require(mn == 0L && mx == baseCount - 1 && nd == baseCount,
+      s"replication needs contiguous distinct $idCol in " +
+        s"[0, $baseCount); found [$mn, $mx] with $nd distinct")
   }
 
   /** Token-suffix document replication (see class doc). */
@@ -152,6 +157,12 @@ object ScaleBench {
     val scaleDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    // Unvalidated env would not fail loudly: reps=0 makes every
+    // timing loop a no-op (base_sec = Double.MaxValue, rows = 0 in a
+    // JSON that still parses), factor<2 labels a non-scaled corpus as
+    // scaled.
+    require(reps >= 1, s"SPARK_GRAFT_SCALE_REPS $reps must be >= 1")
+    require(factor >= 2, s"SPARK_GRAFT_SCALE_FACTOR $factor must be >= 2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", graft.functions.GraftExtensions.CONF)
@@ -163,11 +174,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadAvg0 =
-      try {
-        val src = scala.io.Source.fromFile("/proc/loadavg")
-        try src.mkString.split("\\s+")(0) finally src.close()
-      } catch { case _: Throwable => "n/a" }
+    val loadAvg0 = Bench.readLoadAvg()
 
     // ---- synthesize the scaled corpus (idempotent per config) ----
     // The marker's CONTENT is the (factor, baseDir) the parquet was

@@ -432,9 +432,15 @@ object CorpusOps {
           .select(col(domainCol), explode(col("_ids")).as("_id"))
           .select(col(domainCol), col("_id").cast(idType).as(idCol))
       case _ =>
+        // The surrogate must be NULL for a null id: xxhash64 alone
+        // would hash a null input to its SEED (it is nullable=false),
+        // leaving a non-null sid that could collide with a winner at
+        // ~2⁻⁶⁴ — the guard makes the documented "null id ⇒ null
+        // surrogate ⇒ can never join back" invariant structural.
         val keyed = docs.select(col(domainCol), col(idCol), k,
-          xxhash64(concat(lit(salt + "#sid:"),
-            col(idCol).cast("string"))).as("_sid"))
+          when(col(idCol).isNotNull,
+            xxhash64(concat(lit(salt + "#sid:"),
+              col(idCol).cast("string")))).as("_sid"))
         val kept = keyed
           .groupBy(col(domainCol))
           .agg(graft.functions.GraftFunctions
@@ -559,6 +565,16 @@ object CorpusOps {
     * [[graft.ops.RelationalOps.exactDedup]]'s job, and fusing the two
     * would turn this op's map-side bypass into a shuffle. Returns
     * `incoming`'s surviving rows with their original schema.
+    *
+    * COST model: confirm mode's union has two branches (bypass,
+    * confirm) that each contain the full `incoming` subtree, so the
+    * batch is SCANNED twice — the deliberate trade for keeping
+    * `1 - dup_rate - fpp` of it out of the anti-join SHUFFLE (a
+    * columnar re-scan is cheap; a shuffle of the batch is not, and a
+    * single-pass left-anti with the Bloom test in the join condition
+    * would shuffle every row, since an anti-join cannot push a
+    * left-only conjunct down). Persist `incoming` first if its scan
+    * is genuinely expensive (e.g. a decoded/decompressed view).
     *
     * SIZING the Bloom: the merged bits live on the DRIVER and ship to
     * every executor — ~1.2 bytes per historical doc at 1% fpp, so
