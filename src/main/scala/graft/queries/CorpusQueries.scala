@@ -230,6 +230,25 @@ object CorpusQueries {
         FROM documents i
         WHERE i.doc_id % 10 >= 4
           AND NOT EXISTS (SELECT 1 FROM documents h
-            WHERE h.doc_id % 10 < 6 AND h.text = i.text)"""))
+            WHERE h.doc_id % 10 < 6 AND h.text = i.text)""")),
+
+    // Context-window packing: 8-token chunks with stride 5 (3-token
+    // overlap). DuckDB's `//` is integer division and its list slice
+    // is 1-based inclusive-both-ends, mirroring Spark's 1-based slice
+    // of `window` elements; both engines split '' to one empty token.
+    QueryDef(
+      "q63_chunk_tokens",
+      (s, dir) => CorpusOps.chunkTokens(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        window = 8, stride = 5),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE text IS NOT NULL),
+          c AS (SELECT doc_id, len(t) AS n, t,
+              unnest(range(0, (len(t) - 1) // 5 + 1)) AS i
+            FROM toks)
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+          array_to_string(t[i*5+1 : i*5+8], ' ') AS chunk_text,
+          CAST(least(8, n - i*5) AS BIGINT) AS n_tokens
+        FROM c"""))
   )
 }

@@ -516,6 +516,53 @@ object CorpusOps {
         .cast("long").as("n_masked"))
   }
 
+  /** Fixed-window token chunking with stride (the context-window
+    * packing step between curation and sharding: every pretraining
+    * pipeline cuts documents into model-window-sized sequences, with
+    * overlap so no span is only ever seen split across a boundary).
+    * Chunk `i` covers tokens `[i·stride, i·stride + window)`; starts
+    * run `0, stride, 2·stride, …` while they fall inside the
+    * document, so every token lands in at least one chunk and the
+    * final chunk may be short — `n_tokens` is emitted per chunk so a
+    * caller can drop tails below a minimum. `stride = window` is
+    * non-overlapping; `stride < window` overlaps by `window - stride`
+    * tokens.
+    *
+    * Pure per-row codegen (`transform`/`slice`/`array_join` over one
+    * `sequence` of starts) + one `posexplode` — ZERO shuffle, and
+    * therefore streaming-safe unchanged, same class as
+    * [[repetitionScore]]/[[piiScrub]] (gated in CorpusStreamSpec).
+    * Null-text docs emit no chunks (nothing to train on). A doc's
+    * token count is `size(split(text, ' '))`, so an empty text is ONE
+    * empty token and yields one empty chunk — identical in DuckDB's
+    * `string_split`, which is what keeps the oracle exact. Returns
+    * `(idCol, chunk_id INT, chunk_text STRING, n_tokens BIGINT)` with
+    * `chunk_id` dense from 0 in document order.
+    */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window $window")
+    require(stride >= 1 && stride <= window,
+      s"stride $stride not in [1, window=$window]")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // Integer `/` is DOUBLE division in Spark SQL; the cast truncates
+    // toward zero, which equals floor here because n >= 1 (split never
+    // returns an empty array for non-null text).
+    val lastStart = ((n - lit(1)) / lit(stride)).cast("int")
+    val chunks = transform(sequence(lit(0), lastStart), i =>
+      struct(
+        array_join(slice(toks, i * lit(stride) + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), n - i * lit(stride)).cast("long")
+          .as("n_tokens")))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        col("col.chunk_text"), col("col.n_tokens"))
+  }
+
   /** Incremental exact dedup of a new batch against the historical
     * corpus — the accretion step of a production training-data
     * pipeline: every crawl round re-fetches mostly already-ingested

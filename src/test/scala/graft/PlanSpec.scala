@@ -260,7 +260,8 @@ class PlanSpec extends SparkSpec {
       "plan zero exchanges") {
     // These are the 100 TB scrub-pass shape: scan → project → write,
     // nothing else. Any Exchange here is a bug.
-    Seq("q54_repetition_score", "q55_pii_scrub", "q57_split_assign")
+    Seq("q54_repetition_score", "q55_pii_scrub", "q57_split_assign",
+      "q63_chunk_tokens")
       .foreach { q =>
         val p = finalPlan(q)
         assert(!p.contains("Exchange"),

@@ -157,17 +157,22 @@ class CorpusStreamSpec extends SparkSpec {
       docs.toDF().toDF("doc_id", "text"), "doc_id", "text", 3)
     val split = CorpusOps.splitAssign(
       docs.toDF().toDF("doc_id", "text"), "doc_id", "s1")
+    val chunks = CorpusOps.chunkTokens(
+      docs.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      window = 3, stride = 2)
     val q1 = scrub.writeStream.format("memory").queryName("scrub_out")
       .outputMode("append").start()
     val q2 = rep.writeStream.format("memory").queryName("rep_out")
       .outputMode("append").start()
     val q3 = split.writeStream.format("memory").queryName("split_out")
       .outputMode("append").start()
+    val q4 = chunks.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
     try {
       events.addData((1L, 42L, """{"k": 69}"""))
       docs.addData((1L, "x y z x y z x y"))
       q1.processAllAvailable(); q2.processAllAvailable()
-      q3.processAllAvailable()
+      q3.processAllAvailable(); q4.processAllAvailable()
       val s = spark.table("scrub_out")
         .select("payload_scrubbed", "n_masked")
         .as[(String, Long)].head()
@@ -182,7 +187,14 @@ class CorpusStreamSpec extends SparkSpec {
           Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "s1")
         .select("doc_id", "split").as[(Long, String)].head()
       assert(st == bt)
-    } finally { q1.stop(); q2.stop(); q3.stop() }
+      // Chunking is per-row + generate — the streamed chunks must be
+      // the batch chunks ("x y z x y z x y": starts 0,2,4,6).
+      val ch = spark.table("chunk_out")
+        .select("chunk_id", "chunk_text", "n_tokens")
+        .as[(Int, String, Long)].collect().toSet
+      assert(ch == Set((0, "x y z", 3L), (1, "z x y", 3L),
+        (2, "y z x", 3L), (3, "x y", 2L)))
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
   }
 
   test("dedupAgainst confirm=false runs on a streaming batch and " +

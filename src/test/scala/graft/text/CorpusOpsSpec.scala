@@ -424,6 +424,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ((out(3L)._1, "", 0L)), "null payload scrubs to empty")
   }
 
+  test("chunkTokens cuts stride-overlapped windows covering every " +
+      "token; empty text is one empty chunk; null text emits none") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),            // 7 tokens, w=3 s=2
+      (2L, ""),                          // one empty token
+      (3L, null.asInstanceOf[String])    // no chunks
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkTokens(docs, "doc_id", "text",
+        window = 3, stride = 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "a b c", 3L), (1L, 1, "c d e", 3L),
+      (1L, 2, "e f g", 3L), (1L, 3, "g", 1L),
+      (2L, 0, "", 1L)))
+    // Non-overlapping mode: stride == window tiles exactly.
+    val tiled = CorpusOps.chunkTokens(docs, "doc_id", "text",
+        window = 4, stride = 4)
+      .where(col("doc_id") === 1L)
+      .select("chunk_text", "n_tokens")
+      .as[(String, Long)].collect().toSet
+    assert(tiled == Set(("a b c d", 4L), ("e f g", 3L)))
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkTokens(docs, "doc_id", "text", window = 3, stride = 4)
+    }
+  }
+
   test("dedupAgainst (exact mode) reproduces the plain anti-join on the " +
       "fixture re-crawl split") {
     val docs = graft.Tables.load(spark, sf0001, "documents")

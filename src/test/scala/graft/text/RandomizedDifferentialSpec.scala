@@ -206,6 +206,24 @@ class RandomizedDifferentialSpec extends SparkSpec {
             AND NOT EXISTS (SELECT 1 FROM rdocs h
               WHERE h.doc_id % 2 != 0 AND h.text = i.text)"""))
 
+      // chunkTokens twin: explode the stride-start sequence, slice the
+      // token list per start — including empty texts (one empty token,
+      // one empty chunk) and unicode tokens.
+      check("chunkTokens", seed,
+        CorpusOps.chunkTokens(docs, "doc_id", "text",
+          window = 4, stride = 3),
+        spark.sql("""
+          WITH toks AS (SELECT doc_id, split(text, ' ') AS t
+            FROM rdocs WHERE text IS NOT NULL),
+          c AS (SELECT doc_id, size(t) AS n, t,
+              explode(sequence(0,
+                cast((size(t) - 1) / 3 AS int))) AS i
+            FROM toks)
+          SELECT doc_id, cast(i AS int) AS chunk_id,
+            concat_ws(' ', slice(t, i*3 + 1, 4)) AS chunk_text,
+            cast(least(4, n - i*3) AS bigint) AS n_tokens
+          FROM c"""))
+
       // exactDedup twin: GROUP BY all fields + sorted id agg + dense
       // order-stated row_number (A1's SQL phrasing), on the same corpus
       // reshaped as entries. Null-first ordering must match.
