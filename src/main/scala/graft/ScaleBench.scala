@@ -56,26 +56,32 @@ object ScaleBench {
     * duplicate ids (the sf fixtures all satisfy it; ScaleCorpusSpec
     * gates the fixture case).
     */
-  private def requireContiguous(df: DataFrame, idCol: String,
-      baseCount: Long): Unit = {
-    // min/max alone would accept a duplicate-plus-gap id set (same
-    // bounds, same count) and then emit colliding replica ids —
-    // exactly the silent ratio corruption this guard exists to stop —
-    // so the distinct count is part of the check.
-    val Array(mn, mx, nd) = df
-      .agg(min(col(idCol)), max(col(idCol)), countDistinct(col(idCol)))
-      .head().toSeq.map(_.asInstanceOf[Number].longValue()).toArray
+  /** Validates the base table in ONE aggregate pass and returns its
+    * row count. min/max alone would accept a duplicate-plus-gap id set
+    * (same bounds, same count) and then emit colliding replica ids —
+    * exactly the silent ratio corruption this guard exists to stop —
+    * so the distinct count is part of the check; the emptiness check
+    * runs first so an empty table fails with THIS message, not an NPE
+    * off the null min/max.
+    */
+  private def requireContiguous(df: DataFrame, idCol: String): Long = {
+    val row = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol)),
+      countDistinct(col(idCol))).head()
+    val baseCount = row.getLong(0)
+    require(baseCount > 0, s"replication needs a non-empty base table")
+    val Seq(mn, mx, nd) = (1 to 3)
+      .map(i => row.get(i).asInstanceOf[Number].longValue())
     require(mn == 0L && mx == baseCount - 1 && nd == baseCount,
       s"replication needs contiguous distinct $idCol in " +
         s"[0, $baseCount); found [$mn, $mx] with $nd distinct")
+    baseCount
   }
 
   /** Token-suffix document replication (see class doc). */
   def replicateDocuments(spark: SparkSession, baseDir: String,
       factor: Int): DataFrame = {
     val docs = Tables.load(spark, baseDir, "documents")
-    val baseCount = docs.count()
-    requireContiguous(docs, "doc_id", baseCount)
+    val baseCount = requireContiguous(docs, "doc_id")
     // q62's re-crawl split (and any doc_id % k selector) is only
     // scale-invariant if the replica offset preserves id digits:
     // replica ids are id + r·baseCount, so baseCount must be a
@@ -99,8 +105,7 @@ object ScaleBench {
   def replicateCustomer(spark: SparkSession, baseDir: String,
       factor: Int): DataFrame = {
     val c = Tables.load(spark, baseDir, "customer")
-    val baseCount = c.count()
-    requireContiguous(c, "c_custkey", baseCount)
+    val baseCount = requireContiguous(c, "c_custkey")
     val cols = c.columns.map {
       case "c_custkey" =>
         (col("c_custkey") + col("_r") * lit(baseCount)).as("c_custkey")

@@ -206,23 +206,31 @@ class RandomizedDifferentialSpec extends SparkSpec {
             AND NOT EXISTS (SELECT 1 FROM rdocs h
               WHERE h.doc_id % 2 != 0 AND h.text = i.text)"""))
 
-      // chunkTokens twin: explode the stride-start sequence, slice the
-      // token list per start — including empty texts (one empty token,
-      // one empty chunk) and unicode tokens.
+      // chunkTokens twin, derived INDEPENDENTLY of the implementation
+      // (which enumerates chunk starts and slices): here each TOKEN at
+      // 0-based position p declares the chunks it belongs to — i in
+      // [ceil((p-window+1)/stride), floor(p/stride)] clamped at 0 —
+      // and chunks are reassembled by grouping tokens in position
+      // order. A shared wrong assumption about the start-count
+      // formula or slice clamping cannot pass both sides.
       check("chunkTokens", seed,
         CorpusOps.chunkTokens(docs, "doc_id", "text",
           window = 4, stride = 3),
         spark.sql("""
           WITH toks AS (SELECT doc_id, split(text, ' ') AS t
             FROM rdocs WHERE text IS NOT NULL),
-          c AS (SELECT doc_id, size(t) AS n, t,
-              explode(sequence(0,
-                cast((size(t) - 1) / 3 AS int))) AS i
-            FROM toks)
+          tok AS (SELECT doc_id, p, w FROM toks
+            LATERAL VIEW posexplode(t) x AS p, w),
+          m AS (SELECT doc_id, p, w, i FROM tok
+            LATERAL VIEW explode(sequence(
+              greatest(cast(ceil((p - 3) / 3.0) AS int), 0),
+              cast(floor(p / 3.0) AS int))) y AS i)
           SELECT doc_id, cast(i AS int) AS chunk_id,
-            concat_ws(' ', slice(t, i*3 + 1, 4)) AS chunk_text,
-            cast(least(4, n - i*3) AS bigint) AS n_tokens
-          FROM c"""))
+            concat_ws(' ', transform(
+              array_sort(collect_list(struct(p, w))), s -> s.w))
+              AS chunk_text,
+            cast(count(*) AS bigint) AS n_tokens
+          FROM m GROUP BY doc_id, i"""))
 
       // exactDedup twin: GROUP BY all fields + sorted id agg + dense
       // order-stated row_number (A1's SQL phrasing), on the same corpus
