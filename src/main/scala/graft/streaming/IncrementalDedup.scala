@@ -75,6 +75,10 @@ object IncrementalDedup {
       keyCols: Seq[String],
       partitionCols: Seq[String] = Seq.empty)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Fail at start(), not mid-stream: with no key columns the landed
+    // anti-join's `reduce` over an empty predicate list would throw on
+    // the SECOND batch (the first finds nothing landed and writes).
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(partitionCols.forall(keyCols.contains),
       "partitionCols must be a subset of keyCols — equal keys must imply " +
         "equal partition values, or the pruned read-back could miss a " +
@@ -211,14 +215,17 @@ object IncrementalDedup {
   def minhashCandidateStream(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      maxBucketState: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+      maxBucketState: Int = 1000, stateTtl: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    requireIntegralId(docs, idCol)
     val sigs = graft.dedup.TextDedup.minHashSignature(
       docs, textCol, idCol, shingleK, numHashes)
     pairStream(
       graft.dedup.TextDedup.bandBuckets(sigs, idCol, numHashes, bands)
         .select(concat_ws("|", col("band"), col("bucket")).as("bucket_key"),
-          col(idCol).cast("long").as("doc_id")),
-      maxBucketState)
+          col(idCol).cast("long").as("doc_id"))
+        .where(col("doc_id").isNotNull),
+      maxBucketState, stateTtl)
   }
 
   /** Streaming embedding near-dup candidates — the hyperplane-bucket
@@ -237,48 +244,113 @@ object IncrementalDedup {
   def embeddingCandidateStream(
       vectors: DataFrame, numPlanes: Int, numTables: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketState: Int = 1000)(implicit spark: SparkSession): DataFrame =
+      maxBucketState: Int = 1000, stateTtl: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    requireIntegralId(vectors, idCol)
     pairStream(
       graft.ann.Knn.tableSignatures(
           vectors, idCol, vecCol, numPlanes, numTables, dim)
         .select(concat_ws("|", col("table"), col("sig")).as("bucket_key"),
-          col("id").cast("long").as("doc_id")),
-      maxBucketState)
+          col("id").cast("long").as("doc_id"))
+        .where(col("doc_id").isNotNull),
+      maxBucketState, stateTtl)
+  }
+
+  /** The candidate streams carry ids through Long-typed keyed state, so
+    * the id column must be integral — checked at CONSTRUCTION: a string
+    * id would cast to null per row, and a null inside the stream's
+    * non-nullable tuple encoder kills the query on every checkpoint
+    * replay (a permanently wedged stream, vs. this loud immediate
+    * error). NULL ids (possible even in an integral column) are
+    * filtered before the stateful stage instead — dropped like null
+    * text, matching the batch twins' tolerance, not a crash.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"candidate-stream id column $idCol must be integral, got $t " +
+        "(pair state is Long; a non-integral id would null-cast and " +
+        "wedge the stream at runtime)")
+  }
 
   /** Shared bucket-keyed candidate emission: each arriving id pairs with
     * every id already retained for its bucket key (plus earlier
     * same-batch arrivals), state capped at `maxBucketState` (see
     * `minhashCandidateStream`'s scaladoc for the cap semantics).
+    *
+    * Memory per group invocation is O(cap + arrivals), NOT
+    * O(cap · arrivals): the state update happens eagerly (the
+    * Spark-documented-safe point, before the function returns) and the
+    * pair fan-out is a LAZY iterator the sink drains — a 1M-doc
+    * backfill micro-batch landing in one hot bucket streams its ~1e9
+    * candidate pairs through the writer instead of materializing them
+    * in one Seq on the executor.
+    *
+    * The per-bucket cap bounds each bucket but NOT the number of
+    * bucket keys, which grows with the corpus; with the default
+    * `stateTtl = None` a long-running stream's state store therefore
+    * grows without bound (fine for bounded backfills — the batch-twin
+    * equality gates run that way). Pass `stateTtl = Some("2 hours")`
+    * for production feeds: buckets idle past the (processing-time) TTL
+    * are dropped, and an arrival after expiry re-pairs from an empty
+    * bucket — bounded state traded for recall across the gap, the same
+    * knowing trade as the cap itself. TTL caveat: processing-time
+    * timeouts make the engine schedule no-data batches to evaluate
+    * expiry, so `processAllAvailable` never reports caught-up — run
+    * TTL'd queries with a processing-time trigger and poll the sink
+    * (tests included), exactly as a production feed would.
     */
-  private def pairStream(keyed: DataFrame, maxBucketState: Int)(
+  private def pairStream(keyed: DataFrame, maxBucketState: Int,
+      stateTtl: Option[String])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed.as[(String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (_: String, rows: Iterator[(String, Long)],
             state: GroupState[Seq[Long]]) => {
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val arrivals = rows.map(_._2).toArray.distinct.sorted
-          val out = Seq.newBuilder[CandidatePair]
-          var retained = seen
-          // O(1) redelivery check alongside the Seq state (an
-          // at-least-once source replays ids; appending a replayed id
-          // again would waste a capped state slot and duplicate its
-          // pair emissions on every later arrival).
-          val retainedSet = scala.collection.mutable.HashSet
-            .empty[Long] ++= seen
-          arrivals.foreach { id =>
-            retained.foreach { s =>
-              if (s != id)
-                out += CandidatePair(math.min(s, id), math.max(s, id))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty[CandidatePair]
+          } else {
+            val seen = state.getOption.getOrElse(Seq.empty).toArray
+            val arrivals = rows.map(_._2).toArray.distinct.sorted
+            // O(1) redelivery check alongside the state (an
+            // at-least-once source replays ids; appending a replayed id
+            // again would waste a capped state slot and duplicate its
+            // pair emissions on every later arrival).
+            val retainedSet = scala.collection.mutable.HashSet
+              .empty[Long] ++= seen
+            val adds = Array.newBuilder[Long]
+            var nAdds = 0
+            // visibleAdds(i) = how many same-batch additions precede
+            // arrival i — its pairing pool is seen ++ those.
+            val visibleAdds = new Array[Int](arrivals.length)
+            arrivals.indices.foreach { i =>
+              visibleAdds(i) = nAdds
+              val id = arrivals(i)
+              if (seen.length + nAdds < maxBucketState &&
+                  retainedSet.add(id)) {
+                adds += id; nAdds += 1
+              }
             }
-            if (retained.length < maxBucketState && retainedSet.add(id))
-              retained :+= id
+            val added = adds.result()
+            if (added.nonEmpty)
+              state.update((seen ++ added).toSeq)
+            stateTtl.foreach(state.setTimeoutDuration)
+            val pool = seen ++ added // in retention order
+            arrivals.indices.iterator.flatMap { i =>
+              val id = arrivals(i)
+              pool.iterator.take(seen.length + visibleAdds(i))
+                .filter(_ != id)
+                .map(s => CandidatePair(math.min(s, id), math.max(s, id)))
+            }
           }
-          if (retained.length > seen.length) state.update(retained)
-          out.result().iterator
         })
       .toDF()
   }

@@ -448,4 +448,50 @@ class IncrementalDedupSpec extends SparkSpec {
           s"expected ${expected.size}")
     } finally q.stop()
   }
+
+  test("candidate streams refuse non-integral ids at construction, " +
+      "drop null ids, and emit identically with a state TTL set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // String ids would null-cast per row and wedge the stream at the
+    // first checkpointed batch — the refusal must come at construction.
+    val strInput = MemoryStream[(String, String)]
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.minhashCandidateStream(
+        strInput.toDF().toDF("doc_id", "text"))
+    }
+    // A NULL id inside an integral column is dropped like null text
+    // (matching the batch twins), not a query-killing encoder error;
+    // the TTL-configured stream emits the same in-batch pairs (expiry
+    // itself needs idle processing time a unit test cannot advance).
+    // With a processing-time TTL the engine keeps scheduling no-data
+    // batches to evaluate timeouts, so `processAllAvailable` never
+    // reports caught-up (the scaladoc's documented caveat) — poll the
+    // sink with a deadline instead.
+    val text = "alpha beta gamma delta epsilon zeta"
+    val input = MemoryStream[(Option[Long], String)]
+    val out = IncrementalDedup.minhashCandidateStream(
+      input.toDF().toDF("doc_id", "text"),
+      stateTtl = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("mh_ttl_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(Seq((Some(1L), text), (None, text), (Some(2L), text)))
+      val want = Set((1L, 2L))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var pairs = Set.empty[(Long, Long)]
+      while (pairs != want && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        pairs = spark.table("mh_ttl_out")
+          .select("a_id", "b_id").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(pairs == want,
+        s"null-id row must vanish, ids 1-2 must still pair: $pairs")
+    } finally q.stop()
+  }
 }
