@@ -75,6 +75,10 @@ object Knn {
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineSim(col("q_vec"), col("c_vec")))
+      // Null vectors → null cosine; zero-norm vectors → NaN, which
+      // Spark orders ABOVE every real similarity — either would
+      // displace true neighbors from the top-k (see cosineDefined).
+      .where(cosineDefined(col("cosine")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -96,13 +100,40 @@ object Knn {
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0d - 1.0d
   }
 
+  /** The full plane matrix, BIT-IDENTICAL to element-wise
+    * [[planeComponent]] (gated in KnnSpec) but orders of magnitude
+    * cheaper to materialize: one reused MessageDigest (digest() resets
+    * it) and the unsigned big-endian int read directly from the digest
+    * bytes — the same number `parseLong(hex, 16)` of the first 4 bytes
+    * produces, without a MessageDigest.getInstance + hex-format +
+    * parse round trip per (plane, dim) element. At the derived maxima
+    * (128 tables × 24 planes × 768 dims ≈ 2.4M elements) the naive
+    * form cost seconds of serial driver time per query construction —
+    * including every streaming query start.
+    */
+  private[ann] def planeMatrix(rows: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(rows, dim) { (p, d) =>
+      val bytes = md.digest(s"plane$p#$d".getBytes("UTF-8"))
+      val u = java.lang.Integer.toUnsignedLong(
+        java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt)
+      u.toDouble / 2147483648.0d - 1.0d
+    }
+  }
+
   /** Sign bit of v·plane as a codegen'd expanded sum over literal plane
     * weights — no per-row hashing, no higher-order functions (HOFs are
     * CodegenFallback and would drop the projection out of codegen).
     */
   private def signBit(v: Column, plane: Array[Double], bit: Int): Column = {
+    // `get`, not `getItem`: under ANSI (the Spark 4 default) getItem
+    // THROWS on an out-of-range index, so a vector shorter than the
+    // pinned dim would crash the job. get() returns null instead, the
+    // null poisons the projection sum, and the sign test falls to the
+    // 0 branch — bit 0 for every plane, exactly what the DuckDB oracle
+    // (out-of-range list index → NULL) and the fused UDF produce.
     val proj = plane.zipWithIndex.map { case (w, d) =>
-      v.getItem(d).cast("double") * lit(w)
+      get(v, lit(d)).cast("double") * lit(w)
     }.reduce(_ + _)
     when(proj >= 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
   }
@@ -111,10 +142,14 @@ object Knn {
     * long. Vectors with equal signatures are near-collinear candidates.
     * `dim` = embedding dimensionality (plane weights are literals).
     */
-  def hyperplaneSignature(v: Column, numPlanes: Int, dim: Int): Column =
+  def hyperplaneSignature(v: Column, numPlanes: Int, dim: Int): Column = {
+    require(numPlanes >= 1 && numPlanes <= 63,
+      s"numPlanes $numPlanes not in [1, 63] (packed-long sig)")
+    require(dim >= 1, s"dim $dim")
     (0 until numPlanes).map { p =>
       signBit(v, Array.tabulate(dim)(planeComponent(p, _)), p)
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Planes needed so the EXPECTED bucket population n / 2^planes stays
     * at or under `targetBucket`: ceil(log₂(n / targetBucket)), floored at
@@ -169,7 +204,20 @@ object Knn {
       s"targetRecall must be in (0,1), got $targetRecall")
     val perTable = math.pow(collisionProb(simThreshold), planes)
     if (perTable >= 1.0 - 1e-12) 1
-    else {
+    else if (perTable <= 0.0) {
+      // collisionProb is exactly 0 only at simThreshold = -1 ("emit
+      // every pair"): log1p(-0) = 0 would make t = -Infinity →
+      // Int.MinValue, skip the loud-warning branch below, and
+      // silently return ONE table at collision probability 0 — the
+      // inverse of the function's caps-loudly contract. No table
+      // count reaches any recall here; cap loudly instead.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"deriveTables: per-table collision probability is 0 at " +
+          s"cosine $simThreshold over $planes planes — no table count " +
+          s"reaches recall $targetRecall; capping at $maxTables. Use " +
+          "the brute-force path for threshold -1 workloads.")
+      maxTables
+    } else {
       val t = math.ceil(
         math.log1p(-targetRecall) / math.log1p(-perTable)).toInt
       if (t > maxTables)
@@ -219,28 +267,68 @@ object Knn {
     * numTables·numPlanes·dim flops per row with no allocation.
     */
   private def signatureUdf(nt: Int, np: Int, dim: Int) = {
-    val planes = Array.tabulate(nt * np, dim)(planeComponent)
+    // The sig is a packed long and the plan math assumes independent
+    // bits: numPlanes = 64 would wrap (1L << 64 == 1L) and silently
+    // alias two planes into one bit; <= 0 would collapse every vector
+    // into signature 0 and turn the bucket self-join quadratic. The
+    // derived path caps at 24, so only PINNED callers (exactly the
+    // ones with no other safety net, e.g. streaming) can hit this.
+    require(np >= 1 && np <= 63, s"numPlanes $np not in [1, 63]")
+    require(nt >= 1, s"numTables $nt")
+    require(dim >= 1, s"dim $dim")
+    val planes = planeMatrix(nt * np, dim)
     udf { (v: Seq[Float]) =>
-      val out = new Array[Long](nt)
-      var t = 0
-      while (t < nt) {
-        var bits = 0L
-        var p = 0
-        while (p < np) {
-          val plane = planes(t * np + p)
-          var s = 0.0d
-          var d = 0
-          val n = math.min(plane.length, v.length)
-          while (d < n) { s += v(d) * plane(d); d += 1 }
-          if (s >= 0) bits |= (1L << p)
-          p += 1
+      // A vector SHORTER than the pinned dim signs to 0 on every plane
+      // — matching the expression form ([[hyperplaneSignature]]) and
+      // the DuckDB oracle, where the out-of-range element is NULL, the
+      // whole projection sum goes NULL, and the sign test falls to the
+      // 0 branch. Signing the prefix instead would bucket the engine
+      // differently from the 'bit-exact by construction' oracle forms.
+      if (v.length < dim) new Array[Long](nt)
+      else {
+        val out = new Array[Long](nt)
+        var t = 0
+        while (t < nt) {
+          var bits = 0L
+          var p = 0
+          while (p < np) {
+            val plane = planes(t * np + p)
+            var s = 0.0d
+            var d = 0
+            while (d < dim) { s += v(d) * plane(d); d += 1 }
+            if (s >= 0) bits |= (1L << p)
+            p += 1
+          }
+          out(t) = bits
+          t += 1
         }
-        out(t) = bits
-        t += 1
+        out
       }
-      out
     }
   }
+
+  /** Embedding dimensionality probe over the first NON-NULL vector —
+    * the naive `head().getInt(0)` would NPE if the first row's vector
+    * is null (null vectors are accepted, filtered input everywhere
+    * else in this module) and throw on an empty frame. With no
+    * non-null vector at all the dim is moot (every row is filtered
+    * before the signature UDF anyway) — any positive value keeps
+    * construction from throwing; 1 is returned.
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).cast("int").as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** Defined-cosine guard for the rank/verify stages: a null vector
+    * yields a null cosine and a ZERO-NORM vector yields 0/0 = NaN —
+    * and Spark orders NaN ABOVE every real value, so an unguarded NaN
+    * would outrank every true neighbor (and pass any `>=` threshold).
+    * A vector with no direction has no defined similarity: excluded,
+    * like null.
+    */
+  private def cosineDefined(c: Column): Column =
+    c.isNotNull && !isnan(c)
 
   def lshTopK(
       corpus: DataFrame,
@@ -262,19 +350,18 @@ object Knn {
       if (knownCount > 0) knownCount else corpus.count(), targetBucketSize)
     val nt = if (numTables > 0) numTables
       else deriveTables(np, targetRecall, recallSim)
-    val dim = if (knownDim > 0) knownDim
-      else corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = if (knownDim > 0) knownDim else probeDim(corpus, vecCol)
     // Surface the chosen parameterization in the bench notes (like
     // cc_kernel): a fixture change that shifts the derivation becomes
     // visible in BENCH json, not only in recall gates.
     graft.pipeline.PhaseLog.note("lsh_params.topk",
       s"planes=$np (${if (numPlanes > 0) "pinned" else "derived"}), " +
         s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
-    val sigUdf = signatureUdf(nt, np, dim)
+    // One shared signature definition with the streaming path — the
+    // null-vector filter and any future invariant live in ONE place.
     def sigs(df: DataFrame, side: String): DataFrame =
-      df.where(col(vecCol).isNotNull) // null vector would NPE the UDF
-        .select(col(idCol).as(s"${side}_id"),
-          posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+      tableSignatures(df, idCol, vecCol, np, nt, dim)
+        .withColumnRenamed("id", s"${side}_id")
     val cand = sigs(queries, "query")
       .join(sigs(corpus, "neighbor"), Seq("table", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -289,6 +376,7 @@ object Knn {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     withVecs
       .withColumn("cosine", cosineSim(col("query_vec"), col("neighbor_vec")))
+      .where(cosineDefined(col("cosine"))) // zero-norm NaN outranks all
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -351,8 +439,7 @@ object Knn {
     // table count must serve.
     val nt = if (numTables > 0) numTables
       else deriveTables(np, targetRecall, simThreshold = threshold)
-    val dim = if (knownDim > 0) knownDim
-      else vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = if (knownDim > 0) knownDim else probeDim(vectors, vecCol)
     graft.pipeline.PhaseLog.note("lsh_params.pairs",
       s"planes=$np (${if (numPlanes > 0) "pinned" else "derived"}), " +
         s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
@@ -373,7 +460,11 @@ object Knn {
       .join(vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb")),
         "b_id")
       .withColumn("cosine", cosineSim(col("va"), col("vb")))
-      .where(col("cosine") >= threshold)
+      // NaN >= threshold is TRUE under Spark's NaN-is-greatest
+      // ordering, so two zero-norm vectors (which share EVERY bucket —
+      // all sign bits fire on projection 0) would verify as a
+      // "similar pair" and merge in downstream canonicalization.
+      .where(cosineDefined(col("cosine")) && col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
 
@@ -395,7 +486,11 @@ object Knn {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
+    // Null vectors are tolerated (filtered) input across this module;
+    // unfiltered they would reach KMeans.fit as null features and
+    // crash the fit — the one path the null hardening had missed.
     val corpusVec = corpus.select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull)
       .withColumn("fvec", array_to_vector(col(vecCol)))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fvec")
       .setPredictionCol("cell")
@@ -410,12 +505,22 @@ object Knn {
     }
     val centroidDf = corpus.sparkSession
       .createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+    // Zero-norm queries have no defined direction AND would divide by
+    // zero in the centroid distance — which under ANSI (the Spark 4
+    // default) is a SparkArithmeticException, not a quiet NaN. Null
+    // vectors norm to null and fall out of the same filter.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .where(coalesce(l2Norm(col("q_vec")), lit(0.0)) > 0)
     val wCell = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("cell").asc)
     val probed = q.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist", -dot(col("q_vec"), col("centroid")) /
-        (l2Norm(col("q_vec")) * l2Norm(col("centroid"))))
+      // A centroid CAN be the zero vector (a cell of zero vectors);
+      // rank such cells last instead of dividing by zero.
+      .withColumn("cdist",
+        when(l2Norm(col("centroid")) > 0,
+          -dot(col("q_vec"), col("centroid")) /
+            (l2Norm(col("q_vec")) * l2Norm(col("centroid"))))
+        .otherwise(lit(Double.MaxValue)))
       .withColumn("crank", row_number().over(wCell))
       .where(col("crank") <= nprobe)
       .select("query_id", "q_vec", "cell")
@@ -424,6 +529,7 @@ object Knn {
     probed.join(assigned, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineSim(col("q_vec"), col("c_vec")))
+      .where(cosineDefined(col("cosine"))) // zero-norm NaN outranks all
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")

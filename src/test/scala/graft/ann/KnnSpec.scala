@@ -224,4 +224,65 @@ class KnnSpec extends SparkSpec {
       .toSet
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
+
+  test("planeMatrix is bit-identical to element-wise planeComponent") {
+    val m = Knn.planeMatrix(7, 11)
+    (0 until 7).foreach { p =>
+      (0 until 11).foreach { d =>
+        assert(m(p)(d) == Knn.planeComponent(p, d),
+          s"planeMatrix($p)($d) diverged from planeComponent")
+      }
+    }
+  }
+
+  test("zero-norm and null vectors never rank or pair (NaN cosine " +
+      "would outrank every real neighbor under Spark's NaN ordering)") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)),              // zero norm -> NaN cosine
+      (4L, null.asInstanceOf[Array[Float]]) // null -> null cosine
+    ).toDF("vec_id", "embedding")
+    val brute = Knn.bruteForceTopK(vs, vs, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(brute.toSet == Set((1L, 2L), (2L, 1L)),
+      s"only the two real vectors may rank: ${brute.toSet}")
+    // Zero vectors project to 0 on EVERY plane, so they share every
+    // bucket — the verify must still reject their NaN cosine.
+    val pairs = Knn.lshSimilarPairs(vs, threshold = 0.5,
+        numPlanes = 4, numTables = 2, knownDim = 2).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"zero/null vectors leaked into similar pairs: $pairs")
+    val ivf = Knn.ivfTopK(vs, vs, k = 3, nlist = 2, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(ivf == Set((1L, 2L), (2L, 1L)),
+      s"ivf leaked zero/null vectors: $ivf")
+  }
+
+  test("a vector shorter than the pinned dim signs to signature 0 in " +
+      "both the fused UDF and the expression form") {
+    import spark.implicits._
+    val vs = Seq((1L, Array(0.5f)), (2L, Array(0.5f, -0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    // UDF path (dim pinned at 3; vector 1 has only 1 element).
+    val udfSigs = Knn.tableSignatures(vs, "vec_id", "embedding",
+        numPlanes = 4, numTables = 1, dim = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig"))
+      .toMap
+    // Expression path on the same frame.
+    val exprSigs = vs.select(col("vec_id"),
+        Knn.hyperplaneSignature(col("embedding"), 4, 3).as("sig"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (if (r.isNullAt(1)) 0L else r.getAs[Long]("sig"))).toMap
+    assert(udfSigs(1L) == 0L, s"short vector must sign to 0: $udfSigs")
+    assert(udfSigs == exprSigs,
+      s"UDF sigs $udfSigs diverged from expression sigs $exprSigs")
+    intercept[IllegalArgumentException] {
+      Knn.tableSignatures(vs, "vec_id", "embedding",
+        numPlanes = 64, numTables = 1, dim = 3)
+    }
+  }
 }
