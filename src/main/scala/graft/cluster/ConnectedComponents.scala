@@ -20,15 +20,25 @@ object ConnectedComponents {
     * O(log² n) rounds of shuffle + eager localCheckpoint as FIXED cost
     * regardless of graph size — ≈10 s on a 500-vertex graph at 32
     * shuffle partitions — so a graph that fits comfortably on the driver
-    * (≤ `smallEdgeCap` edges, ≤ 16 MB at the default cap) is solved with
-    * a local min-union union-find instead: one collect, zero rounds,
-    * identical labels (component = min reachable id, same as `run` and
-    * `runStar`). Beyond the cap it is `runStar`. The reference walks
-    * edges with a driver DFS UNCONDITIONALLY
-    * (pgdedupe/exact_matches.py:9-50); this keeps that fast path for
-    * reference-scale graphs without inheriting its memory ceiling — the
-    * cap is explicit, logged, and the fallback is the distributed
-    * kernel, never an error.
+    * (≤ `smallEdgeCap` edges) is solved with a local min-union
+    * union-find instead: one collect, zero rounds, identical labels
+    * (component = min reachable id, same as `run` and `runStar`).
+    * Driver heap at the default 1M-edge cap: the raw data is ~16 MB,
+    * but the JVM cost is the collected tuple array plus boxed
+    * TreeSet/HashMap nodes for up to 2M longs — budget a few hundred
+    * MB, and scale that estimate linearly before raising the cap.
+    * Beyond the cap it is `runStar`. The reference walks edges with a
+    * driver DFS UNCONDITIONALLY (pgdedupe/exact_matches.py:9-50); this
+    * keeps that fast path for reference-scale graphs without
+    * inheriting its memory ceiling — the cap is explicit, logged, and
+    * the fallback is the distributed kernel, never an error.
+    *
+    * Null endpoints: an edge with a null side cannot link anything —
+    * its NON-null endpoint is kept as a singleton vertex (unless some
+    * real edge links it). Both kernels see only the cleaned edges, so
+    * the labels are identical on either side of the cap (previously
+    * the driver kernel NPE'd on a null while runStar silently DROPPED
+    * the vertex — same input, different failure by edge count).
     */
   def auto(
       edges: DataFrame,
@@ -36,59 +46,79 @@ object ConnectedComponents {
       dstCol: String = "r_id",
       smallEdgeCap: Long = 1000000L,
       label: String = "cc"): DataFrame = {
-    // The size probe and the consumer (collect or runStar's eager first
-    // checkpoint) are two actions over a possibly expensive lineage —
-    // pin it across the branch. Both branches materialize eagerly, so
-    // the handle is released before returning (no storage leak).
-    val proj = edges
+    // The null split, the size probe, and the consumer (collect or
+    // runStar's eager first checkpoint) are several actions over a
+    // possibly expensive lineage — pin it across the branch. All
+    // branches materialize eagerly, so the handle is released before
+    // returning (no storage leak).
+    val rawProj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = proj.count()
-    // Keyed per call site: one pipeline run calls auto from several
-    // stages (HAC clustering, exact-match merges) and a single shared
-    // key would surface only the last — ambiguous in the bench notes.
-    graft.pipeline.PhaseLog.note(s"cc_kernel.$label",
-      (if (n > smallEdgeCap) "run-star" else "driver-union-find") +
-        s" ($n edges, cap $smallEdgeCap)")
-    val out = if (n > smallEdgeCap) runStar(proj, "src", "dst")
-    else {
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"CC: $n edges <= $smallEdgeCap — driver union-find " +
-          "(zero shuffle rounds); distributed runStar above the cap")
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val raw = proj.collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val nx = parent(c); parent(c) = r; c = nx
+    try {
+      // Eager (tiny, typically empty): the returned frame must not keep
+      // a live lineage on the caller's edges after rawProj unpersists.
+      val nullSideIds = rawProj
+        .where(col("src").isNull || col("dst").isNull)
+        .select(explode(array(col("src"), col("dst"))).as("id"))
+        .where(col("id").isNotNull)
+        .distinct()
+        .localCheckpoint(true)
+      val proj = rawProj
+        .where(col("src").isNotNull && col("dst").isNotNull)
+      val n = proj.count()
+      // Keyed per call site: one pipeline run calls auto from several
+      // stages (HAC clustering, exact-match merges) and a single shared
+      // key would surface only the last — ambiguous in the bench notes.
+      graft.pipeline.PhaseLog.note(s"cc_kernel.$label",
+        (if (n > smallEdgeCap) "run-star" else "driver-union-find") +
+          s" ($n edges, cap $smallEdgeCap)")
+      val out = if (n > smallEdgeCap) runStar(proj, "src", "dst")
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"CC: $n edges <= $smallEdgeCap — driver union-find " +
+            "(zero shuffle rounds); distributed runStar above the cap")
+        val spark = edges.sparkSession
+        import spark.implicits._
+        // Typed collect: Tuple2[Long, Long] is @specialized, so the
+        // collected array holds primitives, not GenericRow objects.
+        val raw = proj.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
         }
-        r
-      }
-      val ids = scala.collection.mutable.TreeSet.empty[Long]
-      raw.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        ids += a; ids += b
-        if (a != b) {
-          val ra = find(a); val rb = find(b)
-          // Min-union keeps every root the minimum id of its component,
-          // matching the distributed kernels' labels exactly.
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        val ids = scala.collection.mutable.TreeSet.empty[Long]
+        raw.foreach { case (a, b) =>
+          ids += a; ids += b
+          if (a != b) {
+            val ra = find(a); val rb = find(b)
+            // Min-union keeps every root the minimum id of its component,
+            // matching the distributed kernels' labels exactly.
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
           }
         }
+        // LocalRelation output: the optimizer can broadcast it into the
+        // consuming join, which is exactly right at this size.
+        spark.createDataset(ids.toSeq.map(id => (id, find(id))))
+          .toDF("id", "component")
       }
-      // LocalRelation output: the optimizer can broadcast it into the
-      // consuming join, which is exactly right at this size.
-      spark.createDataset(ids.toSeq.map(id => (id, find(id))))
-        .toDF("id", "component")
+      out.unionByName(
+        nullSideIds.join(out.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("component")))
+    } finally {
+      // Not conditional on success: runStar's non-convergence throw
+      // must not leave the projection pinned for the session lifetime.
+      rawProj.unpersist(false)
+      ()
     }
-    proj.unpersist(false)
-    out
   }
 
   /** edges: two long columns (src, dst), undirected. Returns
@@ -222,10 +252,13 @@ object ConnectedComponents {
         .distinct()
       // small-star over lower-or-equal neighbors (edges already (hi,lo)).
       val minLow = large.groupBy("u").agg(min("v").as("m"))
+      // Second branch is minLow ITSELF: every u of `large` has exactly
+      // one (u, m) row there, so re-joining large to it only inflated
+      // each (u, m) by degree(u) duplicate rows into the distinct — a
+      // hub with 100k neighbors shuffled 100k identical rows per round.
       val small = large.join(minLow, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .union(large.select(col("u"), col("v")).join(minLow, "u")
-          .select(col("u"), col("m").as("v")))
+        .union(minLow.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)

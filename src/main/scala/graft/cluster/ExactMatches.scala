@@ -14,10 +14,24 @@ object ExactMatches {
     * for each exact-key group seen in >1 row, link every member's cluster
     * to the group's minimum cluster id; `id1 > id2` orients edges.
     */
+  /** Working-column names staged into the caller's frame by
+    * [[mergeEdges]]/[[merge]]; a real caller column with one of these
+    * names (Spark resolves case-insensitively by default) would make
+    * the internal joins ambiguous mid-plan — refuse loudly instead.
+    */
+  private val Staged = Seq("id1", "id2", "cnt", "component")
+  private def requireNoStagedCollision(df: DataFrame): Unit =
+    Staged.foreach { n =>
+      require(!df.columns.exists(_.equalsIgnoreCase(n)),
+        s"input already has a column named $n (reserved by " +
+          "ExactMatches' merge plan)")
+    }
+
   def mergeEdges(
       df: DataFrame,
       cols: Seq[String],
       clusterCol: String): DataFrame = {
+    requireNoStagedCollision(df)
     val nonNull = cols.foldLeft(df)((d, c) => d.where(col(c).isNotNull))
     val groups = nonNull
       .groupBy(cols.map(col): _*)
@@ -36,11 +50,15 @@ object ExactMatches {
     * connected component, matching the reference's `follow` traversal
     * + join-update, exact_matches.py:85-101 — immutable rewrite, J7).
     */
-  def merge(df: DataFrame, cols: Seq[String], clusterCol: String): DataFrame = {
+  def merge(df: DataFrame, cols: Seq[String], clusterCol: String,
+      label: String = "exact-merge"): DataFrame = {
     val edges = mergeEdges(df, cols, clusterCol)
     // runStar: faster on the real workload and diameter-robust (CcBench).
+    // `label` keys the PhaseLog note: multi-set merge runs (the pipeline
+    // folds one pass per mergeExact field set) must not overwrite each
+    // other's kernel-choice notes.
     val comps = ConnectedComponents.auto(edges, "id1", "id2",
-      label = "exact-merge")
+      label = label)
       .withColumnRenamed("id", clusterCol)
     df.join(comps, Seq(clusterCol), "left_outer")
       .withColumn(clusterCol, coalesce(col("component"), col(clusterCol)))

@@ -325,6 +325,13 @@ object Hierarchical {
     * hundred MB worst-case — sized for a 4 GB executor — and the
     * eviction only ever fires on components that were already headed
     * for splitOversized's weakest-edge cut.
+    *
+    * PERSIST `scoredPairs` before calling: its lineage is consumed
+    * twice — once by the component kernel's probe/materialization and
+    * again by the component join below — so an unpersisted ML-scoring
+    * lineage would recompute blocking + scoring end to end a second
+    * time. `DedupePipeline` persists it at the phase seam; direct
+    * callers own the same responsibility.
     */
   def cluster(
       scoredPairs: DataFrame, // l_id, r_id, score

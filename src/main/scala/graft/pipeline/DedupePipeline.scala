@@ -171,8 +171,11 @@ object DedupePipeline {
       val withFields = mapped.join(
         entriesUnique.select((Seq(col("_unique_id")) ++
           cfg.columns.map(col)): _*), "_unique_id")
-      val merged = uniqueFieldSets.foldLeft(withFields)((d, cols) =>
-        ExactMatches.merge(d, cols, "dedupe_id"))
+      val merged = uniqueFieldSets.zipWithIndex
+        .foldLeft(withFields) { case (d, (cols, i)) =>
+          ExactMatches.merge(d, cols, "dedupe_id",
+            label = s"exact-merge-u$i")
+        }
       mapped = merged.select("dedupe_id", "_unique_id", "cluster_score",
         "src_ids")
     }
@@ -180,12 +183,13 @@ object DedupePipeline {
     // Raw-table merges (ref run.py:477-483): attach the merge columns
     // from the source table by key, link dedupe_ids sharing exact values
     // (transitively), then drop the payload columns again.
-    rawFieldSets.foreach { cols =>
+    rawFieldSets.zipWithIndex.foreach { case (cols, i) =>
       // Missing columns fail loudly (the reference's SQL would, too —
       // no silent caps).
       val withCols = um.join(
         entries.select((cfg.key +: cols).distinct.map(col): _*), cfg.key)
-      um = ExactMatches.merge(withCols, cols, "dedupe_id")
+      um = ExactMatches.merge(withCols, cols, "dedupe_id",
+          label = s"exact-merge-r$i")
         .select("dedupe_id", cfg.key, "cluster_score")
     }
     (mapped, um)

@@ -247,4 +247,36 @@ class ClusterSpec extends SparkSpec {
     assert(merged.select("cluster").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L))
   }
+
+  test("CC keeps the non-null endpoint of a null edge as a singleton, " +
+      "identically across both kernels") {
+    import spark.implicits._
+    // Previously the driver kernel NPE'd on a null endpoint while
+    // runStar silently DROPPED the vertex — the same input failed
+    // differently depending only on which side of the size cap it hit.
+    val edges = Seq(
+      (Some(1L), Some(2L)),
+      (Some(5L), None),       // null side: 5 survives as a singleton
+      (None, Some(2L)),       // 2 is already linked through (1,2)
+      (None, None)            // fully null edge contributes nothing
+    ).toDF("l_id", "r_id")
+    val want = Set((1L, 1L), (2L, 1L), (5L, 5L))
+    val small = ConnectedComponents
+      .auto(edges, smallEdgeCap = 100, label = "t-null-small")
+      .as[(Long, Long)].collect().toSet
+    assert(small == want, s"driver kernel: $small")
+    val large = ConnectedComponents
+      .auto(edges, smallEdgeCap = 0, label = "t-null-star")
+      .as[(Long, Long)].collect().toSet
+    assert(large == want, s"runStar kernel: $large")
+  }
+
+  test("ExactMatches refuses caller columns that collide with its " +
+      "staged working names") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 9L)).toDF("cluster", "ssn", "component")
+    intercept[IllegalArgumentException] {
+      ExactMatches.merge(df, Seq("ssn"), "cluster")
+    }
+  }
 }
