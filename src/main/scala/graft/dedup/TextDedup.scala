@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * reference's exact pre-merge at pgdedupe/run.py:91-99 is the pattern all
   * of these generalize).
   *
-  * All operators are pure column expressions + joins — no UDFs — so the
-  * whole family stays inside whole-stage codegen and scales by shuffle.
+  * The corpus-wide steps are pure column expressions + equi-joins (scale
+  * by shuffle); the per-document signature computations (shingles,
+  * MinHash, SimHash) are fused primitive-loop UDFs — each op's scaladoc
+  * records why that beats the expression form it replaced.
   *
   * Persist lifecycle: the candidate-generation operators below
   * (`minHashCandidates`, `jaccardVerify`, `simHashCandidates`) each cache
@@ -24,6 +26,56 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** The ONE tokenizer shared by every fused UDF in this file —
+    * bit-identical to the codegen'd `TextAnalysis.tokens` (trim on
+    * `^\s+|\s+$`, split on `\s+`). A single definition, because the
+    * batch/streaming/oracle parity of the whole signature family hangs
+    * on these regexes: three hand-synchronized copies were one edit
+    * away from silent LSH drift. Patterns are compiled once per JVM
+    * (object fields), not once per row as `String.replaceAll`/`split`
+    * would.
+    */
+  private val TrimRe = java.util.regex.Pattern.compile("^\\s+|\\s+$")
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+  private def tokenize(t: String): Array[String] = {
+    val trimmed = TrimRe.matcher(t).replaceAll("")
+    if (trimmed.isEmpty) Array.empty else WsRe.split(trimmed)
+  }
+
+  /** Distinct space-joined k-grams in first-occurrence order — the one
+    * shingle builder behind both [[shingles]] and [[minHashSignature]]
+    * (order only matters to the former; the min-fold is
+    * order-independent).
+    */
+  private def distinctShingles(toks: Array[String], k: Int)
+      : java.util.LinkedHashSet[String] = {
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
+
+  /** Per-thread MD5 instance: MessageDigest is neither thread-safe nor
+    * serializable, and `getInstance` per ROW is a provider lookup in
+    * the hottest loops this file has. ThreadLocal on the object gives
+    * each executor task thread one reusable instance (digest() resets
+    * it) with no serialization crossing.
+    */
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   /** Materialize `result` (persisted) while `frontiers` are still cached,
     * then release the frontiers. The returned frame is the ONLY block
@@ -43,7 +95,13 @@ object TextDedup {
     */
   def exactByHash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val src = docs.select(md5(col(textCol)).as("content_hash"), col(idCol))
+    // Null IDS are dropped (module policy — domainCap, the candidate
+    // streams, and CC do the same): min/collect_list would skip them
+    // while count counted them, yielding groups whose dup_count
+    // disagrees with member_ids, or an all-null group with a NULL
+    // canonical_id as a downstream merge key.
+    val src = docs.where(col(idCol).isNotNull)
+      .select(md5(col(textCol)).as("content_hash"), col(idCol))
     // null text is NOT "identical text": md5(null) is null and groupBy
     // treats null as an ordinary key, so every null-text document
     // collapsed into ONE bogus duplicate cluster — at scale, dedup
@@ -59,12 +117,6 @@ object TextDedup {
     hashed.unionByName(nulls)
   }
 
-  /** Whitespace word shingles of size k, distinct, as array<string>.
-    * Tokenization is the codegen'd trim+split (TextAnalysis.tokens); the
-    * sliding window itself needs the `transform` HOF, which is
-    * CodegenFallback — acceptable here because it runs once per DOCUMENT
-    * before the explode, not once per shingle row.
-    */
   /** k-shingles, fused into one primitive-loop UDF. The pure-expression
     * form — transform(sequence(...)) over tokens(text) — re-evaluates
     * the NESTED tokenization subtree once per lambda element when the
@@ -73,32 +125,18 @@ object TextDedup {
     * shingle, measured 8.8 s to shingle 5,000 sf0.1 docs vs ~0.3 s
     * fused. A projection boundary doesn't help — CollapseProject
     * re-inlines it. Output is bit-identical to the old expression: same
-    * trim/split regexes as TextAnalysis.tokens, space-joined k-grams,
-    * first-occurrence dedup (array_distinct), null text → null, fewer
-    * than k tokens → empty.
+    * trim/split regexes as TextAnalysis.tokens ([[tokenize]]),
+    * space-joined k-grams, first-occurrence dedup (array_distinct),
+    * null text → null, fewer than k tokens → empty.
     */
   def shingles(text: Column, k: Int): Column = {
     val f = udf { (t: String) =>
       if (t == null) null
       else {
-        val trimmed = t.replaceAll("^\\s+|\\s+$", "")
-        val toks: Array[String] =
-          if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+        val toks = tokenize(t)
         if (toks.length < k) Array.empty[String]
         else {
-          val seen = new java.util.LinkedHashSet[String]
-          var i = 0
-          while (i <= toks.length - k) {
-            val sb = new java.lang.StringBuilder
-            var j = 0
-            while (j < k) {
-              if (j > 0) sb.append(' ')
-              sb.append(toks(i + j))
-              j += 1
-            }
-            seen.add(sb.toString)
-            i += 1
-          }
+          val seen = distinctShingles(toks, k)
           val out = new Array[String](seen.size)
           seen.toArray(out)
           out
@@ -166,34 +204,20 @@ object TextDedup {
     val f = udf { (t: String) =>
       if (t == null) null
       else {
-        val trimmed = t.replaceAll("^\\s+|\\s+$", "")
-        val toks: Array[String] =
-          if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+        val toks = tokenize(t)
         if (toks.length < shingleK) null
         else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val seen = new java.util.HashSet[String]
+          val md = Md5Local.get()
           val mins = Array.fill(numHashes)(Long.MaxValue)
-          var i = 0
-          while (i <= toks.length - shingleK) {
-            val sb = new java.lang.StringBuilder
-            var j = 0
-            while (j < shingleK) {
-              if (j > 0) sb.append(' ')
-              sb.append(toks(i + j))
-              j += 1
+          val it = distinctShingles(toks, shingleK).iterator()
+          while (it.hasNext) {
+            val u = md5Hash60(md, it.next()) % MinHashMod
+            var h = 0
+            while (h < numHashes) {
+              val v = (u * as(h) + bs(h)) % MinHashMod
+              if (v < mins(h)) mins(h) = v
+              h += 1
             }
-            val s = sb.toString
-            if (seen.add(s)) {
-              val u = md5Hash60(md, s) % MinHashMod
-              var h = 0
-              while (h < numHashes) {
-                val v = (u * as(h) + bs(h)) % MinHashMod
-                if (v < mins(h)) mins(h) = v
-                h += 1
-              }
-            }
-            i += 1
           }
           mins
         }
@@ -224,6 +248,9 @@ object TextDedup {
     */
   def bandBuckets(sigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
+    // Ordered so bands = 0 hits the intended message, not a bare
+    // ArithmeticException from the division below it.
+    require(bands >= 1, s"bands $bands")
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     sigs.select(col(idCol),
@@ -262,10 +289,17 @@ object TextDedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // Only docs REFERENCED by a candidate pair matter: the semi-join
+    // bounds the shingling (and the cache below) by the candidate set,
+    // not the corpus — verifying a few thousand LSH pairs over a
+    // billion-doc corpus must not re-shingle the corpus.
+    val refIds = candidates.select(col("a_id").as(idCol))
+      .unionByName(candidates.select(col("b_id").as(idCol)))
+      .distinct()
     // Persisted: read three times (sizes once, token join twice).
     // Released by sealResult before return.
-    val sh = docs.select(col(idCol),
-        shingles(col(textCol), shingleK).as("sh"))
+    val sh = docs.join(refIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
       .persist(Disk)
     val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
     val toks = sh.select(col(idCol), explode(col("sh")).as("s"))
@@ -279,8 +313,15 @@ object TextDedup {
         .na.fill(0L, Seq("inter"))
         .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
         .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+        // Guarded division: two shingle-less docs (short texts CAN
+        // reach here — identical two-token docs share a SimHash) give
+        // union = 0, and under ANSI (the Spark 4 default) a bare 0/0
+        // is a job-aborting DIVIDE_BY_ZERO, not a quiet NaN. Empty
+        // sets carry no similarity evidence: jaccard 0.
         .withColumn("jaccard",
-          col("inter") / (col("na") + col("nb") - col("inter")))
+          when(col("na") + col("nb") - col("inter") > 0,
+            col("inter") / (col("na") + col("nb") - col("inter")))
+          .otherwise(lit(0.0)))
         .where(col("jaccard") >= minJaccard)
         .select("a_id", "b_id", "jaccard"),
       sh)
@@ -306,11 +347,10 @@ object TextDedup {
     val f = udf { (t: String) =>
       if (t == null) null.asInstanceOf[java.lang.Long]
       else {
-        val trimmed = t.replaceAll("^\\s+|\\s+$", "")
-        if (trimmed.isEmpty) null.asInstanceOf[java.lang.Long]
+        val toks = tokenize(t)
+        if (toks.isEmpty) null.asInstanceOf[java.lang.Long]
         else {
-          val toks = trimmed.split("\\s+")
-          val md = java.security.MessageDigest.getInstance("MD5")
+          val md = Md5Local.get()
           val seen = new java.util.HashSet[String]
           val ones = new Array[Int](60)
           var n = 0
@@ -357,6 +397,9 @@ object TextDedup {
     */
   def simHashCandidates(fingerprints: DataFrame, idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
+    // maxHamming < 0 would give zero pigeonhole chunks and a silently
+    // EMPTY candidate set — a caller typo must not read as "no dups".
+    require(maxHamming >= 0, s"maxHamming $maxHamming")
     val bits = 60
     val chunks = math.min(maxHamming + 1, bits)
     val bounds = (0 to chunks).map(c => c * bits / chunks)
@@ -396,9 +439,14 @@ object TextDedup {
       (if (callerCached) Seq.empty else Seq(fp)): _*)
   }
 
-  /** Embedding near-dup: cosine ≥ threshold via brute-force within LSH
-    * buckets — see graft.ann.Knn for the bucketing; this wraps it as a
-    * dedup decision (keep min id per near-dup component).
+  /** Canonicalize a near-dup pair set into a per-document keep
+    * decision: connected components over `pairs` (a_id, b_id — from ANY
+    * candidate generator: MinHash bands, SimHash chunks, embedding LSH
+    * verify), then every document in `all` gets
+    * `canonical_id` = its component minimum (its own id when unpaired,
+    * via the left-outer + coalesce) and
+    * `is_canonical` = whether it IS that minimum — the row a dedup
+    * pass keeps.
     */
   def keepCanonical(pairs: DataFrame, all: DataFrame,
       idCol: String): DataFrame = {

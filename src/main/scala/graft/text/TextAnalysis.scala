@@ -77,8 +77,11 @@ object TextAnalysis {
 
   /** Stopword-profile language ID: score each candidate language by the
     * fraction of tokens in its tiny stopword set; pick the argmax with
-    * deterministic (alphabetical) tie-breaking, 'und' when nothing hits.
-    * The profiles are classic top-stopwords per language (public lists).
+    * deterministic tie-breaking — on equal scores the lexicographically
+    * GREATEST language code wins (the struct-max rule the
+    * implementation and the q42 oracle both encode); 'und' when nothing
+    * hits. The profiles are classic top-stopwords per language (public
+    * lists).
     */
   val stopwordProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
@@ -113,10 +116,18 @@ object TextAnalysis {
     * a whole-document fingerprint robust to token order (the "sorted
     * fingerprint" of the record-linkage literature; cheap rolling-hash
     * stand-in that stays SQL-expressible for the oracle).
+    *
+    * NULL text fingerprints to NULL — `concat_ws` would silently turn
+    * the null token array into "", making every null-text doc share
+    * md5("") with every empty doc: exactly the million-row bogus
+    * cluster `TextDedup.exactByHash` guards against, and a divergence
+    * from the q43 oracle, whose `md5(array_to_string(NULL, ' '))` is
+    * NULL.
     */
   def fingerprint(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol),
-      md5(concat_ws(" ", sort_array(array_distinct(tokens(col(textCol))))))
+      when(col(textCol).isNotNull,
+        md5(concat_ws(" ", sort_array(array_distinct(tokens(col(textCol)))))))
         .as("fingerprint"))
 }

@@ -96,4 +96,36 @@ class TextDedupSpec extends SparkSpec {
     assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 1L)
     assert(canon(4L) == 4L && canon(5L) == 5L)
   }
+
+  test("edge inputs: zero-shingle candidate pairs score jaccard 0 " +
+      "(no ANSI divide-by-zero), null ids drop from exactByHash, " +
+      "param typos fail loudly") {
+    import spark.implicits._
+    // Two identical two-token docs: SimHash pairs them, but at
+    // shingleK=3 both shingle sets are EMPTY — union 0 must not abort
+    // the job under ANSI; empty sets carry no similarity evidence.
+    val docs = Seq((1L, "foo bar"), (2L, "foo bar"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val verified = TextDedup.jaccardVerify(docs, cand, shingleK = 3,
+      minJaccard = 0.0)
+    val j = verified.select("jaccard").as[Double].collect()
+    assert(j.toSeq == Seq(0.0), s"zero-union pair must score 0: ${j.toSeq}")
+    // Null ids: min/collect_list skip them while count counts them —
+    // the group's dup_count would disagree with member_ids. Dropped.
+    val withNullId = Seq((Some(1L), "same text"), (None, "same text"))
+      .toDF("doc_id", "text")
+    val groups = TextDedup.exactByHash(withNullId)
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((1L, 1L)),
+      s"null-id row must not join a group: ${groups.toSeq}")
+    intercept[IllegalArgumentException] {
+      TextDedup.simHashCandidates(TextDedup.simHash(docs), maxHamming = -1)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.bandBuckets(
+        TextDedup.minHashSignature(docs, "text", "doc_id", 2, 12),
+        "doc_id", 12, 0)
+    }
+  }
 }
