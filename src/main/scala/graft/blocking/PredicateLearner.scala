@@ -93,6 +93,16 @@ object PredicateLearner {
     // (f, value) set is identical to the old per-field union-of-
     // distincts, so the sims cache — and therefore the learned
     // predicates and model hash — cannot move.
+    //
+    // Known caveat: the index is fitted over corpus values UNION
+    // training-pair values (pairs need norms to be scorable at all),
+    // while apply-time blocking refits over the corpus alone. For
+    // training pairs whose values all exist in the corpus — the normal
+    // labeled-from-this-corpus case — the two indices agree; a
+    // training file referencing OUT-OF-CORPUS values can credit canopy
+    // coverage the apply-time index won't reproduce. The column-
+    // predicate path is immune by construction (keys are pure
+    // per-value functions).
     val simsByRatio = spec.map(_._1).groupBy(_.maxDfRatio).map {
       case (ratio, ps) =>
         val fields = ps.map(_.field).distinct
@@ -199,9 +209,16 @@ object PredicateLearner {
         if (m.isEmpty) lit(false).as(s"c$i")
         else {
           val lookup = typedlit(m)
+          // try_element_at: under ANSI (the Spark 4 default) a plain
+          // element_at THROWS for a key absent from the map — and a
+          // labeled value CAN be absent (whitespace-only values pass
+          // the non-empty filter but tokenize to nothing; values whose
+          // every key was over-cap-filtered lose their entry) — the
+          // coalesce below only ever sees the null the try_ form
+          // returns.
           arrays_overlap(
-            coalesce(element_at(lookup, col(s"l_${p.field}")), empty),
-            coalesce(element_at(lookup, col(s"r_${p.field}")), empty))
+            coalesce(try_element_at(lookup, col(s"l_${p.field}")), empty),
+            coalesce(try_element_at(lookup, col(s"r_${p.field}")), empty))
             .as(s"c$i")
         }
     }

@@ -73,9 +73,16 @@ object Predicate {
 /** Whole-field equality block (dedupe's wholeFieldPredicate). */
 final case class WholeField(field: String) extends ColumnPredicate {
   val id = s"whole:$field"
-  def rawKeys(c: Column): Column =
-    when(c.isNull || c === "", array().cast("array<string>"))
-      .otherwise(array(c.cast("string")))
+  // Compare the CASTED string to "": WholeField is the candidate the
+  // learner generates for every non-String ftype, and under ANSI (the
+  // Spark 4 default) `numericCol === ""` would constant-fold
+  // Cast("", numeric) and abort; numeric→string never fails, and for
+  // string columns the cast is a no-op.
+  def rawKeys(c: Column): Column = {
+    val s = c.cast("string")
+    when(c.isNull || s === "", array().cast("array<string>"))
+      .otherwise(array(s))
+  }
 }
 
 /** One block per whitespace token (dedupe's tokenFieldPredicate). */
@@ -307,13 +314,15 @@ object Blocker {
         .join(keyRows, Seq("f", "value"))
         .select(explode(col("keys")).as("block_key"), col(idCol))
     }
-    idxPreds.filterNot(_.isInstanceOf[TfIdfCanopy]).foreach { p =>
-      val vals = records.select(col(p.field).as("value"))
-        .where(col("value").isNotNull && col("value") =!= "").distinct()
-      parts += records.select(col(p.field).as("value"), col(idCol))
-        .join(p.keysByValue(vals), "value")
-        .select(explode(col("keys")).as("block_key"), col(idCol))
-    }
+    // IndexPredicate is sealed with TfIdfCanopy as its only kind, and
+    // the canopy branch above handles those with ONE shared fit. A new
+    // index kind must be routed through a shared fit too — fail loudly
+    // here rather than keep a dead generic per-predicate refit branch
+    // that would silently resurrect the double-fit cost.
+    val unhandled = idxPreds.filterNot(_.isInstanceOf[TfIdfCanopy])
+    require(unhandled.isEmpty,
+      s"unhandled IndexPredicate kind(s): ${unhandled.map(_.id)} — " +
+        "add a shared-fit branch in blockingMap (see the canopy branch)")
     val built = parts.result()
     require(built.nonEmpty, "blockingMap needs at least one predicate")
     built.reduce(_ unionByName _)

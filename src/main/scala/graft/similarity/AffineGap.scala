@@ -52,12 +52,12 @@ object AffineGap {
     // M(i,j): best score ending in a match/mismatch at (i,j)
     // X(i,j): best score ending in a gap in b (consume a char of a)
     // Y(i,j): best score ending in a gap in a (consume a char of b)
-    val prevM = rows(0)
-    val prevX = rows(1)
-    val prevY = rows(2)
-    val curM = rows(3)
-    val curX = rows(4)
-    val curY = rows(5)
+    var prevM = rows(0)
+    var prevX = rows(1)
+    var prevY = rows(2)
+    var curM = rows(3)
+    var curX = rows(4)
+    var curY = rows(5)
 
     prevM(0) = 0.0; prevX(0) = inf; prevY(0) = inf
     var j = 1
@@ -86,9 +86,13 @@ object AffineGap {
         curY(j) = math.min(leftBest, curX(j - 1) + openW) + extendW
         j += 1
       }
-      System.arraycopy(curM, 0, prevM, 0, m + 1)
-      System.arraycopy(curX, 0, prevX, 0, m + 1)
-      System.arraycopy(curY, 0, prevY, 0, m + 1)
+      // Reference SWAP, not arraycopy: copying 3·(m+1) doubles per
+      // outer row was pure wasted bandwidth in the hottest loop of the
+      // scoring pass (the next row only ever READS prev and WRITES
+      // cur, so recycling cur's old buffer as the new cur is safe).
+      var t = prevM; prevM = curM; curM = t
+      t = prevX; prevX = curX; curX = t
+      t = prevY; prevY = curY; curY = t
       i += 1
     }
     math.min(prevM(m), math.min(prevX(m), prevY(m)))

@@ -36,9 +36,15 @@ object Comparators {
       when(l.isNull || r.isNull, lit(0.0))
         .otherwise(when(l === r, lit(0.0)).otherwise(lit(1.0)))
     case "Price" | "Numeric" =>
-      when(l.isNull || r.isNull, lit(0.0)).otherwise(
-        abs(l.cast("double") - r.cast("double")) /
-          greatest(abs(l.cast("double")), abs(r.cast("double")), lit(1.0)))
+      // try_cast, not cast: a dirty string value ("N/A", "12,50") in a
+      // numeric-typed field would either ABORT the scoring job under
+      // ANSI (the Spark 4 default) or, ANSI off, slip a null past the
+      // isNull guard into a null FEATURE. Unparseable values follow
+      // the same 0.0-distance path as missing ones.
+      val ld = l.try_cast("double")
+      val rd = r.try_cast("double")
+      when(l.isNull || r.isNull || ld.isNull || rd.isNull, lit(0.0))
+        .otherwise(abs(ld - rd) / greatest(abs(ld), abs(rd), lit(1.0)))
     case other =>
       throw new IllegalArgumentException(s"unknown field type: $other")
   }
@@ -51,7 +57,21 @@ object Comparators {
     * `has missing` field, one per interaction (product of members,
     * ref run.py:54-55). Order is the model-weight contract.
     */
+  /** Duplicate varNames (one field listed twice with different ftypes
+    * but no `variable name` override) would silently collide the d_/m_
+    * columns and mis-zip the name-keyed weight vector — the config
+    * model has `variable name` precisely to disambiguate, so require
+    * it.
+    */
+  private def requireDistinctVars(cfg: DedupeConfig): Unit = {
+    val dups = cfg.fields.groupBy(_.varName).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"duplicate variable name(s) ${dups.mkString(", ")}: give each " +
+        "(field, type) spec a distinct `variable name`")
+  }
+
   def featureNames(cfg: DedupeConfig): Seq[String] = {
+    requireDistinctVars(cfg)
     val base = cfg.fields.map(f => s"d_${f.varName}")
     val missing = cfg.fields.filter(_.hasMissing).map(f => s"m_${f.varName}")
     val inter = cfg.interactions.map(is => s"x_${is.mkString("_")}")
@@ -63,6 +83,7 @@ object Comparators {
       cfg: DedupeConfig,
       lprefix: String = "l_",
       rprefix: String = "r_"): Seq[(String, Column)] = {
+    requireDistinctVars(cfg)
     def lc(f: String) = col(s"$lprefix$f")
     def rc(f: String) = col(s"$rprefix$f")
     val byVar: Map[String, FieldSpec] = cfg.fields.map(f => f.varName -> f).toMap
@@ -79,8 +100,15 @@ object Comparators {
     // and again per interaction it appears in.
     val inter = cfg.interactions.map { members =>
       val cols = members.map { v =>
-        if (baseNames(s"d_$v")) col(s"d_$v")
-        else fieldDistance(byVar(v), lc(byVar(v).field), rc(byVar(v).field))
+        // baseNames covers exactly byVar's keys (both derive from
+        // cfg.fields), so an unknown member is a config error — fail
+        // with a readable message rather than re-instantiating the
+        // comparator (the double-UDF trap the comment above warns of)
+        // or a bare NoSuchElementException.
+        require(baseNames(s"d_$v"),
+          s"interaction references unknown variable $v " +
+            s"(known: ${byVar.keys.toSeq.sorted.mkString(", ")})")
+        col(s"d_$v")
       }
       s"x_${members.mkString("_")}" -> cols.reduce(_ * _)
     }
