@@ -47,15 +47,22 @@ object Knn {
     */
   val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Float], b: Seq[Float]) =>
-      val n = math.min(a.length, b.length)
-      var d = 0.0d; var na = 0.0d; var nb = 0.0d
-      var i = 0
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y
-        i += 1
+      // Length mismatch → NULL, like the other two forms (`cosine`'s
+      // zip_with pads with null; `cosine_sim` checks explicitly): a
+      // silent prefix-cosine would let a truncated vector masquerade
+      // as a perfect match of anything sharing its prefix.
+      if (a.length != b.length) null.asInstanceOf[java.lang.Double]
+      else {
+        val n = a.length
+        var d = 0.0d; var na = 0.0d; var nb = 0.0d
+        var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          d += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        java.lang.Double.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
       }
-      d / (math.sqrt(na) * math.sqrt(nb))
     }
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus

@@ -16,11 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * and allocates nothing per row.
   *
   * Arithmetic contract (oracle-hash-critical): ascending-index summation
-  * of `x*y`, `x*x`, `y*y` over the common prefix length, then
+  * of `x*y`, `x*x`, `y*y` over EQUAL-length arrays, then
   * `dot / (sqrt(na) * sqrt(nb))` — bit-identical to both `Knn.cosine`
   * (the Column-expression form) and `Knn.cosineUdf`, so swapping call
-  * sites cannot move a single ULP — on null-element-free inputs, the
-  * only inputs the contract covers. A NULL ELEMENT yields NULL (checked
+  * sites cannot move a single ULP — on null-element-free equal-length
+  * inputs, the only inputs the contract covers. A LENGTH MISMATCH
+  * yields NULL in all three forms (the `zip_with` form pads with null
+  * naturally; the UDF and this expression check explicitly): a
+  * truncated/corrupt vector has no defined similarity, and a silent
+  * prefix-cosine would let it masquerade as a perfect match of any
+  * vector sharing its prefix. A NULL ELEMENT yields NULL too (checked
   * in both eval paths): reading the undefined ArrayData slot as 0.0
   * would silently skew the similarity, and rejecting
   * `containsNull = true` at analysis time would reject every
@@ -37,11 +42,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _                => false
   }
 
-  // Nullable when a null ELEMENT can force a null result, not only when
-  // a whole input can be null.
-  override def nullable: Boolean =
-    super.nullable || elemNullable(left.dataType) ||
-      elemNullable(right.dataType)
+  // Always nullable: a runtime length mismatch (not visible in the
+  // schema) forces a null result even when inputs and elements are
+  // non-null.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isFloatArray(dt: DataType): Boolean = dt match {
@@ -63,7 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var d = 0.0d; var na = 0.0d; var nb = 0.0d
     var i = 0
     while (i < n) {
@@ -85,25 +90,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      // Only emitted when the schema admits null elements (which forces
-      // `nullable`, so `ev.isNull` is a real variable); with
-      // containsNull = false on both sides the loop stays branch-free.
+      // Only emitted when the schema admits null elements (`ev.isNull`
+      // is always a real variable — `nullable` is unconditionally true
+      // for the length check); with containsNull = false on both sides
+      // the loop stays branch-free.
       val nullElemCheck =
         if (elemNullable(left.dataType) || elemNullable(right.dataType))
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) " +
             s"{ ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullElemCheck
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $d += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -58,7 +58,10 @@ final case class LogisticModel(
     * the reference pickles; we use JSON, SURVEY.md §1.1).
     */
   def toJson: String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JsonStr: a weak local escaper here once meant a feature name with
+    // a control char wrote a settings file the snakeyaml reader
+    // rejected (Settings.toJson embeds this output).
+    val q = graft.JsonStr.escape _
     s"""{"featureNames":[${featureNames.map(q).mkString(",")}],""" +
       s""""weights":[${weights.mkString(",")}],"bias":$bias}"""
   }
@@ -100,9 +103,12 @@ object LogisticModel {
     LogisticModel(names, ws, 3.0 * nString + 0.5 * nOther)
   }
 
-  def load(path: String): LogisticModel = {
-    val m = new org.yaml.snakeyaml.Yaml()
-      .load[java.util.Map[String, Object]](Files.readString(Paths.get(path)))
+  /** The ONE model-JSON parser — `load` and `Settings.fromJson` both go
+    * through here, so the accepted file shape cannot fork between the
+    * two loaders.
+    */
+  private[model] def fromParsed(
+      m: java.util.Map[String, Object]): LogisticModel = {
     import scala.jdk.CollectionConverters._
     LogisticModel(
       m.get("featureNames").asInstanceOf[java.util.List[Object]]
@@ -111,4 +117,8 @@ object LogisticModel {
         .asScala.toSeq.map(_.toString.toDouble),
       m.get("bias").toString.toDouble)
   }
+
+  def load(path: String): LogisticModel =
+    fromParsed(new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](Files.readString(Paths.get(path))))
 }

@@ -15,27 +15,15 @@ import graft.config.DedupeConfig
 final case class Settings(model: LogisticModel, predicates: Seq[Predicate]) {
 
   def toJson: String = {
-    // Full control-character escaping, same contract as
-    // Training.toTrainingJson: predicate ids embed config-authored field
-    // names, and a stray control char must round-trip, not produce a
-    // settings file the snakeyaml reader rejects.
-    def q(s: String): String = {
-      val sb = new StringBuilder(s.length + 2).append('"')
-      s.foreach {
-        case '\\' => sb.append("\\\\")
-        case '"'  => sb.append("\\\"")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < 0x20 || (c >= 0x7f && c <= 0x9f) ||
-            c == 0x2028.toChar || c == 0x2029.toChar =>
-          sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append('"').toString
-    }
+    // JsonStr (the ONE escaper): predicate ids embed config-authored
+    // field names, and a stray control char / non-character / lone
+    // surrogate must round-trip, not produce a settings file the
+    // snakeyaml reader rejects — the private copy that used to live
+    // here had already dropped the non-character escapes the
+    // training-file writer carried.
     s"""{"model":${model.toJson},""" +
-      s""""predicates":[${predicates.map(p => q(p.id)).mkString(",")}]}"""
+      s""""predicates":[${
+        predicates.map(p => graft.JsonStr.escape(p.id)).mkString(",")}]}"""
   }
 
   def save(path: String): Unit =
@@ -50,13 +38,8 @@ object Settings {
   def fromJson(json: String): Settings = {
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Object]](json).asScala
-    val m = root("model").asInstanceOf[java.util.Map[String, Object]].asScala
-    val model = LogisticModel(
-      m("featureNames").asInstanceOf[java.util.List[Object]]
-        .asScala.toSeq.map(_.toString),
-      m("weights").asInstanceOf[java.util.List[Object]]
-        .asScala.toSeq.map(_.toString.toDouble),
-      m("bias").toString.toDouble)
+    val model = LogisticModel.fromParsed(
+      root("model").asInstanceOf[java.util.Map[String, Object]])
     val preds = root("predicates").asInstanceOf[java.util.List[Object]]
       .asScala.toSeq.map(o => Predicate.fromId(o.toString))
     Settings(model, preds)
@@ -70,8 +53,10 @@ object Settings {
     * runs and hosts.
     */
   def modelDefinition(cfg: DedupeConfig, model: LogisticModel): String = {
-    def q(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JsonStr: this string is only ever HASHED, but a consistent
+    // canonical form matters — and for the ASCII names real configs use
+    // the bytes (and therefore every pinned model hash) are unchanged.
+    val q = graft.JsonStr.escape _
     val fields = cfg.fields.map { f =>
       val entries = Seq(
         "categories" -> (if (f.categories.isEmpty) None

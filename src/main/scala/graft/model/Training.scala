@@ -89,29 +89,12 @@ object Training {
     * `train`).
     */
   def toTrainingJson(labeled: DataFrame, cfg: DedupeConfig): String = {
-    // JSON string escaping for every character the READER can reject,
-    // not just U+0000–U+001F: parseTrainingJson goes through a YAML
-    // parser whose printable set also excludes DEL, the C1 controls
-    // (U+007F–U+009F), and the non-characters — all of which Python's
-    // json.dump(ensure_ascii=True) escapes too. A field value containing
-    // any of them must round-trip, not crash the reader (found by the
-    // hostile-value round-trip property test).
-    def q(s: String): String = {
-      val sb = new StringBuilder(s.length + 2).append('"')
-      s.foreach {
-        case '\\' => sb.append("\\\\")
-        case '"'  => sb.append("\\\"")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < 0x20 || (c >= 0x7f && c <= 0x9f) ||
-            c == '\u2028' || c == '\u2029' || // line/para separators
-            c == '\ufffe' || c == '\uffff' => // non-characters
-          sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append('"').toString
-    }
+    // JsonStr (the ONE escaper): everything the YAML reader can reject
+    // — controls, C1, non-characters, and lone surrogates, which
+    // Files.writeString cannot even encode (found by the hostile-value
+    // round-trip property test; the escaper history is in JsonStr's
+    // scaladoc).
+    val q = graft.JsonStr.escape _
     def rec(r: Row, side: String) = cfg.columns.map { c =>
       val v = r.getAs[String](s"${side}_$c")
       s"${q(c)}: ${if (v == null) "null" else q(v)}"
@@ -220,7 +203,14 @@ object Training {
       }
       val tmp = a(col); a(col) = a(piv); a(piv) = tmp
       val tb = b(col); b(col) = b(piv); b(piv) = tb
-      val diag = if (math.abs(a(col)(col)) < 1e-12) 1e-12 else a(col)(col)
+      // SIGN-PRESERVING clamp: clamping a tiny NEGATIVE pivot to +1e-12
+      // would flip the Newton step's direction for that component
+      // (collinear features make the Hessian singular and the pivot
+      // rounding noise of either sign) - the magnitude floor is kept,
+      // the sign is not invented.
+      val d0 = a(col)(col)
+      val diag =
+        if (math.abs(d0) >= 1e-12) d0 else if (d0 < 0) -1e-12 else 1e-12
       r = col + 1
       while (r < m) {
         val f = a(r)(col) / diag
@@ -237,7 +227,9 @@ object Training {
       var s = b(r)
       var c = r + 1
       while (c < m) { s -= a(r)(c) * xs(c); c += 1 }
-      val diag = if (math.abs(a(r)(r)) < 1e-12) 1e-12 else a(r)(r)
+      val d0 = a(r)(r) // sign-preserving clamp, as in the elimination
+      val diag =
+        if (math.abs(d0) >= 1e-12) d0 else if (d0 < 0) -1e-12 else 1e-12
       xs(r) = s / diag
       r -= 1
     }

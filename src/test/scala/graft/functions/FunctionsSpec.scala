@@ -113,6 +113,29 @@ class FunctionsSpec extends SparkSpec {
       .asInstanceOf[Double] - 1.0) < 1e-9)
   }
 
+  test("cosine_sim LENGTH MISMATCH yields null in all three forms - a " +
+      "truncated vector must not prefix-match as similarity 1.0") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array(3f, 4f), Array(3f, 4f))).toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.cosineSim(col("a"), col("b")).as("expr"),
+      graft.ann.Knn.cosine(col("a"), col("b")).as("hof"),
+      graft.ann.Knn.cosineUdf(col("a"), col("b")).as("udf")).collect()
+    (0 until 3).foreach { c =>
+      assert(got(0).isNullAt(c), s"mismatched lengths: column $c not null")
+      assert(math.abs(got(1).getDouble(c) - 1.0) < 1e-9,
+        s"equal-length row: column $c wrong")
+    }
+    // Interpreted path too.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType, containsNull = false)
+    assert(CosineSimilarity(
+      Literal.create(Seq(1.0f), at),
+      Literal.create(Seq(1.0f, 2.0f), at)).eval(null) == null)
+  }
+
   test("cosine_sim rejects non-float-array inputs at analysis") {
     val err = intercept[AnalysisException] {
       spark.sql("SELECT cosine_sim(array(1, 2), array(3, 4))").collect()

@@ -120,7 +120,12 @@ class TrainingSpec extends SparkSpec {
         "", " ", "  padded  ", "\"quoted\"", "back\\slash", "\\u0041",
         "null", "true", "false", "123", "1.5e3", "0x1f", "~", "-",
         "- item", "{a: b}", "[1, 2]", "# comment", "key: value",
-        "line1\nline2\ttab\rcr", "é漢字", "  ", "'single'")
+        "line1\nline2\ttab\rcr", "é漢字", "  ", "'single'",
+        // Non-characters and LONE surrogates: Files.writeString cannot
+        // UTF-8-encode a lone surrogate raw, so an escaper that passes
+        // them through crashes the WRITE before any reader runs.
+        "non\ufffechar", "last\uffff", "lone-high\ud800tail",
+        "lone-low\udc00tail", "pair\ud83d\ude00ok")
     val rnd = new scala.util.Random(42)
     val randoms = Seq.fill(40)(
       (0 until 12).map(_ => rnd.nextInt(0x300).toChar).mkString)
@@ -161,5 +166,24 @@ class TrainingSpec extends SparkSpec {
     assert(h1 == h2 && h1.length == 32)
     val h3 = Settings.modelHash(cfg.copy(threshold = 0.9), model)
     assert(h1 != h3)
+  }
+
+  test("JsonStr escapes lone surrogates so artifact writes cannot fail " +
+      "to encode (and pairs pass through)") {
+    // Files.writeString throws on a raw lone surrogate before any
+    // reader is involved; DataFrame-carried values get laundered by
+    // UTF8String, so this pins the DIRECT writer path (Settings
+    // predicate ids, model feature names never cross a DataFrame).
+    assert(graft.JsonStr.escape("a\ud800b") == "\"a\\ud800b\"")
+    assert(graft.JsonStr.escape("a\udc00b") == "\"a\\udc00b\"")
+    assert(graft.JsonStr.escape("ok\ud83d\ude00") == "\"ok\ud83d\ude00\"")
+    assert(graft.JsonStr.escape("x\uffff") == "\"x\\uffff\"")
+    val tmp = java.nio.file.Files.createTempFile("graft_jsonstr", ".json")
+    java.nio.file.Files.writeString(tmp,
+      graft.JsonStr.escape("payload\ud800with lone surrogate"))
+    val back = new org.yaml.snakeyaml.Yaml()
+      .load[String](java.nio.file.Files.readString(tmp))
+    assert(back == "payload\ud800with lone surrogate",
+      "escaped lone surrogate must round-trip through the YAML reader")
   }
 }
