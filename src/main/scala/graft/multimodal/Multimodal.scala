@@ -85,28 +85,25 @@ object Multimodal {
     * step of an image pipeline, exact to the byte. Feature layout:
     * [mean, std, q00, q01, q10, q11, aspect, 1.0].
     */
-  def decodeBmpFeatures(b: Array[Byte]): Option[Array[Float]] =
-    bmpHeader(b).map { case (w, h, off) =>
-      val stride = ((w * 3 + 3) / 4) * 4
-      var sum = 0.0; var sumSq = 0.0
-      val quad = new Array[Double](4)
-      val quadN = new Array[Long](4)
-      var y = 0
-      while (y < h) {
-        // BMP rows are stored bottom-up; row y on screen is h-1-y in file.
-        val row = off + (h - 1 - y) * stride
-        var x = 0
-        while (x < w) {
-          val p = row + x * 3
-          val gray = (u8(b, p) * 0.114 + u8(b, p + 1) * 0.587 +
-            u8(b, p + 2) * 0.299) / 255.0
-          sum += gray; sumSq += gray * gray
-          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
-          quad(q) += gray; quadN(q) += 1
-          x += 1
-        }
-        y += 1
-      }
+  /** Shared grayscale-stat + 2×2 quadrant accumulator — the ONE
+    * definition of the luma-derived feature layout, so the documented
+    * cross-format comparability of BMP and JPEG/PNG features cannot
+    * drift between two hand-synchronized loops. Row-major (y outer,
+    * x inner) accumulation order is part of the contract: FP summation
+    * order moves the low bits, and the PNG-equals-BMP-exactly gate
+    * depends on them.
+    */
+  private final class GrayStats(w: Int, h: Int) {
+    private var sum = 0.0
+    private var sumSq = 0.0
+    private val quad = new Array[Double](4)
+    private val quadN = new Array[Long](4)
+    def add(x: Int, y: Int, gray: Double): Unit = {
+      sum += gray; sumSq += gray * gray
+      val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+      quad(q) += gray; quadN(q) += 1
+    }
+    def features(): Array[Float] = {
       val n = w.toLong * h
       val mean = sum / n
       val variance = math.max(0.0, sumSq / n - mean * mean)
@@ -117,6 +114,27 @@ object Multimodal {
         (if (quadN(2) > 0) quad(2) / quadN(2) else 0.0).toFloat,
         (if (quadN(3) > 0) quad(3) / quadN(3) else 0.0).toFloat,
         (w.toDouble / h).toFloat, 1.0f)
+    }
+  }
+
+  def decodeBmpFeatures(b: Array[Byte]): Option[Array[Float]] =
+    bmpHeader(b).map { case (w, h, off) =>
+      val stride = ((w * 3 + 3) / 4) * 4
+      val st = new GrayStats(w, h)
+      var y = 0
+      while (y < h) {
+        // BMP rows are stored bottom-up; row y on screen is h-1-y in file.
+        val row = off + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val p = row + x * 3
+          st.add(x, y, (u8(b, p) * 0.114 + u8(b, p + 1) * 0.587 +
+            u8(b, p + 2) * 0.299) / 255.0)
+          x += 1
+        }
+        y += 1
+      }
+      st.features()
     }
 
   // ImageIO's default scratch is a DISK cache file per read — wrong on
@@ -169,9 +187,7 @@ object Multimodal {
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
-        var sum = 0.0; var sumSq = 0.0
-        val quad = new Array[Double](4)
-        val quadN = new Array[Long](4)
+        val st = new GrayStats(w, h)
         val row = new Array[Int](w)
         var y = 0
         while (y < h) {
@@ -179,25 +195,13 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val p = row(x)
-            val gray = ((p & 0xff) * 0.114 + ((p >> 8) & 0xff) * 0.587 +
-              ((p >> 16) & 0xff) * 0.299) / 255.0
-            sum += gray; sumSq += gray * gray
-            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
-            quad(q) += gray; quadN(q) += 1
+            st.add(x, y, ((p & 0xff) * 0.114 + ((p >> 8) & 0xff) * 0.587 +
+              ((p >> 16) & 0xff) * 0.299) / 255.0)
             x += 1
           }
           y += 1
         }
-        val n = w.toLong * h
-        val mean = sum / n
-        val variance = math.max(0.0, sumSq / n - mean * mean)
-        Some(Array(
-          mean.toFloat, math.sqrt(variance).toFloat,
-          (if (quadN(0) > 0) quad(0) / quadN(0) else 0.0).toFloat,
-          (if (quadN(1) > 0) quad(1) / quadN(1) else 0.0).toFloat,
-          (if (quadN(2) > 0) quad(2) / quadN(2) else 0.0).toFloat,
-          (if (quadN(3) > 0) quad(3) / quadN(3) else 0.0).toFloat,
-          (w.toDouble / h).toFloat, 1.0f))
+        Some(st.features())
       }
     } catch { case _: Exception => None }
 
@@ -277,8 +281,13 @@ object Multimodal {
                 if (e3 - s3 >= woff + 8) {
                   val tw = (be32(b, p3 + woff) >> 16).toInt
                   val th = (be32(b, p3 + woff + 4) >> 16).toInt
-                  if (tw > 0 && th > 0) {
-                    w = math.max(w, tw); h = math.max(h, th)
+                  // Keep the largest track's (w, h) as a PAIR: per-axis
+                  // maxima across tracks could report dimensions that
+                  // exist on no actual track (landscape + portrait
+                  // tracks → a square that matches neither).
+                  if (tw > 0 && th > 0 &&
+                      tw.toLong * th > w.toLong * h) {
+                    w = tw; h = th
                   }
                 }
               }
@@ -364,7 +373,12 @@ object Multimodal {
       df: DataFrame, binCol: String, idCol: String): Dataset[MediaInfo] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // A null (or non-castable) id would deserialize into the tuple's
+    // primitive Long and kill the STAGE — the one hostile row this
+    // module's decoders otherwise all survive. Dropped, like the
+    // candidate streams drop them.
     df.select(col(idCol).cast("long"), col(binCol))
+      .where(col(idCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         bmpHeader(b) match {
@@ -412,6 +426,7 @@ object Multimodal {
     val sized = if (batchPartitions > 0) df.repartition(batchPartitions) else df
     sized
       .select(col(idCol).cast("long"), col(binCol))
+      .where(col(idCol).isNotNull) // null id would kill the stage (see mediaInfo)
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // One digest instance per partition — the "per-batch model load"

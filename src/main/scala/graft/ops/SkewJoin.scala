@@ -45,11 +45,23 @@ object SkewJoin {
   /** First name in `base`, `base_1`, `base_2`, … absent from every given
     * schema — internal working columns must not collide with caller
     * columns (a caller-owned `_salt` would silently be overwritten and
-    * dropped).
+    * dropped). Case-INsensitive: Spark's default resolver is, so a
+    * caller `_SALT` would collide just as silently as an exact match.
     */
-  private def freshName(base: String, taken: Set[String]): String =
+  private def freshName(base: String, taken: Set[String]): String = {
+    val lower = taken.map(_.toLowerCase(java.util.Locale.ROOT))
     (base +: LazyList.from(1).map(i => s"${base}_$i"))
-      .find(n => !taken.contains(n)).get
+      .find(n => !lower.contains(n.toLowerCase(java.util.Locale.ROOT))).get
+  }
+
+  /** Column reference by EXACT name, backtick-quoted: a bare col(name)
+    * parses dots as nested-field access, so a caller column literally
+    * named "user.id" would fail to resolve — and only on the SKEWED
+    * path, the latent production-only crash class this file already
+    * guards against for map types.
+    */
+  private def qcol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
 
   /** True when the type tree contains a MapType anywhere — such columns
     * cannot feed `hash()` (analysis-time rejection). */
@@ -82,11 +94,15 @@ object SkewJoin {
     // key — so a truncation past the cap keeps a deterministic,
     // maximally useful subset instead of an arbitrary unordered limit()
     // (same contract as the learner's over-cap collect).
-    val hotRows = fact.groupBy(key)
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > hotKeyThreshold)
-      .orderBy(col("cnt").desc, col(key))
-      .select(key)
+    // The count alias is collision-proofed like the salt columns: a
+    // fact KEY literally named "cnt" would otherwise make the filter's
+    // col("cnt") ambiguous and crash before any salting.
+    val cntCol = freshName("_skew_cnt", fact.columns.toSet + key)
+    val hotRows = fact.groupBy(qcol(key))
+      .agg(count(lit(1)).as(cntCol))
+      .where(col(cntCol) > hotKeyThreshold)
+      .orderBy(col(cntCol).desc, qcol(key))
+      .select(qcol(key))
       .limit(maxHotKeys + 1)
       .collect()
     if (hotRows.length > maxHotKeys)
@@ -104,7 +120,7 @@ object SkewJoin {
     // per-row membership probe is the broadcast hash join's O(1) lookup.
     val hotDf = broadcast(spark.createDataFrame(
         java.util.Arrays.asList(hotRows.take(maxHotKeys): _*),
-        fact.select(key).schema)
+        fact.select(qcol(key)).schema)
       .withColumn(hotCol, lit(true)))
 
     // Deterministic spread: hash of the whole fact row — distinct
@@ -118,7 +134,7 @@ object SkewJoin {
     // payload share a salt — the documented duplicate-row limitation,
     // slightly widened.
     val factCols = fact.schema.fields.toSeq
-      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+      .filterNot(f => containsMap(f.dataType)).map(f => qcol(f.name))
     val factSalted = fact.join(hotDf, Seq(key), "left")
       .withColumn(saltCol,
         when(col(hotCol), pmod(hash(struct(factCols: _*)), lit(saltFactor)))

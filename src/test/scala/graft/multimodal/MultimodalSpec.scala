@@ -183,14 +183,18 @@ class MultimodalSpec extends SparkSpec {
   test("mediaInfo extracts typed metadata per format") {
     import spark.implicits._
     val rows = Seq(
-      (1L, makeBmp(6, 3)((_, _) => (10, 20, 30))),
-      (2L, makeWav(16000, 2, new Array[Short](16000 * 2))), // 1 s stereo
-      (3L, "not media".getBytes),
-      (4L, makeImage("png", 5, 7)((_, _) => (1, 2, 3))),
-      (5L, makeImage("jpg", 9, 4)((_, _) => (200, 100, 50))))
+      (Some(1L), makeBmp(6, 3)((_, _) => (10, 20, 30))),
+      (Some(2L), makeWav(16000, 2, new Array[Short](16000 * 2))), // 1 s
+      (Some(3L), "not media".getBytes),
+      (Some(4L), makeImage("png", 5, 7)((_, _) => (1, 2, 3))),
+      (Some(5L), makeImage("jpg", 9, 4)((_, _) => (200, 100, 50))),
+      // A null id must be DROPPED, not deserialize into the primitive
+      // tuple and kill the stage.
+      (None, makeBmp(2, 2)((_, _) => (0, 0, 0))))
       .toDF("id", "payload")
     val info = Multimodal.mediaInfo(rows, "payload", "id")
       .collect().map(i => i.id -> i).toMap
+    assert(info.size == 5, s"null-id row must vanish: ${info.keys}")
     assert(info(1L).kind == "bmp" && info(1L).width == 6 &&
       info(1L).height == 3)
     assert(info(2L).kind == "wav" && info(2L).sample_rate == 16000 &&

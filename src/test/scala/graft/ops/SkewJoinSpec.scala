@@ -136,4 +136,28 @@ class SkewJoinSpec extends SparkSpec {
         .exceptAll(plain.select("k", "payload", "name")).isEmpty,
       "salted join with a map column diverged from the plain join")
   }
+
+  test("case-variant _Salt caller column and a key named cnt both " +
+      "survive (resolver is case-insensitive; aliases are fresh)") {
+    import spark.implicits._
+    // Spark resolves column names case-insensitively by default, so a
+    // case-sensitive freshName check would let withColumn REPLACE the
+    // caller's _Salt and drop(saltCol) delete it.
+    val fact = (0 until 1000).map(i => (7L, i.toLong, i % 3))
+      .toDF("k", "payload", "_Salt")
+    val dim = Seq((7L, "seven")).toDF("k", "name")
+    val out = SkewJoin.saltedInner(fact, dim, "k",
+      saltFactor = 4, hotKeyThreshold = 10)
+    assert(out.columns.contains("_Salt"),
+      s"caller's _Salt vanished: ${out.columns.mkString(",")}")
+    val plain = fact.join(dim, "k")
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    // A key literally named "cnt" must not collide with the hot-key
+    // count alias.
+    val factCnt = (0 until 1000).map(i => (7L, i.toLong)).toDF("cnt", "p")
+    val dimCnt = Seq((7L, "seven")).toDF("cnt", "name")
+    val outCnt = SkewJoin.saltedInner(factCnt, dimCnt, "cnt",
+      saltFactor = 4, hotKeyThreshold = 10)
+    assert(outCnt.count() === factCnt.join(dimCnt, "cnt").count())
+  }
 }
