@@ -306,6 +306,12 @@ object IncrementalDedup {
       stateTtl: Option[String])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // A 0/negative cap never retains any id, so the stream would
+    // silently emit zero candidate pairs forever — the same "caller
+    // typo reads as no dups" class bandBuckets guards against.
+    require(maxBucketState >= 1,
+      s"maxBucketState must be >= 1, got $maxBucketState " +
+        "(a non-positive cap retains no ids and emits no pairs)")
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()

@@ -633,6 +633,24 @@ object CorpusOps {
     * bucketed index (the BucketedJoinSpec-gated path); you give up
     * only the map-side bypass of the incoming batch.
     */
+  /** Saturation check for [[dedupAgainst]]'s Bloom (pure, so the spec
+    * can pin the threshold without capturing stderr): Some(warning)
+    * when the realized fpp — `expectedFpp()` computed from the built
+    * filter's bit density — materially (2×: far past sizing noise)
+    * exceeds the requested one, i.e. `expectedItems` undersized the
+    * actual history and the prefilter is degrading toward
+    * pass-through.
+    */
+  private[text] def bloomSaturationWarning(
+      realizedFpp: Double, requestedFpp: Double,
+      expectedItems: Long): Option[String] =
+    if (realizedFpp > requestedFpp * 2.0)
+      Some(f"WARN dedupAgainst: Bloom saturated — realized fpp " +
+        f"$realizedFpp%.4f vs requested $requestedFpp%.4f; " +
+        s"expectedItems $expectedItems undersizes the history " +
+        "(prefilter degrades toward pass-through; raise expectedItems)")
+    else None
+
   def dedupAgainst(
       incoming: DataFrame, historical: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
@@ -672,6 +690,14 @@ object CorpusOps {
       .where(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("_h"))
       .stat.bloomFilter("_h", expectedItems, fpp)
+    // No silent caps: an `expectedItems` far below the real history
+    // count saturates the filter, the prefilter degrades toward
+    // pass-through, and the confirm join quietly shuffles most of the
+    // batch. expectedFpp() is computed from the realized bit density,
+    // so it surfaces exactly that saturation — warn loudly (2× the
+    // request is far past sizing noise) instead of degrading quietly.
+    bloomSaturationWarning(bloom.expectedFpp(), fpp, expectedItems)
+      .foreach(Console.err.println)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((h: Long) => bc.value.mightContainLong(h))

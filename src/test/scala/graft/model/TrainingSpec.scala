@@ -186,4 +186,20 @@ class TrainingSpec extends SparkSpec {
     assert(back == "payload\ud800with lone surrogate",
       "escaped lone surrogate must round-trip through the YAML reader")
   }
+
+  test("JsonStr escapes every Unicode non-character (BMP FDD0 block + " +
+      "supplementary-plane nFFFE/nFFFF) and leaves ordinary text raw") {
+    // BMP non-characters U+FDD0–U+FDEF.
+    assert(graft.JsonStr.escape("a\ufdd0b") == "\"a\\ufdd0b\"")
+    assert(graft.JsonStr.escape("\ufdef") == "\"\\ufdef\"")
+    // U+FDCF / U+FDF0 border the block and are ordinary characters.
+    assert(graft.JsonStr.escape("\ufdcf\ufdf0") == "\"\ufdcf\ufdf0\"")
+    // Supplementary non-character U+1FFFE = surrogates D83F DFFE —
+    // escaped as the pair, while the ordinary U+1FFFD passes raw.
+    assert(graft.JsonStr.escape("x\ud83f\udffe") == "\"x\\ud83f\\udffe\"")
+    assert(graft.JsonStr.escape("x\ud83f\udfff") == "\"x\\ud83f\\udfff\"")
+    assert(graft.JsonStr.escape("x\ud83f\udffd") == "\"x\ud83f\udffd\"")
+    // Plane-16 non-character U+10FFFF = DBFF DFFF.
+    assert(graft.JsonStr.escape("\udbff\udfff") == "\"\\udbff\\udfff\"")
+  }
 }

@@ -461,6 +461,14 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.minhashCandidateStream(
         strInput.toDF().toDF("doc_id", "text"))
     }
+    // A 0/negative cap retains no ids → zero pairs forever; refused
+    // at construction like the id-type guard (same "caller typo reads
+    // as no dups" class).
+    val okInput = MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.minhashCandidateStream(
+        okInput.toDF().toDF("doc_id", "text"), maxBucketState = 0)
+    }
     // A NULL id inside an integral column is dropped like null text
     // (matching the batch twins), not a query-killing encoder error;
     // the TTL-configured stream emits the same in-batch pairs (expiry

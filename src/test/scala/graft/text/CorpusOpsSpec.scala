@@ -532,6 +532,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainst warns when expectedItems undersizes the history " +
+      "(Bloom saturation is loud, not a silent pass-through)") {
+    // The decision is pure — pin the 2× threshold directly.
+    assert(CorpusOps.bloomSaturationWarning(0.021, 0.01, 10L).isDefined)
+    assert(CorpusOps.bloomSaturationWarning(0.019, 0.01, 10L).isEmpty)
+    assert(CorpusOps.bloomSaturationWarning(0.01, 0.01, 10L).isEmpty)
+    // And a genuinely undersized build trips it end-to-end: 500 docs
+    // into a Bloom sized for 5 saturates the bits far past 2× fpp.
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .where(col("text").isNotNull).limit(500)
+    val bloom = docs
+      .select(xxhash64(col("text")).as("_h"))
+      .stat.bloomFilter("_h", 5L, 0.01)
+    assert(CorpusOps.bloomSaturationWarning(
+      bloom.expectedFpp(), 0.01, 5L).isDefined,
+      s"realized fpp ${bloom.expectedFpp()} should exceed 2x requested")
+  }
+
   test("dedupAgainst prefilter=false is the bare anti-join (the " +
       "beyond-Bloom-ceiling mode): same answer, no Bloom in the plan") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
