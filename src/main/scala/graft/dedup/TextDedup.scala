@@ -228,8 +228,14 @@ object TextDedup {
     // an output-side filter below the projection by substituting the
     // alias, evaluating the UDF twice per row (seen in the optimized
     // plan: `Filter isnotnull(UDF(text))` under `Project [UDF(text)]`).
+    // Null IDS are dropped too (module policy — exactByHash, domainCap,
+    // the candidate streams, and CC all do the same): they can emit no
+    // candidate pair anyway (NULL < NULL is NULL), and any exploded/
+    // groupBy restatement of this op — the oracle phrasing — would
+    // merge every null-id doc's shingles into ONE bogus signature,
+    // since groupBy treats null as an ordinary key.
     docs
-      .where(col(textCol).isNotNull &&
+      .where(col(idCol).isNotNull && col(textCol).isNotNull &&
         size(graft.text.TextAnalysis.tokens(col(textCol))) >= shingleK)
       .select(col(idCol), f(col(textCol)).as("sig"))
   }
@@ -379,9 +385,11 @@ object TextDedup {
     }
     // Input-side precondition instead of isNotNull on the UDF output —
     // same alias-substitution double-eval as minHashSignature (see note
-    // there). Null/whitespace-only text is exactly the empty-token case.
+    // there). Null/whitespace-only text is exactly the empty-token case;
+    // null ids drop for the same reasons as minHashSignature (module
+    // policy + the exploded bit-vote restatement would merge them).
     docs
-      .where(col(textCol).isNotNull &&
+      .where(col(idCol).isNotNull && col(textCol).isNotNull &&
         size(graft.text.TextAnalysis.tokens(col(textCol))) >= 1)
       .select(col(idCol), f(col(textCol)).as("simhash"))
   }

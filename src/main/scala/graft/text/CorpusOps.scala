@@ -626,12 +626,39 @@ object CorpusOps {
     * SIZING the Bloom: the merged bits live on the DRIVER and ship to
     * every executor — ~1.2 bytes per historical doc at 1% fpp, so
     * ~12 GB at 10¹⁰ docs is the practical ceiling (raise `fpp` to
-    * trade bits for confirm-join traffic). Past it, pass
-    * `prefilter = false`: no Bloom is built at all and the operator
-    * IS the plain left-anti join — still the exact answer, and still
-    * Exchange-free on the history side when `historical` is the
-    * bucketed index (the BucketedJoinSpec-gated path); you give up
-    * only the map-side bypass of the incoming batch.
+    * trade bits for confirm-join traffic). An undersized
+    * `expectedItems` saturates the filter and quietly degrades the
+    * prefilter toward pass-through, so the build WARNS when the
+    * realized `expectedFpp()` exceeds 2× the request. Past the
+    * ceiling, pass `prefilter = false`: no Bloom is built at all and
+    * the operator IS the plain left-anti join — still the exact
+    * answer, and still Exchange-free on the history side when
+    * `historical` is the bucketed index (the BucketedJoinSpec-gated
+    * path); you give up only the map-side bypass of the incoming
+    * batch.
+    *
+    * BEYOND the driver ceiling — partitioned-Bloom design (not yet
+    * needed at any fixture scale, recorded so the 100 TB reader never
+    * hits an undocumented cliff): keep the map-side bypass at ANY
+    * history size by sharding the filter on the SAME key the bucketed
+    * history index already uses, `xxhash64(text) pmod nBuckets`.
+    * Build pass: one groupBy on the bucket id aggregating each
+    * bucket's hashes into its own Bloom (Spark's BloomFilter is
+    * mergeable, so this is a treeAggregate per group — an
+    * `Aggregator[Long, BloomFilter, Array[Byte]]`), landing a tiny
+    * side table `(bucket_id int, bloom binary)` of
+    * `historyCount × 1.2 B / nBuckets` bytes per row, refreshed with
+    * the history accretion batch. Probe pass: tag each incoming row
+    * with `bucket_id = pmod(xxhash64(text), nBuckets)`, join the side
+    * table on `bucket_id` — broadcast while the whole filter set fits
+    * executor memory, else a shuffled equi-join in which each batch
+    * row carries 8 bytes and meets exactly its one filter shard — and
+    * test membership against the row's own shard; Bloom-negative rows
+    * bypass the confirm anti-join exactly as today. No shard is ever
+    * larger than `historyCount / nBuckets` entries, the driver never
+    * holds more than one shard during the build fold, and the probe
+    * join's key is the bucketed index's own key, so the confirm join
+    * that follows stays Exchange-free on the history side.
     */
   /** Saturation check for [[dedupAgainst]]'s Bloom (pure, so the spec
     * can pin the threshold without capturing stderr): Some(warning)
