@@ -38,6 +38,9 @@ object Bench {
     // action + filter/anti-join union — benched so both the build cost
     // and the confirm join show round-over-round.
     "q62_incremental_dedup",
+    // Context-window chunking (round 16): zero-shuffle per-row pass,
+    // benched so a regression in its codegen plan shows round-over-round.
+    "q63_chunk_tokens",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

@@ -286,20 +286,44 @@ object PredicateLearner {
         .join(vCounts, Seq("f", "value"))
         .select(col("cand"), col("key"), col("cnt"))
     }
-    val colBranch = cands.zipWithIndex.collect {
-      case (p: ColumnPredicate, i) =>
-        records.select(lit(i).as("cand"),
-          explode(p.keys(col(p.field))).as("key"), lit(1L).as("cnt"))
+    // ONE records scan for every column predicate (the per-candidate
+    // branches each re-scanned records — ~16 union legs at two string
+    // fields; locally the cached scans are cheap, but at corpus scale
+    // one pass vs sixteen is the difference that matters): explode an
+    // array of (cand, keys) structs, then the keys. The outer explode
+    // keeps every candidate row (the array literal is never empty); the
+    // inner explode drops null/empty key arrays exactly as the
+    // per-branch explode did.
+    val colCands = cands.zipWithIndex.collect {
+      case (p: ColumnPredicate, i) => (p, i)
     }
+    val colBranch =
+      if (colCands.isEmpty) Seq.empty[DataFrame]
+      else Seq(records
+        .select(explode(array(colCands.map { case (p, i) =>
+          struct(lit(i).as("cand"), p.keys(col(p.field)).as("keys"))
+        }: _*)).as("ck"))
+        .select(col("ck.cand").as("cand"),
+          explode(col("ck.keys")).as("key"), lit(1L).as("cnt")))
     val tagged = (colBranch ++ idxBranch).reduce(_ unionByName _)
     val counts = tagged.groupBy("cand", "key").agg(sum("cnt").as("count"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Sub-phase timers (surfaced in the bench JSON next to learn_costs):
+    // the counts materialization is the key-explosion groupBy over every
+    // candidate's keys; the overCap pass is a TakeOrdered on the cached
+    // counts and should stay near-zero.
+    def sub[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      graft.pipeline.PhaseLog.record(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     try {
-      val rows = counts
+      val rows = sub("learn_costs_counts")(counts
         .where(col("count") > 1 && col("count") <= maxBlockSize)
         .groupBy("cand")
         .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
-        .collect()
+        .collect())
       val out = Array.fill(cands.length)(0.0)
       rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
       val overCapLimit = 100000
@@ -307,10 +331,11 @@ object PredicateLearner {
       // coverage correction), then (cand, key) to break ties — so a
       // truncation past the limit retains a deterministic, maximally
       // useful subset instead of an arbitrary unordered limit().
-      val overCapRows = counts.where(col("count") > maxBlockSize)
-        .select(col("cand"), col("key"), col("count"))
-        .orderBy(col("count").desc, col("cand"), col("key"))
-        .limit(overCapLimit + 1).collect()
+      val overCapRows = sub("learn_costs_overcap")(
+        counts.where(col("count") > maxBlockSize)
+          .select(col("cand"), col("key"), col("count"))
+          .orderBy(col("count").desc, col("cand"), col("key"))
+          .limit(overCapLimit + 1).collect())
       if (overCapRows.length > overCapLimit)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"more than $overCapLimit over-cap blocking keys — coverage " +

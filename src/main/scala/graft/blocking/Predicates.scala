@@ -196,50 +196,69 @@ object TfIdfCanopy {
     * stage overhead once per field for identical plan shapes. idf
     * denominators (n_values, df) are per field, as in the single-field
     * fit. Output: `(f, a_value, b_value, cos)`.
+    *
+    * Shape (round 17): df and norm ride each token row as WINDOW
+    * aggregates instead of separate count/norm frames re-joined in, and
+    * the decorated row set is `localCheckpoint`ed (eager) before the
+    * pair join. The lazy form recomputed the whole
+    * explode→count→join→filter lineage once per consumer — the l side,
+    * the r side, and the norms twice more (Spark shares no subplans
+    * across join inputs), ~2.8 s of q50's train at sf0.1 for one
+    * pipeline's worth of data. Now the lineage runs ONCE; the pair
+    * join, the diagonal, and every downstream sims consumer read the
+    * checkpointed blocks. The checkpoint is bounded by the surviving
+    * (value, token) rows — the same frame the lazy plan shuffled — and
+    * its blocks are released by the ContextCleaner when the sims frame
+    * is dropped (the learner's one-shot fit; at 100 TB this is the
+    * distinct-VALUES token table of the canopy fields, not the corpus).
     */
   def simsTagged(values: DataFrame, maxDfRatio: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val total = values.groupBy("f").agg(count(lit(1)).as("n_values"))
     val toks = values
       .select(col("f"), col("value"),
         explode(filter(split(col("value"), "\\s+"), t => t =!= ""))
           .as("tok"))
       .groupBy("f", "value", "tok").agg(count(lit(1)).as("tf"))
-    val dfCounts = toks.groupBy("f", "tok")
-      .agg(count(lit(1)).as("df")) // toks is distinct per (f, value, tok)
-    val wts = toks.join(dfCounts, Seq("f", "tok"))
+    // toks is distinct per (f, value, tok), so the per-(f, tok) row
+    // count IS the document frequency.
+    val decorated = toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("f", "tok")))
       .join(broadcast(total), "f")
       .where(col("df").cast("double") <= col("n_values") * maxDfRatio)
       .withColumn("w",
         col("tf") * log(col("n_values").cast("double") / col("df")))
       .where(col("w") > 0)
-      .select("f", "value", "tok", "w", "df")
-    val norms = wts.groupBy("f", "value")
-      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+      .withColumn("norm",
+        sqrt(sum(col("w") * col("w")).over(Window.partitionBy("f", "value"))))
+      .select("f", "value", "tok", "w", "df", "norm")
+      .localCheckpoint()
     // A token with df = 1 lives in exactly one value, so it can only ever
     // pair a value with itself — and a value's self-cosine is 1 by
-    // definition (dot(v,v) = ‖v‖²). Emitting the diagonal directly from
-    // `norms` and joining only df ≥ 2 tokens keeps every a ≠ b pair (two
-    // distinct values can only share a df ≥ 2 token) while cutting the
-    // quadratic self-join's input by the singleton-token volume — on
-    // name-like fields where most distinct values are unique single
-    // tokens, that is nearly all of it.
-    val shared = wts.where(col("df") >= 2).drop("df")
-    val l = shared.select(col("f"), col("value").as("a_value"), col("tok"),
-      col("w").as("wa"))
-    val r = shared.select(col("f"), col("value").as("b_value"), col("tok"),
-      col("w").as("wb"))
+    // definition (dot(v,v) = ‖v‖²). Emitting the diagonal directly and
+    // joining only df ≥ 2 tokens keeps every a ≠ b pair (two distinct
+    // values can only share a df ≥ 2 token) while cutting the quadratic
+    // self-join's input by the singleton-token volume — on name-like
+    // fields where most distinct values are unique single tokens, that
+    // is nearly all of it. Norms ride the join sides (8 bytes each), so
+    // no re-join attaches them after the pair aggregation; they are
+    // window-computed, hence bit-identical on every row of a value.
+    val shared = decorated.where(col("df") >= 2)
+    val l = shared.select(col("f"), col("tok"), col("value").as("a_value"),
+      col("w").as("wa"), col("norm").as("na"))
+    val r = shared.select(col("f"), col("tok"), col("value").as("b_value"),
+      col("w").as("wb"), col("norm").as("nb"))
     val offDiag = l.join(r, Seq("f", "tok"))
       .where(col("a_value") =!= col("b_value"))
       .groupBy("f", "a_value", "b_value")
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norms.select(col("f"), col("value").as("a_value"),
-        col("norm").as("na")), Seq("f", "a_value"))
-      .join(norms.select(col("f"), col("value").as("b_value"),
-        col("norm").as("nb")), Seq("f", "b_value"))
+      .agg(sum(col("wa") * col("wb")).as("dot"),
+        first("na").as("na"), first("nb").as("nb"))
       .select(col("f"), col("a_value"), col("b_value"),
         (col("dot") / (col("na") * col("nb"))).as("cos"))
-    val diag = norms.select(col("f"), col("value").as("a_value"),
-      col("value").as("b_value"), lit(1.0).as("cos"))
+    val diag = decorated.groupBy("f", "value")
+      .agg(first("norm").as("norm"))
+      .select(col("f"), col("value").as("a_value"),
+        col("value").as("b_value"), lit(1.0).as("cos"))
     offDiag.unionByName(diag)
   }
 
