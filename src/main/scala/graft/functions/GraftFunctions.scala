@@ -30,6 +30,25 @@ object GraftExtensions {
           s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
       }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
+        // The serialized filter must be analysis-time constant: it is
+        // evaluated HERE and carried as a plain field, so the analyzed
+        // plan never contains the (huge) binary literal.
+        val bloomArg = exprs.head
+        require(bloomArg.foldable &&
+            bloomArg.dataType == org.apache.spark.sql.types.BinaryType,
+          "bloom_might_contain's first argument must be a foldable " +
+            s"binary (the serialized filter), got $bloomArg")
+        val bytes = bloomArg.eval().asInstanceOf[Array[Byte]]
+        require(bytes != null,
+          "bloom_might_contain's serialized filter is null")
+        BloomMightContain(bytes, exprs(1))
+      }),
     (FunctionIdentifier("bounded_min_by_n"),
       new ExpressionInfo(classOf[BoundedMinByN].getName,
         "bounded_min_by_n"),
@@ -63,4 +82,13 @@ object GraftFunctions {
   def boundedMinByN(key: Column, payload: Column, n: Int): Column =
     call_function("bounded_min_by_n", key, payload,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd Bloom membership test of a bigint hash column against a
+    * serialized `org.apache.spark.util.sketch.BloomFilter` (see
+    * [[BloomMightContain]]). The bytes literal exists only in the
+    * unresolved plan; the analyzed expression carries them as a field.
+    */
+  def bloomMightContain(filterBytes: Array[Byte], hash: Column): Column =
+    call_function("bloom_might_contain",
+      org.apache.spark.sql.functions.lit(filterBytes), hash)
 }

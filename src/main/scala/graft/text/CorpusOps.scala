@@ -725,10 +725,18 @@ object CorpusOps {
     // request is far past sizing noise) instead of degrading quietly.
     bloomSaturationWarning(bloom.expectedFpp(), fpp, expectedItems)
       .foreach(Console.err.println)
-    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((h: Long) => bc.value.mightContainLong(h))
-        .withName("bloomMightContain")
+    // Codegen'd membership test (graft.functions.BloomMightContain) —
+    // replaced the last hot-path Scala UDF: the filter bits ride the
+    // per-stage task binary (broadcast once per stage, the same wire
+    // cost as the Broadcast variable the UDF closed over) and the test
+    // stays inside the whole-stage-codegen span of the prefilter scan.
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = (h: Column) =>
+      graft.functions.GraftFunctions.bloomMightContain(bloomBytes, h)
     val hashed = incoming.withColumn(bh, xxhash64(col(textCol)))
     val definitelyNew = hashed
       .where(col(textCol).isNull || !mightContain(col(bh)))

@@ -291,7 +291,7 @@ class PlanSpec extends SparkSpec {
     assert(joins.head.joinType == LeftAnti,
       s"q62 confirm join is ${joins.head.joinType}, not LeftAnti")
     val ps = exact.queryExecution.executedPlan.toString
-    assert(ps.contains("bloomMightContain"),
+    assert(ps.contains("bloom_might_contain"),
       s"q62 plan lost the Bloom prefilter:\n$ps")
     assert(ps.contains("Union"),
       s"q62 plan lost the bypass-branch union:\n$ps")

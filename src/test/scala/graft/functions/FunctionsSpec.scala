@@ -266,6 +266,76 @@ class FunctionsSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("bloom_might_contain matches the filter object, nulls stay " +
+      "null, and the analyzed plan carries no giant binary literal") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(1000, 0.01)
+    (0L until 500L).foreach(i => bloom.putLong(i * 7L))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select(xxhash64(col("text")).as("h")).limit(300)
+      .unionByName(Seq((0L until 500L).map(_ * 7L): _*).toDF("h"))
+    val got = docs
+      .select(col("h"),
+        GraftFunctions.bloomMightContain(bytes, col("h")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // Never a false negative; expect matches the object's own answer.
+    got.foreach { case (h, m) =>
+      assert(m == bloom.mightContainLong(h), s"hash $h")
+    }
+    assert(got.count(_._2) >= 500, "all inserted hashes must test true")
+    // NULL hash -> NULL result.
+    val nullRow = Seq[java.lang.Long](null).toDF("h")
+      .select(GraftFunctions.bloomMightContain(bytes, col("h")))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+    // The bytes must NOT appear as a hex literal in the analyzed or
+    // executed plan (the builder folds them into an expression field);
+    // a 1 KB filter would already print ~2 KB of hex.
+    val df = docs.select(
+      GraftFunctions.bloomMightContain(bytes, col("h")).as("m"))
+    val planStrings = Seq(
+      df.queryExecution.analyzed.toString,
+      df.queryExecution.executedPlan.toString)
+    planStrings.foreach { p =>
+      assert(p.contains("bloom_might_contain"), p)
+      assert(p.length < 20000,
+        s"plan string suspiciously large (${p.length}) — binary " +
+          s"literal leaked into the plan?\n${p.take(500)}")
+    }
+    // Codegen: no ScalaUDF, and the filter Project sits in a
+    // WholeStageCodegen span over the real parquet scan.
+    val scanDf = graft.Tables.load(spark, sf0001, "documents")
+      .select(GraftFunctions
+        .bloomMightContain(bytes, xxhash64(col("text"))).as("m"))
+    val plan = scanDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"bloom_might_contain must not plan as a UDF:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("*(") &&
+        l.contains("bloom_might_contain")),
+      s"bloom_might_contain projection not in a codegen span:\n$plan")
+    // SQL form resolves via the injected registry (hex literal form).
+    val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+    val viaSql = spark.sql(
+      s"SELECT bloom_might_contain(X'$hex', ${7L * 3L}L) AS m")
+      .collect().head.getBoolean(0)
+    assert(viaSql == bloom.mightContainLong(21L))
+    // Builder refuses a non-foldable or non-binary filter argument.
+    docs.createOrReplaceTempView("bmc_docs")
+    Seq(
+      "SELECT bloom_might_contain(h, h) FROM bmc_docs",
+      "SELECT bloom_might_contain(CAST(NULL AS BINARY), h) FROM bmc_docs"
+    ).foreach { sql =>
+      intercept[Throwable] { spark.sql(sql).collect() }
+    }
+  }
+
   test("bounded_min_by_n rejects bad types and a non-positive or " +
       "non-literal limit at analysis") {
     import spark.implicits._

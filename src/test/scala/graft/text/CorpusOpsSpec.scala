@@ -558,7 +558,7 @@ class CorpusOpsSpec extends SparkSpec {
     val bare = CorpusOps.dedupAgainst(incoming, historical, "text",
       expectedItems = 200000L, prefilter = false)
     assert(!bare.queryExecution.executedPlan.toString
-        .contains("bloomMightContain"),
+        .contains("bloom_might_contain"),
       "prefilter=false must not build or apply a Bloom filter")
     val withBloom = CorpusOps.dedupAgainst(incoming, historical, "text",
       expectedItems = 200000L)
