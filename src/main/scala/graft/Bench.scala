@@ -41,6 +41,10 @@ object Bench {
     // Context-window chunking (round 16): zero-shuffle per-row pass,
     // benched so a regression in its codegen plan shows round-over-round.
     "q63_chunk_tokens",
+    // Sharded incremental dedup (round 17): the distributed per-bucket
+    // Bloom build + bucket-join probe — benched so both halves of the
+    // beyond-driver-Bloom path show round-over-round.
+    "q64_incremental_dedup_sharded",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

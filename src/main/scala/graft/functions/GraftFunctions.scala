@@ -49,6 +49,15 @@ object GraftExtensions {
           "bloom_might_contain's serialized filter is null")
         BloomMightContain(bytes, exprs(1))
       }),
+    (FunctionIdentifier("sharded_bloom_might_contain"),
+      new ExpressionInfo(classOf[ShardedBloomMightContain].getName,
+        "sharded_bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "sharded_bloom_might_contain expects 3 arguments " +
+            s"(bucket, filter, hash), got ${exprs.length}")
+        ShardedBloomMightContain(exprs(0), exprs(1), exprs(2))
+      }),
     (FunctionIdentifier("bounded_min_by_n"),
       new ExpressionInfo(classOf[BoundedMinByN].getName,
         "bounded_min_by_n"),
@@ -91,4 +100,12 @@ object GraftFunctions {
   def bloomMightContain(filterBytes: Array[Byte], hash: Column): Column =
     call_function("bloom_might_contain",
       org.apache.spark.sql.functions.lit(filterBytes), hash)
+
+  /** Membership test against a PER-ROW serialized filter column (see
+    * [[ShardedBloomMightContain]]); null filter (no bucket row from the
+    * probe join) or null hash yields null — coalesce at the call site.
+    */
+  def shardedBloomMightContain(bucket: Column, filter: Column,
+      hash: Column): Column =
+    call_function("sharded_bloom_might_contain", bucket, filter, hash)
 }

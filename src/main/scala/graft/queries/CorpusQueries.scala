@@ -232,6 +232,30 @@ object CorpusQueries {
           AND NOT EXISTS (SELECT 1 FROM documents h
             WHERE h.doc_id % 10 < 6 AND h.text = i.text)""")),
 
+    // Sharded (beyond-driver-Bloom) incremental dedup: SAME semantics
+    // as q62 — the oracle is the identical bare NOT-EXISTS anti-join —
+    // but the filter is built per history bucket by the distributed
+    // BloomAggregator and probed through the bucket equi-join, so the
+    // ORACLE proves the whole sharded build/probe/confirm path, not
+    // just the suite. A different split (mod 7 vs mod 10) keeps the
+    // two rows from sharing literal results.
+    QueryDef(
+      "q64_incremental_dedup_sharded",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        CorpusOps.dedupAgainstPartitioned(
+          docs.where(col("doc_id") % 7 >= 3),
+          docs.where(col("doc_id") % 7 < 4),
+          "text", nBuckets = 16, expectedItemsPerBucket = 16384L,
+          fpp = 0.01)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT i.doc_id, i.lang, i.source
+        FROM documents i
+        WHERE i.doc_id % 7 >= 3
+          AND NOT EXISTS (SELECT 1 FROM documents h
+            WHERE h.doc_id % 7 < 4 AND h.text = i.text)""")),
+
     // Context-window packing: 8-token chunks with stride 5 (3-token
     // overlap). DuckDB's `//` is integer division and its list slice
     // is 1-based inclusive-both-ends, mirroring Spark's 1-based slice

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 /** Suite-wide ANSI gate: the ENTIRE `SparkEntry.queries` battery (all
-  * 63 operators, including the q50 trained pipeline) must return
+  * 64 operators, including the q50 trained pipeline) must return
   * bit-identical answers with `spark.sql.ansi.enabled` true and false.
   *
   * Why this exists: ANSI mode (the Spark 4 default posture) turns
@@ -35,10 +35,10 @@ class AnsiGateSpec extends SparkSpec {
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("all 63 queries answer identically with ansi.enabled true and " +
+  test("all 64 queries answer identically with ansi.enabled true and " +
       "false (and none throws under ANSI)") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    assert(names.size == 63)
+    assert(names.size == 64)
     def battery(): Map[String, Seq[String]] = names.map { n =>
       val rows =
         try canon(SparkEntry.queries(n)(spark, sf0001))
