@@ -257,6 +257,25 @@ object ScaleBench {
     val kernelNotes = Map(
       "lsh_params.base" -> kbParams, s"lsh_params.x$factor" -> ksParams)
 
+    // ---- sharded-Bloom dedup kernel (round 17): the SAME %10 re-crawl
+    // split q62 measures, run through dedupAgainstPartitioned — so the
+    // artifact compares driver-Bloom vs sharded-build cost on identical
+    // inputs, and the replica scheme's %10-digit preservation makes the
+    // survivor count exactly linear (unlike q64's fixture %7 split,
+    // whose digits the id offset does not preserve).
+    def shardedAt(dir: String): (Double, Long) = {
+      val docs = Tables.load(spark, dir, "documents")
+      time(reps)(() => graft.text.CorpusOps.dedupAgainstPartitioned(
+        docs.where(col("doc_id") % 10 >= 4),
+        docs.where(col("doc_id") % 10 < 6),
+        "text", nBuckets = 64, expectedItemsPerBucket = 16384L,
+        fpp = 0.01))
+    }
+    val (sbSec, sbRows) = shardedAt(baseDir)
+    System.err.println(f"[scale] sharded_dedup base: $sbSec%.2f s, $sbRows rows")
+    val (ssSec, ssRows) = shardedAt(scaleDir)
+    System.err.println(f"[scale] sharded_dedup x$factor: $ssSec%.2f s, $ssRows rows")
+
     def jstr(s: String): String = JsonStr.escape(s)
     val qj = perQuery.map { case (n, (bs, br, ss, sr)) =>
       jstr(n) + ":" + f"""{"base_sec":$bs%.3f,"x${factor}_sec":$ss%.3f,""" +
@@ -271,7 +290,12 @@ object ScaleBench {
         f""""base_pairs":$kbRows,"x${factor}_pairs":$ksRows,""" +
         f""""pair_ratio":${ksRows.toDouble / math.max(1, kbRows)}%.2f,""" +
         kernelNotes.toSeq.sortBy(_._1).map { case (k, v) =>
-          jstr(k) + ":" + jstr(v) }.mkString(",") + "}}"
+          jstr(k) + ":" + jstr(v) }.mkString(",") + "}," +
+      f""""sharded_dedup_q62_split":{"n_buckets":64,""" +
+        f""""base_sec":$sbSec%.3f,"x${factor}_sec":$ssSec%.3f,""" +
+        f""""time_ratio":${ssSec / math.max(1e-9, sbSec)}%.2f,""" +
+        f""""base_rows":$sbRows,"x${factor}_rows":$ssRows,""" +
+        f""""row_ratio":${ssRows.toDouble / math.max(1, sbRows)}%.2f}}"""
     val phJ = phaseRecords.toSeq.sortBy(_._1).map { case (k, ph) =>
       jstr(k) + ":" + ph.toSeq.sortBy(_._1)
         .map { case (p, s) => jstr(p) + ":" + f"$s%.3f" }
