@@ -198,19 +198,25 @@ object TfIdfCanopy {
     * fit. Output: `(f, a_value, b_value, cos)`.
     *
     * Shape (round 17): df and norm ride each token row as WINDOW
-    * aggregates instead of separate count/norm frames re-joined in, and
-    * the decorated row set is `localCheckpoint`ed (eager) before the
-    * pair join. The lazy form recomputed the whole
-    * explode→count→join→filter lineage once per consumer — the l side,
-    * the r side, and the norms twice more (Spark shares no subplans
-    * across join inputs), ~2.8 s of q50's train at sf0.1 for one
-    * pipeline's worth of data. Now the lineage runs ONCE; the pair
-    * join, the diagonal, and every downstream sims consumer read the
-    * checkpointed blocks. The checkpoint is bounded by the surviving
-    * (value, token) rows — the same frame the lazy plan shuffled — and
-    * its blocks are released by the ContextCleaner when the sims frame
-    * is dropped (the learner's one-shot fit; at 100 TB this is the
-    * distinct-VALUES token table of the canopy fields, not the corpus).
+    * aggregates instead of separate count/norm frames re-joined in.
+    * The join form recomputed the whole explode→count→join→filter
+    * lineage once per consumer — the l side, the r side, and the norms
+    * TWICE more (Spark shares no subplans across join inputs), ~8
+    * evaluations and ~2.8 s of q50's train at sf0.1; the window form
+    * has three consumers (l, r, diagonal) of one decorated frame.
+    * Deliberately LAZY all the way — no persist, no localCheckpoint.
+    * Both were tried and measured: an EAGER localCheckpoint ran at
+    * plan construction inside whichever phase built the frame, and its
+    * GC-timed blocks accumulated across repeated fits at 10× data
+    * (block_score 6.7 → 63 s inside the long-lived ScaleBench JVM); a
+    * lazy persist of the decorated frame released right after the sims
+    * materialization INVALIDATES the dependent sims cache —
+    * CacheManager recompiles cached plans that referenced the removed
+    * InMemoryRelation — so every post-fit consumer silently recomputed
+    * the whole fit (learn_costs 5 → 64 s at 10×). The lazy form's cost
+    * is three evaluations of one cheap codegen pipeline during the
+    * single sims materialization; both "optimizations" lost to it at
+    * scale.
     */
   def simsTagged(values: DataFrame, maxDfRatio: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -232,7 +238,6 @@ object TfIdfCanopy {
       .withColumn("norm",
         sqrt(sum(col("w") * col("w")).over(Window.partitionBy("f", "value"))))
       .select("f", "value", "tok", "w", "df", "norm")
-      .localCheckpoint()
     // A token with df = 1 lives in exactly one value, so it can only ever
     // pair a value with itself — and a value's self-cosine is 1 by
     // definition (dot(v,v) = ‖v‖²). Emitting the diagonal directly and
