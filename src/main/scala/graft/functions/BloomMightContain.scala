@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.io.ByteArrayInputStream
-
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
@@ -22,9 +20,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * and the field form ships identically — the expression is part of the
   * per-stage task binary, which Spark broadcasts once per stage, the
   * same wire cost as the Broadcast variable the UDF closed over.
-  * Deserialization happens ONCE per executor instance through the
-  * transient lazy [[bloomFilter]]; the generated code calls back into
-  * this object rather than re-reading the bytes per row.
+  * The task binary deserializes per TASK, so a naive lazy val here
+  * would re-run `BloomFilter.readFrom` (and allocate a fresh bit
+  * array) once per task, not per executor; instead the transient lazy
+  * [[bloomFilter]] resolves through [[ShardedBloomCache.getByContent]]
+  * — an executor-wide, byte-budgeted cache keyed by a full-content
+  * fingerprint — so each DISTINCT filter deserializes once per
+  * executor JVM and every concurrent task shares the one bit array.
+  * The per-task cost is one FNV-1a pass over the serialized bytes (a
+  * fraction of `readFrom`, and no allocation). The generated code
+  * calls back into this object rather than re-reading the bytes per
+  * row.
   *
   * Registered as `bloom_might_contain(bloomBytes, hash)` — the builder
   * accepts any FOLDABLE binary first argument and evaluates it at
@@ -37,7 +43,7 @@ case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
     extends UnaryExpression {
 
   @transient lazy val bloomFilter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    ShardedBloomCache.getByContent(filterBytes)
 
   override def dataType: DataType = BooleanType
 
@@ -56,9 +62,9 @@ case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
     bloomFilter.mightContainLong(v.asInstanceOf[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // Reference THIS expression (bytes included) — the filter
-    // deserializes once per executor via the lazy val, and nothing is
-    // shipped twice.
+    // Reference THIS expression (bytes included) — the lazy val
+    // resolves the shared per-executor filter through the content
+    // cache, and nothing is shipped twice.
     val ref = ctx.addReferenceObj("bloomMightContainExpr", this,
       classOf[BloomMightContain].getName)
     nullSafeCodeGen(ctx, ev,

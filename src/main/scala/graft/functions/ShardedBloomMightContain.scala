@@ -1,46 +1,180 @@
 package graft.functions
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Executor-local cache of deserialized per-bucket Bloom filters for
-  * [[ShardedBloomMightContain]]: the probe join delivers each row its
-  * bucket's SERIALIZED filter, and deserializing per row would be
-  * catastrophic — the cache pins one deserialized filter per
-  * (query, bucket) key. Bounded LRU (1024 entries): after the equi-join
-  * both sides are hash-partitioned by bucket id, so one task only ever
-  * touches its own partition's buckets (≈ nBuckets / shufflePartitions
-  * keys — far under the cap); with a BROADCAST probe join a task can
-  * see every bucket, and the LRU then bounds memory at the cost of
-  * re-deserialization past 1024 hot buckets.
+/** Executor-wide cache of DESERIALIZED Bloom filters, shared by
+  * [[ShardedBloomMightContain]] (per-bucket shards) and
+  * [[BloomMightContain]] (one driver-built filter), bounded by total
+  * SERIALIZED BYTES, not entry count: at the scales the sharded mode
+  * exists for (shards of 10⁸ entries ≈ 120 MB each) an entry-count cap
+  * cannot bind before executor OOM, so eviction weighs each entry by
+  * its serialized length (≈ the deserialized bit array's footprint)
+  * against a byte budget — default 512 MB, configurable via the
+  * `graft.bloomCache.maxBytes` system property. The newest entry is
+  * always retained even when it alone exceeds the budget (an oversized
+  * filter must still work; it just evicts everything else), so the
+  * cache degrades to deserialize-per-stage, never to failure.
+  *
+  * STALENESS: entries are keyed by `(callId, stageId, bucket)`. The
+  * stage id is the freshness token — re-executing a retained DataFrame
+  * (e.g. after the underlying history source changed) runs NEW stages,
+  * so every re-execution deserializes the bytes the plan actually
+  * delivered rather than serving a previous execution's filters. This
+  * is strictly stronger than fingerprinting a sample of the bytes: one
+  * appended history doc flips ≤ k bits in a multi-MB filter, which an
+  * offset sample provably misses. Driver-LOCAL evaluation (interpreted
+  * eval with no [[TaskContext]], stageId −1) has no stage boundary to
+  * key on, so there the key falls back to a sampled content fingerprint
+  * (length + 64 evenly-spaced bytes, FNV-1a mixed) — exact for resize
+  * and gross mutation, best-effort for few-bit flips, and only
+  * reachable outside a real Spark job. Dead stages' entries linger only
+  * until the byte budget churns them (LRU).
   */
-object ShardedBloomCache {
-  private val Cap = 1024
+final class BloomFilterCache(val maxBytes: Long) {
+  require(maxBytes > 0, s"maxBytes $maxBytes")
+
+  private final class Entry(val bf: BloomFilter, val weight: Long)
+  private var total = 0L
   private val m =
-    new java.util.LinkedHashMap[(String, Long), BloomFilter](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), BloomFilter]): Boolean =
-        size() > Cap
+    new java.util.LinkedHashMap[BloomFilterCache.Key, Entry](64, 0.75f, true) {
+      // Eviction happens in put() against the byte budget, not here.
     }
 
-  def get(callId: String, bucket: Long, bytes: Array[Byte]): BloomFilter = {
-    val k = (callId, bucket)
-    val hit = m.synchronized(m.get(k))
-    if (hit != null) hit
-    else {
-      // Deserialize OUTSIDE the lock (a lost race costs one duplicate
-      // deserialization, not task serialization on a shared monitor).
-      val bf = BloomFilter.readFrom(bytes)
-      m.synchronized {
-        val again = m.get(k)
-        if (again != null) again else { m.put(k, bf); bf }
+  /** Fast-path probe: the deserialized filter, or null on miss. Never
+    * touches the serialized bytes — the codegen'd caller uses this to
+    * skip extracting the binary column (a full per-row copy in
+    * UnsafeRow) on every hit.
+    */
+  def lookup(k: BloomFilterCache.Key): BloomFilter =
+    m.synchronized { val e = m.get(k); if (e == null) null else e.bf }
+
+  /** Deserialize-and-insert on miss (outside the lock: a lost race
+    * costs one duplicate deserialization, not serializing every task
+    * on a shared monitor), then evict eldest entries until the byte
+    * budget holds — always keeping the entry just inserted.
+    */
+  def getOrLoad(k: BloomFilterCache.Key, bytes: Array[Byte]): BloomFilter = {
+    val hit = lookup(k)
+    if (hit != null) return hit
+    val bf = BloomFilter.readFrom(bytes)
+    m.synchronized {
+      val again = m.get(k)
+      if (again != null) again.bf
+      else {
+        m.put(k, new Entry(bf, bytes.length.toLong))
+        total += bytes.length.toLong
+        val it = m.entrySet().iterator()
+        while (total > maxBytes && m.size() > 1 && it.hasNext) {
+          val eldest = it.next()
+          if (eldest.getKey != k) {
+            total -= eldest.getValue.weight
+            it.remove()
+          }
+        }
+        bf
       }
     }
   }
+
+  def currentBytes: Long = m.synchronized(total)
+  def entryCount: Int = m.synchronized(m.size())
+}
+
+object BloomFilterCache {
+  /** `callId` distinguishes expression constructions; `stageId` is the
+    * per-execution freshness token (−1 = driver-local eval, −2 =
+    * content-addressed [[BloomMightContain]] entries); `bucket` the
+    * shard id (repurposed as byte length for content keys); `fp` the
+    * content fingerprint (0 where stageId provides freshness).
+    */
+  final case class Key(callId: String, stageId: Int, bucket: Long, fp: Long)
+}
+
+/** Static facade the generated code calls into — one process-wide
+  * [[BloomFilterCache]] instance per executor JVM.
+  */
+object ShardedBloomCache {
+  val DefaultMaxBytes: Long = 512L * 1024 * 1024
+  lazy val instance: BloomFilterCache = new BloomFilterCache(
+    sys.props.get("graft.bloomCache.maxBytes").map(_.toLong)
+      .getOrElse(DefaultMaxBytes))
+
+  /** Current stage id, or −1 when no task is running (driver-local
+    * interpreted eval). One ThreadLocal read per row — noise next to
+    * the k hash probes of the Bloom test itself.
+    */
+  def stageId(): Int = {
+    val tc = TaskContext.get()
+    if (tc == null) -1 else tc.stageId()
+  }
+
+  /** FNV-1a over the length and 64 evenly-spaced sample bytes — the
+    * driver-eval fallback freshness token (see [[BloomFilterCache]]).
+    */
+  private[functions] def sampledFp(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L ^ bytes.length.toLong
+    val step = math.max(1, bytes.length / 64)
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += step
+    }
+    h
+  }
+
+  /** FNV-1a over the FULL bytes — the content address for
+    * [[BloomMightContain]], computed once per deserialized expression
+    * instance (per task), never per row.
+    */
+  private[functions] def fullFp(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Codegen fast path: probe by key alone (no bytes). Returns null on
+    * miss AND on the driver (stageId −1), where freshness needs the
+    * bytes' fingerprint — the caller then extracts the binary column
+    * and calls [[insert]].
+    */
+  def lookup(callId: String, sid: Int, bucket: Long): BloomFilter =
+    if (sid < 0) null
+    else instance.lookup(BloomFilterCache.Key(callId, sid, bucket, 0L))
+
+  /** Miss path: deserialize (or join a racing task's entry) under the
+    * byte budget. On the driver (sid < 0) the key carries the sampled
+    * content fingerprint instead of a stage id.
+    */
+  def insert(callId: String, sid: Int, bucket: Long,
+      bytes: Array[Byte]): BloomFilter = {
+    val k =
+      if (sid >= 0) BloomFilterCache.Key(callId, sid, bucket, 0L)
+      else BloomFilterCache.Key(callId, -1, bucket, sampledFp(bytes))
+    instance.getOrLoad(k, bytes)
+  }
+
+  /** Interpreted-eval path (bytes already extracted). */
+  def get(callId: String, bucket: Long, bytes: Array[Byte]): BloomFilter =
+    insert(callId, stageId(), bucket, bytes)
+
+  /** Content-addressed entry for [[BloomMightContain]]: one
+    * deserialized filter per DISTINCT bytes per executor JVM, however
+    * many tasks ship the expression.
+    */
+  def getByContent(bytes: Array[Byte]): BloomFilter =
+    instance.getOrLoad(
+      BloomFilterCache.Key("", -2, bytes.length.toLong, fullFp(bytes)),
+      bytes)
 }
 
 /** Bloom membership test against a PER-ROW serialized filter column —
@@ -48,15 +182,32 @@ object ShardedBloomCache {
   * sharded design, where each incoming row meets exactly its history
   * bucket's filter through an equi-join instead of one driver-merged
   * filter. Codegen'd like [[BloomMightContain]]; the deserialized
-  * filters live in [[ShardedBloomCache]] keyed by `(callId, bucket)` —
-  * `callId` is minted per expression CONSTRUCTION (one per analyzed
-  * plan), so re-executions of one plan share cache entries while two
-  * different dedup calls never collide.
+  * filters live in [[ShardedBloomCache]] keyed by
+  * `(callId, stageId, bucket)` — `callId` is minted per expression
+  * CONSTRUCTION (one per analyzed plan) so two dedup calls never
+  * collide, and the stage id keeps a RE-execution of a retained plan
+  * from serving a previous execution's filters (see
+  * [[BloomFilterCache]] for the staleness and byte-budget story).
+  *
+  * The generated code probes the cache by key BEFORE extracting the
+  * binary column: `UnsafeRow.getBinary` copies the full serialized
+  * filter per access, so on the hit path — every row after a bucket's
+  * first — the expression reads only the two longs, and the
+  * multi-MB-per-row copy the naive form would pay never happens.
   *
   * Null-safe on every child: a null hash has no membership, and a null
   * filter means the row's bucket holds NO history at all (the left
   * outer probe join found no bucket row) — callers coalesce the null
   * to `false`, i.e. "definitely new".
+  *
+  * One documented edge of the fast path: if a hand-crafted input maps
+  * ONE bucket id to both null and non-null filter values within a
+  * stage, a null-filter row evaluated after the bucket's filter was
+  * cached uses the cached filter instead of returning null. A probe
+  * join's output cannot produce that shape (a bucket either matched
+  * its one shard row or matched nothing), so the operator never sees
+  * it; registered-SQL callers feeding heterogeneous rows should treat
+  * per-bucket filters as constants, which is the operator's contract.
   */
 case class ShardedBloomMightContain(
     first: Expression, second: Expression, third: Expression,
@@ -88,11 +239,40 @@ case class ShardedBloomMightContain(
       .mightContainLong(h.asInstanceOf[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Hand-rolled (not nullSafeCodeGen) so the binary column is only
+    // extracted on a cache MISS — see the class doc.
     val idRef = ctx.addReferenceObj("shardedBloomCallId", callId,
       "java.lang.String")
-    nullSafeCodeGen(ctx, ev, (b, bytes, h) =>
-      s"""${ev.value} = graft.functions.ShardedBloomCache
-         |  .get($idRef, $b, $bytes).mightContainLong($h);""".stripMargin)
+    val bEv = bucket.genCode(ctx)
+    val hEv = hash.genCode(ctx)
+    val fEv = filterBytes.genCode(ctx)
+    val bf = ctx.freshName("bloomFilter")
+    val sid = ctx.freshName("stageId")
+    val code =
+      code"""
+        ${bEv.code}
+        ${hEv.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${bEv.isNull} && !${hEv.isNull}) {
+          int $sid = graft.functions.ShardedBloomCache.stageId();
+          org.apache.spark.util.sketch.BloomFilter $bf =
+            graft.functions.ShardedBloomCache.lookup(
+              $idRef, $sid, ${bEv.value});
+          if ($bf == null) {
+            ${fEv.code}
+            if (!${fEv.isNull}) {
+              $bf = graft.functions.ShardedBloomCache.insert(
+                $idRef, $sid, ${bEv.value}, ${fEv.value});
+            }
+          }
+          if ($bf != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $bf.mightContainLong(${hEv.value});
+          }
+        }
+      """
+    ev.copy(code = code)
   }
 
   override protected def withNewChildrenInternal(

@@ -678,6 +678,30 @@ object CorpusOps {
         "(prefilter degrades toward pass-through; raise expectedItems)")
     else None
 
+  /** [[bloomSaturationWarning]]'s sharded twin (pure, spec-pinnable):
+    * Some(warning) when any shard's realized fpp exceeds 2× the
+    * request, naming the WORST bucket and counting how many shards are
+    * past the threshold — undersized `expectedItemsPerBucket` rarely
+    * saturates just one shard, and the count says whether the sizing
+    * or the hash spread is at fault.
+    */
+  private[text] def shardSaturationWarning(
+      perBucket: Seq[(Long, Double)], requestedFpp: Double,
+      expectedItemsPerBucket: Long): Option[String] = {
+    val over = perBucket.filter(_._2 > requestedFpp * 2.0)
+    if (over.isEmpty) None
+    else {
+      val (worstBucket, worstFpp) = over.maxBy(_._2)
+      Some(f"WARN dedupAgainstPartitioned: ${over.size} of " +
+        f"${perBucket.size} Bloom shards saturated — worst bucket " +
+        f"$worstBucket realized fpp $worstFpp%.4f vs requested " +
+        f"$requestedFpp%.4f; expectedItemsPerBucket " +
+        s"$expectedItemsPerBucket undersizes the history (prefilter " +
+        "degrades toward pass-through; raise expectedItemsPerBucket " +
+        "or nBuckets)")
+    }
+  }
+
   def dedupAgainst(
       incoming: DataFrame, historical: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
@@ -778,17 +802,35 @@ object CorpusOps {
     * join makes the batch [[dedupAgainst]] the better streaming choice
     * today, so streaming input is refused here).
     *
-    * Sizing: `expectedItemsPerBucket` ≈ historyCount / nBuckets. The
-    * driver mode's saturation warning has no cheap equivalent here —
-    * the realized per-shard fpp lives distributed in the side frame —
-    * so this mode relies on correct sizing; undersized shards degrade
-    * toward pass-through exactly like the driver mode, and the confirm
-    * join still guarantees exactness when `confirm = true`.
+    * Sizing: `expectedItemsPerBucket` ≈ historyCount / nBuckets. Same
+    * no-silent-caps contract as the driver mode: with
+    * `saturationCheck = true` (the default) the build is persisted and
+    * eagerly materialized at call time (one job, exactly like the
+    * driver mode's Bloom build action), then one O(nBuckets) typed
+    * pass computes each shard's realized `expectedFpp()` ON THE
+    * EXECUTORS and collects only `(bucket, fpp)` doubles to the driver
+    * — the filters themselves never leave the cluster — warning at the
+    * same 2× threshold and NAMING the worst bucket. The persist also
+    * guarantees the history scan behind the build runs ONCE even
+    * though confirm mode's union references the probed subtree twice
+    * and the check adds its own action; the cached side frame is
+    * `nBuckets` rows totalling the same bytes as the driver mode's one
+    * filter, spread across executors. Its LIFETIME is the caller's:
+    * the blocks themselves spill or evict under memory pressure, but
+    * the CacheManager entry lives until `spark.catalog.clearCache()`
+    * or session end, so each checked call retains one side frame —
+    * fine for the intended once-per-accretion-batch cadence. Pass
+    * `saturationCheck = false` to skip the action AND the persist
+    * (e.g. calling in a tight loop, where the entries would
+    * accumulate);
+    * undersized shards then degrade toward pass-through exactly like
+    * the pre-warning driver mode, and the confirm join still
+    * guarantees exactness when `confirm = true`.
     */
   def dedupAgainstPartitioned(
       incoming: DataFrame, historical: DataFrame, textCol: String,
       nBuckets: Int, expectedItemsPerBucket: Long, fpp: Double = 0.01,
-      confirm: Boolean = true): DataFrame = {
+      confirm: Boolean = true, saturationCheck: Boolean = true): DataFrame = {
     require(nBuckets >= 1, s"nBuckets $nBuckets")
     require(expectedItemsPerBucket > 0,
       s"expectedItemsPerBucket $expectedItemsPerBucket")
@@ -811,11 +853,31 @@ object CorpusOps {
     val bloomAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.BloomAggregator(expectedItemsPerBucket, fpp),
       org.apache.spark.sql.Encoders.scalaLong)
-    val shards = historical
+    val rawShards = historical
       .where(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("_h"))
       .groupBy(pmod(col("_h"), lit(nBuckets.toLong)).as(sb))
       .agg(bloomAgg(col("_h")).as(sf))
+    val shards =
+      if (!saturationCheck) rawShards
+      else {
+        val persisted = rawShards.persist()
+        val session = historical.sparkSession
+        import session.implicits._
+        // Typed map, not a UDF: expectedFpp() needs the deserialized
+        // filter, which stays on the executor that holds the shard —
+        // only (bucket, fpp) pairs come back.
+        val realized = persisted.select(col(sb), col(sf))
+          .as[(Long, Array[Byte])]
+          .map { case (b, bytes) =>
+            (b, org.apache.spark.util.sketch.BloomFilter
+              .readFrom(bytes).expectedFpp())
+          }
+          .collect().toSeq
+        shardSaturationWarning(realized, fpp, expectedItemsPerBucket)
+          .foreach(Console.err.println)
+        persisted
+      }
     val hashed = incoming
       .withColumn(bh, xxhash64(col(textCol)))
       .withColumn(bb, pmod(col(bh), lit(nBuckets.toLong)))

@@ -96,6 +96,103 @@ class ShardedBloomSpec extends SparkSpec {
     }
   }
 
+  test("BloomFilterCache evicts by BYTE budget (not entry count), " +
+      "always retains the newest entry, and never exceeds the budget " +
+      "with more than one entry") {
+    import graft.functions.{BloomFilterCache, ShardedBloomCache}
+    def filterBytes(items: Int): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(items.toLong, 0.01)
+      (0 until items).foreach(i => bf.putLong(i.toLong))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val shard = filterBytes(10000) // ~12 KB serialized
+    val cache = new BloomFilterCache(maxBytes = 4L * shard.length + 100)
+    def key(b: Long) = BloomFilterCache.Key("call", 7, b, 0L)
+    (0L until 10L).foreach(b => cache.getOrLoad(key(b), shard))
+    assert(cache.currentBytes <= cache.maxBytes,
+      s"budget breached: ${cache.currentBytes} > ${cache.maxBytes}")
+    assert(cache.entryCount <= 4, s"entries: ${cache.entryCount}")
+    assert(cache.lookup(key(9L)) != null, "newest entry was evicted")
+    assert(cache.lookup(key(0L)) == null, "eldest entry survived")
+    // A single filter LARGER than the whole budget must still serve
+    // (degrade to deserialize-per-stage, never fail) and evict the rest.
+    val tiny = new BloomFilterCache(maxBytes = 64L)
+    tiny.getOrLoad(key(1L), shard)
+    assert(tiny.entryCount == 1 && tiny.lookup(key(1L)) != null,
+      "oversized entry must be retained alone")
+    tiny.getOrLoad(key(2L), shard)
+    assert(tiny.entryCount == 1 && tiny.lookup(key(2L)) != null,
+      "next oversized entry must replace, not accumulate")
+    // Content-addressed entries (BloomMightContain's path) share ONE
+    // deserialized filter per distinct bytes per JVM.
+    val a = ShardedBloomCache.getByContent(shard)
+    val b = ShardedBloomCache.getByContent(shard.clone())
+    assert(a eq b, "equal bytes must resolve to the shared instance")
+    assert(!(ShardedBloomCache.getByContent(filterBytes(500)) eq a))
+  }
+
+  test("driver-eval cache path serves FRESH filters when the bytes " +
+      "change under an unchanged (callId, bucket) — no stale hits") {
+    import graft.functions.ShardedBloomCache
+    def ser(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val empty = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+    val withItem = org.apache.spark.util.sketch.BloomFilter
+      .create(1000L, 0.01)
+    withItem.putLong(42L)
+    val callId = java.util.UUID.randomUUID().toString
+    // r17 keyed by (callId, bucket) only: the second get would serve
+    // the FIRST filter and report 42 absent after a history mutation.
+    val first = ShardedBloomCache.get(callId, 3L, ser(empty))
+    assert(!first.mightContainLong(42L))
+    val second = ShardedBloomCache.get(callId, 3L, ser(withItem))
+    assert(second.mightContainLong(42L),
+      "mutated history bytes served a STALE cached filter")
+    // Executor-style keying: distinct stage ids never collide either.
+    val s5 = ShardedBloomCache.insert(callId, 5, 3L, ser(empty))
+    val s6 = ShardedBloomCache.insert(callId, 6, 3L, ser(withItem))
+    assert(!s5.mightContainLong(42L) && s6.mightContainLong(42L))
+  }
+
+  test("undersized expectedItemsPerBucket fires the per-shard " +
+      "saturation warning naming the worst bucket; well-sized stays " +
+      "quiet; the pure helper pins the 2x threshold") {
+    val historical = (0L until 2000L).map(i => (i, s"hist doc $i"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((9000L, "fresh one")).toDF("doc_id", "text")
+    def callWithErr(expectedPerBucket: Long): String = {
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withErr(new java.io.PrintStream(baos, true, "UTF-8")) {
+        CorpusOps.dedupAgainstPartitioned(incoming, historical, "text",
+          nBuckets = 4, expectedItemsPerBucket = expectedPerBucket)
+          .count()
+      }
+      baos.toString("UTF-8")
+    }
+    val noisy = callWithErr(8L) // ~500 real items per bucket into 8
+    assert(noisy.contains("dedupAgainstPartitioned") &&
+      noisy.contains("saturated") && noisy.contains("worst bucket"),
+      s"undersized shards must warn, got: '$noisy'")
+    val quiet = callWithErr(1000L)
+    assert(!quiet.contains("saturated"),
+      s"well-sized shards must stay quiet, got: '$quiet'")
+    // Pure helper: threshold is strictly 2x, worst bucket named,
+    // over-count reported.
+    assert(CorpusOps.shardSaturationWarning(
+      Seq((0L, 0.019), (1L, 0.02)), 0.01, 10L).isEmpty)
+    val w = CorpusOps.shardSaturationWarning(
+      Seq((0L, 0.021), (1L, 0.5), (2L, 0.01)), 0.01, 10L)
+    assert(w.isDefined && w.get.contains("worst bucket 1") &&
+      w.get.contains("2 of 3"), w.toString)
+    assert(CorpusOps.shardSaturationWarning(Seq.empty, 0.01, 10L).isEmpty)
+  }
+
   test("sharded probe plans the codegen'd expression (no ScalaUDF on " +
       "the probe path) and exactly one LeftAnti under the union") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
