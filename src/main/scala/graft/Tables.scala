@@ -64,19 +64,53 @@ object Tables {
     * per-run — never acceptable at 100 TB, so there is deliberately no
     * inferring overload.
     */
+  /** Fidelity options (both directions): Spark's CSV defaults silently
+    * lose two classes of string data, found by the randomized
+    * source/sink differential —
+    *
+    *  - NULL vs EMPTY STRING: the writer already distinguishes them
+    *    (null → unquoted empty, "" → quoted `""`), but the default
+    *    reader maps BOTH back to null. Setting the reader's `nullValue`
+    *    to a sentinel no real field can be (`U+0000`) stops the quoted
+    *    `""` from matching it, so it survives as an empty string, while
+    *    the unquoted empty still parses to null through the parser's
+    *    inherent empty→null path. (A field whose value IS the NUL
+    *    string would read as null — the one remaining collision.)
+    *  - WHITESPACE: the WRITER trims leading/trailing whitespace by
+    *    default (`ignoreLeading/TrailingWhiteSpace` default true on
+    *    write, false on read) — `" padded "` silently lands as
+    *    `"padded"`. Both are pinned false in [[sinkCsv]].
+    *
+    * `multiLine = true` is required to read fields with EMBEDDED
+    * NEWLINES (the writer quotes them correctly; the default reader
+    * splits records at every newline and corrupts the frame). It is
+    * opt-in because a multiLine file is NOT SPLITTABLE — one task per
+    * file, the difference between a parallel and a serial 100 TB
+    * ingest — so the default stays the splittable reader and
+    * newline-bearing corpora must either opt in or arrive in a
+    * structured format (parquet/ORC/JSON-lines) instead.
+    */
   def loadCsv(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+      schema: org.apache.spark.sql.types.StructType,
+      multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", "true")
+      .option("nullValue", "\u0000")
+      .option("multiLine", multiLine.toString)
       .schema(schema)
       .csv(path)
 
   /** CSV sink (S4): header CSV. Partition count is the caller's lineage
     * (one file per partition) — coalesce upstream if a single file is
-    * required.
+    * required. Whitespace-preserving (see [[loadCsv]]'s fidelity
+    * notes).
     */
   def sinkCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   /** ORC ingest (S3 alternate columnar format — same bulk-load surface as
     * the reference's COPY, pgdedupe/run.py:234-245, but in the other
