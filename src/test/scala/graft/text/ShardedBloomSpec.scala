@@ -193,6 +193,45 @@ class ShardedBloomSpec extends SparkSpec {
     assert(CorpusOps.shardSaturationWarning(Seq.empty, 0.01, 10L).isEmpty)
   }
 
+  test("sharded probe survives the SHUFFLED join path (broadcast " +
+      "disabled): same answer as driver-Bloom, no BroadcastHashJoin " +
+      "in the plan — the beyond-broadcast-threshold mode the scaladoc " +
+      "promises, which the always-broadcast-sized fixtures never " +
+      "exercise") {
+    def withConf[A](kvs: (String, String)*)(body: => A): A = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val incoming = docs.where(col("doc_id") % 10 >= 4)
+    val historical = docs.where(col("doc_id") % 10 < 6)
+    val want = CorpusOps.dedupAgainst(incoming, historical, "text",
+        expectedItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val out = CorpusOps.dedupAgainstPartitioned(
+        incoming, historical, "text", nBuckets = 8,
+        expectedItemsPerBucket = 64L)
+      val got = out.select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        s"shuffled-probe path diverged: got ${got.size}, want ${want.size}")
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+      val joins = planNodes(out.queryExecution.executedPlan)
+        .collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty && !joins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"broadcast disabled but plan still broadcasts:\n${joins.mkString("\n")}")
+      assert(out.queryExecution.executedPlan.toString
+        .contains("sharded_bloom_might_contain"),
+        "probe expression missing from the shuffled plan")
+    }
+  }
+
   test("sharded probe plans the codegen'd expression (no ScalaUDF on " +
       "the probe path) and exactly one LeftAnti under the union") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
