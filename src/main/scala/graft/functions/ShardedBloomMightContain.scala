@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
@@ -194,6 +194,13 @@ object ShardedBloomCache {
   * filter per access, so on the hit path — every row after a bucket's
   * first — the expression reads only the two longs, and the
   * multi-MB-per-row copy the naive form would pay never happens.
+  * Ahead of the shared cache sits a PER-TASK memo of the last
+  * `(bucket, filter)` pair (codegen mutable state, one instance per
+  * task, so no publication concerns): after the hash-partitioned
+  * probe join a task's rows arrive grouped by bucket, so the common
+  * row touches no synchronized structure at all — the shared LRU's
+  * monitor is taken once per bucket RUN, not once per row, which is
+  * what keeps 32 probe threads from serializing on one lock.
   *
   * Null-safe on every child: a null hash has no membership, and a null
   * filter means the row's bucket holds NO history at all (the left
@@ -248,6 +255,12 @@ case class ShardedBloomMightContain(
     val fEv = filterBytes.genCode(ctx)
     val bf = ctx.freshName("bloomFilter")
     val sid = ctx.freshName("stageId")
+    // Per-task last-bucket memo (see class doc): mutable state lives in
+    // the generated class instance, one per task.
+    val lastBucket = ctx.addMutableState("long", "sbmcLastBucket",
+      v => s"$v = Long.MIN_VALUE;")
+    val lastFilter = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "sbmcLastFilter")
     val code =
       code"""
         ${bEv.code}
@@ -255,15 +268,23 @@ case class ShardedBloomMightContain(
         boolean ${ev.isNull} = true;
         boolean ${ev.value} = false;
         if (!${bEv.isNull} && !${hEv.isNull}) {
-          int $sid = graft.functions.ShardedBloomCache.stageId();
           org.apache.spark.util.sketch.BloomFilter $bf =
-            graft.functions.ShardedBloomCache.lookup(
-              $idRef, $sid, ${bEv.value});
+            ($lastFilter != null && $lastBucket == ${bEv.value})
+              ? $lastFilter : null;
           if ($bf == null) {
-            ${fEv.code}
-            if (!${fEv.isNull}) {
-              $bf = graft.functions.ShardedBloomCache.insert(
-                $idRef, $sid, ${bEv.value}, ${fEv.value});
+            int $sid = graft.functions.ShardedBloomCache.stageId();
+            $bf = graft.functions.ShardedBloomCache.lookup(
+              $idRef, $sid, ${bEv.value});
+            if ($bf == null) {
+              ${fEv.code}
+              if (!${fEv.isNull}) {
+                $bf = graft.functions.ShardedBloomCache.insert(
+                  $idRef, $sid, ${bEv.value}, ${fEv.value});
+              }
+            }
+            if ($bf != null) {
+              $lastBucket = ${bEv.value};
+              $lastFilter = $bf;
             }
           }
           if ($bf != null) {
