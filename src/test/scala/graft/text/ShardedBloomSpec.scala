@@ -134,6 +134,46 @@ class ShardedBloomSpec extends SparkSpec {
     assert(!(ShardedBloomCache.getByContent(filterBytes(500)) eq a))
   }
 
+  test("BloomFilterCache under 16-thread contention: every get returns " +
+      "a correct filter, no exception, and the byte budget holds at " +
+      "quiesce") {
+    import graft.functions.{BloomFilterCache, ShardedBloomCache}
+    // 8 distinct filters, each containing exactly its own id — so any
+    // cross-key mixup (eviction bug serving the wrong entry) answers
+    // membership wrong immediately.
+    val serialized = (0L until 8L).map { id =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(2000L, 0.01)
+      bf.putLong(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      id -> bos.toByteArray
+    }.toMap
+    val oneSize = serialized(0L).length.toLong
+    val cache = new BloomFilterCache(maxBytes = 3L * oneSize + 10)
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 16).map { t =>
+      new Thread(() => {
+        val r = new scala.util.Random(t)
+        (0 until 2000).foreach { _ =>
+          val id = r.nextInt(8).toLong
+          val bf = cache.getOrLoad(
+            BloomFilterCache.Key("hammer", 1, id, 0L), serialized(id))
+          // The planted member must test positive; a foreign id at
+          // 1% fpp may false-positive, so only the positive side is
+          // load-bearing.
+          if (!bf.mightContainLong(id)) errors.incrementAndGet()
+          ()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.get() == 0, s"${errors.get()} wrong-filter answers")
+    assert(cache.currentBytes <= cache.maxBytes,
+      s"budget breached at quiesce: ${cache.currentBytes}")
+    assert(cache.entryCount <= 3, s"entries: ${cache.entryCount}")
+  }
+
   test("driver-eval cache path serves FRESH filters when the bytes " +
       "change under an unchanged (callId, bucket) — no stale hits") {
     import graft.functions.ShardedBloomCache
