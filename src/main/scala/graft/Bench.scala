@@ -45,6 +45,10 @@ object Bench {
     // Bloom build + bucket-join probe — benched so both halves of the
     // beyond-driver-Bloom path show round-over-round.
     "q64_incremental_dedup_sharded",
+    // Edit-distance join (round 18): deletion-neighborhood explode +
+    // variant-hash join + thresholded levenshtein verify — benched so
+    // the explode volume and the verify plan show round-over-round.
+    "q65_edit_distance_join",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

@@ -58,6 +58,26 @@ object GraftExtensions {
             s"(bucket, filter, hash), got ${exprs.length}")
         ShardedBloomMightContain(exprs(0), exprs(1), exprs(2))
       }),
+    (FunctionIdentifier("delete_neighborhood"),
+      new ExpressionInfo(classOf[DeleteNeighborhood].getName,
+        "delete_neighborhood"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "delete_neighborhood expects 3 arguments (str, k, maxLen), " +
+            s"got ${exprs.length}")
+        // k and maxLen are STRUCTURAL (they bound the variant
+        // combinatorics), so they must be analysis-time constants —
+        // evaluated here and carried as plain fields, like
+        // bloom_might_contain's filter bytes.
+        def constInt(e: Expression, name: String): Int = {
+          require(e.foldable &&
+              e.dataType == org.apache.spark.sql.types.IntegerType,
+            s"delete_neighborhood's $name must be a foldable int, got $e")
+          e.eval().asInstanceOf[Int]
+        }
+        DeleteNeighborhood(exprs.head, constInt(exprs(1), "k"),
+          constInt(exprs(2), "maxLen"))
+      }),
     (FunctionIdentifier("bounded_min_by_n"),
       new ExpressionInfo(classOf[BoundedMinByN].getName,
         "bounded_min_by_n"),
@@ -108,4 +128,14 @@ object GraftFunctions {
   def shardedBloomMightContain(bucket: Column, filter: Column,
       hash: Column): Column =
     call_function("sharded_bloom_might_contain", bucket, filter, hash)
+
+  /** Distinct strings reachable by deleting at most `k` codepoints —
+    * the exact candidate signature for edit-distance joining (see
+    * [[DeleteNeighborhood]] for the pigeonhole guarantee and the
+    * loud length guard).
+    */
+  def deleteNeighborhood(str: Column, k: Int, maxLen: Int): Column =
+    call_function("delete_neighborhood", str,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(maxLen))
 }

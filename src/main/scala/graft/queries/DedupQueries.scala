@@ -341,5 +341,26 @@ object DedupQueries {
         SELECT d.doc_id,
           coalesce(c.component, d.doc_id) AS canonical_id,
           coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
-        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""")))
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""")),
+
+    // Exact edit-distance similarity self-join (record-linkage typo
+    // pairs) via the deletion-neighborhood pigeonhole + thresholded
+    // levenshtein verify — EditJoin.editDistancePairs. The oracle is
+    // the BRUTE-FORCE quadratic join DuckDB can afford on the sampled
+    // subset; the engine must produce the identical pair set without
+    // the cross join. c_name is ASCII, where DuckDB's byte-based
+    // levenshtein and Spark's codepoint-based one agree (EditJoinSpec
+    // pins the codepoint semantics on unicode inputs, which a DuckDB
+    // oracle could not).
+    QueryDef(
+      "q65_edit_distance_join",
+      (s, dir) => graft.similarity.EditJoin.editDistancePairs(
+        Tables.load(s, dir, "customer").where(col("c_custkey") % 20 === 0),
+        "c_custkey", "c_name", maxDist = 1),
+      Some("""SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+          CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE a.c_custkey % 20 = 0 AND b.c_custkey % 20 = 0
+          AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+          AND levenshtein(a.c_name, b.c_name) <= 1""")))
 }
