@@ -276,6 +276,32 @@ object ScaleBench {
     val (ssSec, ssRows) = shardedAt(scaleDir)
     System.err.println(f"[scale] sharded_dedup x$factor: $ssSec%.2f s, $ssRows rows")
 
+    // ---- edit-distance join kernel (round 18): q65's operator on a
+    // synthesized id-derived name corpus rather than the replicated
+    // customer names (replication copies c_name verbatim, so every
+    // replica group would be 45 exact-dup pairs — true mass, but a
+    // quadratic-in-factor DATA property that would hide the engine's
+    // slope). Names Customer#%09d over a contiguous id range give each
+    // name its in-range single-digit variants as distance-1 partners:
+    // pair count grows near-linearly (one extra active digit position
+    // at 10× adds ~9 partners per name — reported, not hidden), and
+    // the explode/join/verify volume is exactly linear in rows.
+    def editKernelAt(n: Int): (Double, Long) = {
+      val names = spark.range(n.toLong).select(col("id"),
+        format_string("Customer#%09d", col("id")).as("name"))
+        .repartition(32).persist()
+      names.count()
+      val r = time(reps)(() => graft.similarity.EditJoin
+        .editDistancePairs(names, "id", "name", maxDist = 1))
+      names.unpersist()
+      r
+    }
+    val edBase = 5000
+    val (ebSec, ebRows) = editKernelAt(edBase)
+    System.err.println(f"[scale] edit_join base: $ebSec%.2f s, $ebRows pairs")
+    val (esSec, esRows) = editKernelAt(edBase * factor)
+    System.err.println(f"[scale] edit_join x$factor: $esSec%.2f s, $esRows pairs")
+
     def jstr(s: String): String = JsonStr.escape(s)
     val qj = perQuery.map { case (n, (bs, br, ss, sr)) =>
       jstr(n) + ":" + f"""{"base_sec":$bs%.3f,"x${factor}_sec":$ss%.3f,""" +
@@ -295,7 +321,13 @@ object ScaleBench {
         f""""base_sec":$sbSec%.3f,"x${factor}_sec":$ssSec%.3f,""" +
         f""""time_ratio":${ssSec / math.max(1e-9, sbSec)}%.2f,""" +
         f""""base_rows":$sbRows,"x${factor}_rows":$ssRows,""" +
-        f""""row_ratio":${ssRows.toDouble / math.max(1, sbRows)}%.2f}}"""
+        f""""row_ratio":${ssRows.toDouble / math.max(1, sbRows)}%.2f},""" +
+      f""""edit_join_digit_names":{"n_base":$edBase,""" +
+        f""""n_scaled":${edBase * factor},""" +
+        f""""base_sec":$ebSec%.3f,"x${factor}_sec":$esSec%.3f,""" +
+        f""""time_ratio":${esSec / math.max(1e-9, ebSec)}%.2f,""" +
+        f""""base_pairs":$ebRows,"x${factor}_pairs":$esRows,""" +
+        f""""pair_ratio":${esRows.toDouble / math.max(1, ebRows)}%.2f}}"""
     val phJ = phaseRecords.toSeq.sortBy(_._1).map { case (k, ph) =>
       jstr(k) + ":" + ph.toSeq.sortBy(_._1)
         .map { case (p, s) => jstr(p) + ":" + f"$s%.3f" }
