@@ -256,6 +256,43 @@ object IncrementalDedup {
       maxBucketState, stateTtl)
   }
 
+  /** Streaming edit-distance candidates — the deletion-neighborhood
+    * analog of [[minhashCandidateStream]] and the incremental twin of
+    * the batch [[graft.similarity.EditJoin.editDistancePairs]]
+    * candidate join (q65): arriving records explode into their
+    * ≤`maxDist`-deletion variants through the SAME codegen'd
+    * `delete_neighborhood` expression (one shared definition, same
+    * codepoint alphabet, same loud length guard), then pair against
+    * per-variant-hash keyed state under the same bucket cap. The
+    * pigeonhole guarantee carries over unchanged: two records within
+    * distance `maxDist` share a variant, so their pair is emitted when
+    * the later one arrives (state permitting). Emits CANDIDATES; the
+    * exact thresholded-`levenshtein` verify composes downstream as a
+    * stream-static join against the record store — the same verify the
+    * batch path runs, demonstrated in IncrementalDedupSpec.
+    */
+  def editCandidateStream(
+      records: DataFrame, maxDist: Int,
+      idCol: String = "id", strCol: String = "s",
+      maxFieldLen: Int = 128,
+      maxBucketState: Int = 1000, stateTtl: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    requireIntegralId(records, idCol)
+    require(maxDist >= 0 &&
+        maxDist <= graft.functions.DeleteNeighborhood.MaxK,
+      s"maxDist $maxDist not in [0, " +
+        s"${graft.functions.DeleteNeighborhood.MaxK}]")
+    pairStream(
+      records.where(col(strCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc_id"),
+          explode(graft.functions.GraftFunctions.deleteNeighborhood(
+            col(strCol), maxDist, maxFieldLen)).as("_graft_ed_v"))
+        .select(xxhash64(col("_graft_ed_v")).cast("string")
+          .as("bucket_key"), col("doc_id"))
+        .where(col("doc_id").isNotNull),
+      maxBucketState, stateTtl)
+  }
+
   /** The candidate streams carry ids through Long-typed keyed state, so
     * the id column must be integral — checked at CONSTRUCTION: a string
     * id would cast to null per row, and a null inside the stream's

@@ -180,6 +180,49 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("editCandidateStream + stream-static levenshtein verify " +
+      "matches batch editDistancePairs on the q65 customer subset " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val names = graft.Tables.load(spark, sf0001, "customer")
+      .where(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = IncrementalDedup.editCandidateStream(
+      input.toDF().toDF("id", "s"), maxDist = 1)
+    val q = out.writeStream.format("memory").queryName("ed_cand_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // Candidates are a superset; the SAME thresholded verify the
+      // batch path runs (here as a static join back to the records)
+      // must land exactly the batch answer.
+      val cands = spark.table("ed_cand_out")
+        .select("a_id", "b_id").distinct()
+      val l = names.select(col("id").as("a_id"), col("s").as("s1"))
+      val r = names.select(col("id").as("b_id"), col("s").as("s2"))
+      val verified = cands.join(l, "a_id").join(r, "b_id")
+        .where(levenshtein(col("s1"), col("s2"), 1) >= 0)
+        .select("a_id", "b_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val batch = graft.similarity.EditJoin
+        .editDistancePairs(names, "id", "s", maxDist = 1)
+        .select("id1", "id2")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(batch.nonEmpty, "batch edit pair set unexpectedly empty")
+      assert(verified == batch,
+        s"streamed-verified ${verified.size} != batch ${batch.size}; " +
+          s"missing=${(batch -- verified).take(5)} " +
+          s"extra=${(verified -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("dedupedParquetSink lands each key exactly once across " +
       "redeliveries") {
     import spark.implicits._
