@@ -39,7 +39,8 @@ import org.apache.spark.util.sketch.BloomFilter
 final class BloomFilterCache(val maxBytes: Long) {
   require(maxBytes > 0, s"maxBytes $maxBytes")
 
-  private final class Entry(val bf: BloomFilter, val weight: Long)
+  private final class Entry(val bf: BloomFilter, val weight: Long,
+    val verifyBytes: Array[Byte])
   private var total = 0L
   private val m =
     new java.util.LinkedHashMap[BloomFilterCache.Key, Entry](64, 0.75f, true) {
@@ -58,17 +59,38 @@ final class BloomFilterCache(val maxBytes: Long) {
     * costs one duplicate deserialization, not serializing every task
     * on a shared monitor), then evict eldest entries until the byte
     * budget holds — always keeping the entry just inserted.
+    *
+    * `verifyContent = true` (the content-addressed
+    * [[ShardedBloomCache.getByContent]] path, whose key carries no
+    * stage/call separation) retains the serialized bytes beside the
+    * filter and compares them on every hit: a 64-bit fingerprint
+    * collision between two DIFFERENT filters must return a private
+    * fresh filter (uncached — two colliding contents would otherwise
+    * thrash one slot), never silently serve the other expression's bit
+    * array. The retained copy doubles the entry's weight, which the
+    * byte budget accounts for.
     */
-  def getOrLoad(k: BloomFilterCache.Key, bytes: Array[Byte]): BloomFilter = {
-    val hit = lookup(k)
-    if (hit != null) return hit
+  def getOrLoad(k: BloomFilterCache.Key, bytes: Array[Byte],
+      verifyContent: Boolean = false): BloomFilter = {
+    val hit = m.synchronized(m.get(k))
+    if (hit != null) {
+      if (!verifyContent || java.util.Arrays.equals(hit.verifyBytes, bytes))
+        return hit.bf
+      // Fingerprint collision: serve correctness, skip the cache.
+      return BloomFilter.readFrom(bytes)
+    }
     val bf = BloomFilter.readFrom(bytes)
+    val weight = if (verifyContent) 2L * bytes.length else bytes.length.toLong
     m.synchronized {
       val again = m.get(k)
-      if (again != null) again.bf
-      else {
-        m.put(k, new Entry(bf, bytes.length.toLong))
-        total += bytes.length.toLong
+      if (again != null) {
+        if (!verifyContent ||
+            java.util.Arrays.equals(again.verifyBytes, bytes)) again.bf
+        else bf
+      } else {
+        m.put(k, new Entry(bf, weight,
+          if (verifyContent) bytes.clone() else null))
+        total += weight
         val it = m.entrySet().iterator()
         while (total > maxBytes && m.size() > 1 && it.hasNext) {
           val eldest = it.next()
@@ -169,12 +191,15 @@ object ShardedBloomCache {
 
   /** Content-addressed entry for [[BloomMightContain]]: one
     * deserialized filter per DISTINCT bytes per executor JVM, however
-    * many tasks ship the expression.
+    * many tasks ship the expression. Hits are verified against the
+    * retained serialized bytes, so a fingerprint collision between two
+    * different filters can never serve the wrong bit array (see
+    * [[BloomFilterCache.getOrLoad]]).
     */
   def getByContent(bytes: Array[Byte]): BloomFilter =
     instance.getOrLoad(
       BloomFilterCache.Key("", -2, bytes.length.toLong, fullFp(bytes)),
-      bytes)
+      bytes, verifyContent = true)
 }
 
 /** Bloom membership test against a PER-ROW serialized filter column —

@@ -33,9 +33,18 @@ import org.apache.spark.sql.functions._
   * family instead.
   *
   * Output: `(id1, id2, dist)` with `id1 < id2`, `dist` the exact
-  * distance (≤ `maxDist`). Rows with a null id or null string are
-  * excluded (a null key cannot form an ordered pair; a null string
-  * has no distance).
+  * distance (≤ `maxDist`) — SET semantics: each qualifying id pair
+  * appears exactly once, regardless of how many times a row (or a
+  * shared variant) repeats in the input. A brute-force join over
+  * input with duplicated rows would emit the pair once per duplicate;
+  * this operator's answer is that join's DISTINCT (identical on the
+  * deduplicated input every gate uses). An id appearing with several
+  * DISTINCT strings pairs per string value, so one (id1, id2) can
+  * then appear once per qualifying string pair, each with its own
+  * distance — deduplicate ids upstream if that shape is possible.
+  * Rows with a null id or
+  * null string are excluded (a null key cannot form an ordered pair;
+  * a null string has no distance).
   */
 object EditJoin {
 

@@ -804,28 +804,25 @@ object CorpusOps {
     *
     * Sizing: `expectedItemsPerBucket` ≈ historyCount / nBuckets. Same
     * no-silent-caps contract as the driver mode: with
-    * `saturationCheck = true` (the default) the build is persisted and
-    * eagerly materialized at call time (one job, exactly like the
-    * driver mode's Bloom build action), then one O(nBuckets) typed
-    * pass computes each shard's realized `expectedFpp()` ON THE
-    * EXECUTORS and collects only `(bucket, fpp)` doubles to the driver
-    * — the filters themselves never leave the cluster — warning at the
-    * same 2× threshold and NAMING the worst bucket. The persist also
-    * guarantees the history scan behind the build runs ONCE even
-    * though confirm mode's union references the probed subtree twice
-    * and the check adds its own action; the cached side frame is
-    * `nBuckets` rows totalling the same bytes as the driver mode's one
-    * filter, spread across executors. Its LIFETIME is the caller's:
-    * the blocks themselves spill or evict under memory pressure, but
-    * the CacheManager entry lives until `spark.catalog.clearCache()`
-    * or session end, so each checked call retains one side frame —
-    * fine for the intended once-per-accretion-batch cadence. Pass
-    * `saturationCheck = false` to skip the action AND the persist
-    * (e.g. calling in a tight loop, where the entries would
-    * accumulate);
-    * undersized shards then degrade toward pass-through exactly like
-    * the pre-warning driver mode, and the confirm join still
-    * guarantees exactness when `confirm = true`.
+    * `saturationCheck = true` (the default) the build is eagerly
+    * materialized at call time (one job, exactly like the driver
+    * mode's Bloom build action), then one O(nBuckets) typed pass
+    * computes each shard's realized `expectedFpp()` ON THE EXECUTORS
+    * and collects only `(bucket, fpp)` doubles to the driver — the
+    * filters themselves never leave the cluster — warning at the same
+    * 2× threshold and NAMING the worst bucket. The build is persisted
+    * only for the SCOPE of that check and unpersisted before
+    * returning: retaining it would save the main query's rebuild, but
+    * with no owner to release it every call would leak a CacheManager
+    * entry (loop callers would accumulate one side frame per
+    * invocation for the life of the session). The checked call
+    * therefore pays the build aggregation twice — once for the check,
+    * once lazily in the returned plan; a caller who cannot afford the
+    * extra history scan passes `saturationCheck = false` and sizes
+    * shards from the history count it already tracks. Undersized
+    * shards then degrade toward pass-through exactly like the
+    * pre-warning driver mode, and the confirm join still guarantees
+    * exactness when `confirm = true`.
     */
   def dedupAgainstPartitioned(
       incoming: DataFrame, historical: DataFrame, textCol: String,
@@ -858,10 +855,20 @@ object CorpusOps {
       .select(xxhash64(col(textCol)).as("_h"))
       .groupBy(pmod(col("_h"), lit(nBuckets.toLong)).as(sb))
       .agg(bloomAgg(col("_h")).as(sf))
-    val shards =
-      if (!saturationCheck) rawShards
-      else {
-        val persisted = rawShards.persist()
+    if (saturationCheck) {
+      // The check materializes the build once, scoped to THIS action:
+      // persist for the fpp pass, unpersist immediately after. Leaving
+      // the side frame cached would save the main query's rebuild, but
+      // every call would then retain a CacheManager entry with no
+      // owner to release it — loop callers (benches, the ANSI battery,
+      // any per-batch accretion loop) would accumulate entries for the
+      // life of the session. One extra nBuckets-way aggregation job is
+      // the honest price of the default-on check; at 100 TB the caller
+      // who cannot afford a second history scan passes
+      // `saturationCheck = false` and sizes shards from the history
+      // count they already track.
+      val persisted = rawShards.persist()
+      try {
         val session = historical.sparkSession
         import session.implicits._
         // Typed map, not a UDF: expectedFpp() needs the deserialized
@@ -876,8 +883,12 @@ object CorpusOps {
           .collect().toSeq
         shardSaturationWarning(realized, fpp, expectedItemsPerBucket)
           .foreach(Console.err.println)
-        persisted
+      } finally {
+        persisted.unpersist(blocking = false)
+        ()
       }
+    }
+    val shards = rawShards
     val hashed = incoming
       .withColumn(bh, xxhash64(col(textCol)))
       .withColumn(bb, pmod(col(bh), lit(nBuckets.toLong)))

@@ -98,6 +98,17 @@ class EditJoinSpec extends SparkSpec {
     }
   }
 
+  test("SET semantics: duplicated input rows emit each qualifying id " +
+      "pair once (the brute-force join's DISTINCT), and a same-id " +
+      "row set still pairs correctly") {
+    val df = Seq(
+      (5L, "abc"), (5L, "abc"), (5L, "abc"), // exact duplicate rows
+      (7L, "abd"), (9L, "abc")
+    ).toDF("id", "s")
+    val got = pairs(df, 1)
+    assert(got == Set((5L, 7L, 1L), (5L, 9L, 0L), (7L, 9L, 1L)), got)
+  }
+
   test("guards: k out of range, idCol == strCol, over-long field " +
       "fails LOUDLY (no silent row drop)") {
     val df = Seq((1L, "ab")).toDF("id", "s")

@@ -94,6 +94,26 @@ class RandomizedSourceSinkDifferentialSpec extends SparkSpec {
         "newlines — revisit loadCsv's multiLine contract")
   }
 
+  test("EXTERNAL CSV under the sentinel nullValue: quoted-empty cells " +
+      "in NUMERIC columns still read as clean nulls (row intact), " +
+      "string columns keep the quoted empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_csv")
+    java.nio.file.Files.writeString(dir.resolve("x.csv"),
+      "a,b,c\n5,\"\",7\n1,2,3\n8,,9\n")
+    val intSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "a INT, b INT, c INT")
+    val asInts = Tables.loadCsv(spark, dir.toString, intSchema)
+      .orderBy("a").collect().map(_.toSeq).toSeq
+    assert(asInts == Seq(Seq(1, 2, 3), Seq(5, null, 7), Seq(8, null, 9)),
+      s"quoted-empty numeric mishandled: $asInts")
+    val strSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "a INT, b STRING, c INT")
+    val asStr = Tables.loadCsv(spark, dir.toString, strSchema)
+      .orderBy("a").collect().map(_.toSeq).toSeq
+    assert(asStr == Seq(Seq(1, "2", 3), Seq(5, "", 7), Seq(8, null, 9)),
+      s"string null/empty distinction lost on external file: $asStr")
+  }
+
   test("ORC and JSON-lines sink/load round-trip the same hostile " +
       "frames INCLUDING embedded newlines, with no options at all " +
       "(3 seeds)") {

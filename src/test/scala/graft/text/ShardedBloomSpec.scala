@@ -174,6 +174,32 @@ class ShardedBloomSpec extends SparkSpec {
     assert(cache.entryCount <= 3, s"entries: ${cache.entryCount}")
   }
 
+  test("content-addressed hits verify the retained bytes: a forced " +
+      "fingerprint collision returns a private fresh filter, never " +
+      "the other expression's bit array") {
+    import graft.functions.BloomFilterCache
+    def ser(put: Long): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+      bf.putLong(put)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val a = ser(1L)
+    val b = ser(2L) // same length, different bits
+    assert(a.length == b.length && !java.util.Arrays.equals(a, b))
+    val cache = new BloomFilterCache(maxBytes = 1L << 20)
+    // Same KEY for different contents = a simulated 64-bit collision.
+    val k = BloomFilterCache.Key("", -2, a.length.toLong, 42L)
+    val fa = cache.getOrLoad(k, a, verifyContent = true)
+    assert(fa.mightContainLong(1L))
+    val fb = cache.getOrLoad(k, b, verifyContent = true)
+    assert(fb.mightContainLong(2L) && !(fb eq fa),
+      "collision served the cached filter instead of a fresh one")
+    // The original entry is untouched and still serves its own bytes.
+    assert(cache.getOrLoad(k, a, verifyContent = true) eq fa)
+  }
+
   test("driver-eval cache path serves FRESH filters when the bytes " +
       "change under an unchanged (callId, bucket) — no stale hits") {
     import graft.functions.ShardedBloomCache
