@@ -234,11 +234,12 @@ object CorpusQueries {
 
     // Sharded (beyond-driver-Bloom) incremental dedup: SAME semantics
     // as q62 — the oracle is the identical bare NOT-EXISTS anti-join —
-    // but the filter is built per history bucket by the distributed
-    // BloomAggregator and probed through the bucket equi-join, so the
-    // ORACLE proves the whole sharded build/probe/confirm path, not
-    // just the suite. A different split (mod 7 vs mod 10) keeps the
-    // two rows from sharing literal results.
+    // but the filter is built per history bucket (one filter per
+    // bucket, no partial merge — CorpusOps.bloomShards) and probed
+    // through the bucket equi-join, so the ORACLE proves the whole
+    // sharded build/probe/confirm path, not just the suite. A
+    // different split (mod 7 vs mod 10) keeps the two rows from
+    // sharing literal results.
     QueryDef(
       "q64_incremental_dedup_sharded",
       (s, dir) => {

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * answer — gated against a DuckDB brute-force oracle (q65) and a
   * randomized brute-force twin (EditJoinSpec).
   *
-  * Scale shape: explode (×~C(len, maxDist) rows, each variant
-  * hashed to 8 bytes) → one shuffle on the variant hash → distinct
-  * on the pair → codegen verify. No driver state, no cross join;
+  * Scale shape: explode ONCE (×~C(len, maxDist) rows, each variant
+  * hashed to 8 bytes; the narrow exploded projection is persisted so
+  * the self-join's two sides read one cached pass, not two
+  * executions of the variant generation) → one shuffle on the
+  * variant hash → distinct on the pair → codegen verify; the result
+  * is materialized and the frontier released before return. No driver state, no cross join;
   * variant-hash skew (a hot variant shared by thousands of
   * near-identical values) is real duplicate mass — the pairs exist
   * in the answer — and AQE's skew split handles the join side. The
@@ -64,11 +67,19 @@ object EditJoin {
     val d = "_graft_ed_d"
     val base = df.select(col(idCol), col(strCol))
       .where(col(idCol).isNotNull && col(strCol).isNotNull)
+    // Persisted: the self-join consumes the exploded frontier twice,
+    // and Spark does not share common subplans across join inputs —
+    // without the persist the base scan plus the Θ(len^maxDist)
+    // variant generation run once PER JOIN SIDE (the q35
+    // minHashCandidates idiom; released before return). The persisted
+    // frame is the narrow (id, str, 8-byte variant hash) projection,
+    // not the variant strings.
     val exploded = base.select(col(idCol), col(strCol),
         explode(graft.functions.GraftFunctions.deleteNeighborhood(
           col(strCol), maxDist, maxFieldLen)).as("_graft_ed_v"))
       .select(col(idCol), col(strCol),
         xxhash64(col("_graft_ed_v")).as(vhL))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = exploded
       .select(col(idCol).as("id1"), col(strCol).as(s1), col(vhL))
     val r = exploded
@@ -76,11 +87,16 @@ object EditJoin {
         col(vhL).as(vhR))
     // A hash collision between unrelated variants only ADDS a
     // candidate the verify rejects; it can never drop a true pair.
-    l.join(r, col(vhL) === col(vhR) && col("id1") < col("id2"))
+    val result = l
+      .join(r, col(vhL) === col(vhR) && col("id1") < col("id2"))
       .select(col("id1"), col(s1), col("id2"), col(s2))
       .distinct()
       .withColumn(d, levenshtein(col(s1), col(s2), maxDist))
       .where(col(d) >= 0)
       .select(col("id1"), col("id2"), col(d).cast("long").as("dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize now, while the frontier is cached
+    exploded.unpersist(false)
+    result
   }
 }

@@ -578,7 +578,16 @@ object CorpusOps {
     *     `xxhash64(textCol)` (a distributed `treeAggregate`; the
     *     driver holds the merged bits — `expectedItems`/`fpp` size
     *     them, ~1.2 GB per 10⁹ docs at 1% — and broadcasts them
-    *     ONCE);
+    *     ONCE). The hash projection is `coalesce`d to at most
+    *     `maxBuildTasks` partitions first: `treeAggregate` ships one
+    *     FULL-SIZE partial filter per input partition, so an
+    *     unbounded build over a 2,400-task history scan would shuffle
+    *     `numMapTasks × filterBytes` — hundreds of GB of partials for
+    *     a filter the driver merges down to one. Coalesce is a narrow
+    *     dependency (no shuffle of the rows), so bounding the build
+    *     caps partial traffic at `maxBuildTasks × filterBytes` at the
+    *     price of wider build tasks; the 8-byte hash projection keeps
+    *     even a 10⁹-row build task cheap;
     *  2. Bloom-NEGATIVE incoming rows are DEFINITELY new (Bloom
     *     filters have no false negatives): they bypass the join
     *     entirely as a pure map-side filter — zero shuffle for
@@ -637,16 +646,15 @@ object CorpusOps {
     * path); you give up only the map-side bypass of the incoming
     * batch.
     *
-    * BEYOND the driver ceiling — partitioned-Bloom design (not yet
-    * needed at any fixture scale, recorded so the 100 TB reader never
-    * hits an undocumented cliff): keep the map-side bypass at ANY
-    * history size by sharding the filter on the SAME key the bucketed
-    * history index already uses, `xxhash64(text) pmod nBuckets`.
-    * Build pass: one groupBy on the bucket id aggregating each
-    * bucket's hashes into its own Bloom (Spark's BloomFilter is
-    * mergeable, so this is a treeAggregate per group — an
-    * `Aggregator[Long, BloomFilter, Array[Byte]]`), landing a tiny
-    * side table `(bucket_id int, bloom binary)` of
+    * BEYOND the driver ceiling — partitioned-Bloom design
+    * (IMPLEMENTED: [[dedupAgainstPartitioned]]): keep the map-side
+    * bypass at ANY history size by sharding the filter on the SAME
+    * key the bucketed history index already uses,
+    * `xxhash64(text) pmod nBuckets`. Build pass: [[bloomShards]] —
+    * repartition the 8-byte hash projection on the bucket id and
+    * build exactly ONE filter per bucket inside its partition (no
+    * partial-filter merge), landing a tiny side table
+    * `(bucket_id, bloom binary)` of
     * `historyCount × 1.2 B / nBuckets` bytes per row, refreshed with
     * the history accretion batch. Probe pass: tag each incoming row
     * with `bucket_id = pmod(xxhash64(text), nBuckets)`, join the side
@@ -656,9 +664,9 @@ object CorpusOps {
     * test membership against the row's own shard; Bloom-negative rows
     * bypass the confirm anti-join exactly as today. No shard is ever
     * larger than `historyCount / nBuckets` entries, the driver never
-    * holds more than one shard during the build fold, and the probe
-    * join's key is the bucketed index's own key, so the confirm join
-    * that follows stays Exchange-free on the history side.
+    * holds any filter during the build, and the probe join's key is
+    * the bucketed index's own key, so the confirm join that follows
+    * stays Exchange-free on the history side.
     */
   /** Saturation check for [[dedupAgainst]]'s Bloom (pure, so the spec
     * can pin the threshold without capturing stderr): Some(warning)
@@ -705,8 +713,10 @@ object CorpusOps {
   def dedupAgainst(
       incoming: DataFrame, historical: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      confirm: Boolean = true, prefilter: Boolean = true): DataFrame = {
+      confirm: Boolean = true, prefilter: Boolean = true,
+      maxBuildTasks: Int = 64): DataFrame = {
     require(expectedItems > 0, s"expectedItems $expectedItems")
+    require(maxBuildTasks > 0, s"maxBuildTasks $maxBuildTasks")
     require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp not in (0,1)")
     require(prefilter || confirm,
       "prefilter=false with confirm=false would keep every duplicate")
@@ -737,9 +747,16 @@ object CorpusOps {
       historical.select(col(textCol).as(ht)),
       col(textCol) === col(ht), "left_anti")
     if (!prefilter) return antiJoin(incoming)
+    // Bounded-partials build (see the scaladoc's step 1): coalesce the
+    // narrow hash projection so treeAggregate's per-partition partial
+    // filters number at most `maxBuildTasks`, whatever the history
+    // scan's task count — partial traffic is maxBuildTasks × filterBytes
+    // instead of numMapTasks × filterBytes. A no-op (and plan-free)
+    // when the scan already has fewer partitions.
     val bloom = historical
       .where(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("_h"))
+      .coalesce(maxBuildTasks)
       .stat.bloomFilter("_h", expectedItems, fpp)
     // No silent caps: an `expectedItems` far below the real history
     // count saturates the filter, the prefilter degrades toward
@@ -777,9 +794,12 @@ object CorpusOps {
   /** [[dedupAgainst]] past the driver-Bloom ceiling: the sharded design
     * the driver-merged mode's scaladoc records, IMPLEMENTED. The filter
     * is built per history BUCKET — `pmod(xxhash64(text), nBuckets)`,
-    * the bucketed history index's own key — by a distributed
-    * partial/final aggregation ([[graft.functions.BloomAggregator]]),
-    * landing a `(bucket, filter)` side frame of
+    * the bucketed history index's own key — by [[bloomShards]]:
+    * repartition the 8-byte hash projection on the bucket id, then
+    * build exactly ONE filter per bucket inside its partition, with NO
+    * partial-filter merge (see [[bloomShards]] for why a
+    * `groupBy(bucket).agg(udaf)` build is a scale-killer), landing a
+    * `(bucket, filter)` side frame of
     * `nBuckets × ~1.2 B × expectedItemsPerBucket` total; the DRIVER
     * never merges the filters, so history size stops being bounded by
     * driver memory. Each incoming row is tagged with its bucket id and
@@ -824,6 +844,59 @@ object CorpusOps {
     * pre-warning driver mode, and the confirm join still guarantees
     * exactness when `confirm = true`.
     */
+  /** The sharded-Bloom BUILD: one filter per live history bucket,
+    * with NO partial-filter merge anywhere in the plan.
+    *
+    * Why not `groupBy(bucket).agg(bloomUdaf)`? That plans a
+    * partial/final ObjectHashAggregate, and the PARTIAL side emits one
+    * full-size filter per live bucket per map task into the Exchange —
+    * shuffle volume ∝ `numMapTasks × filterBytes`, invisible at 32
+    * fixture partitions and catastrophic at the history sizes the
+    * sharded mode exists for (a 10⁸-doc history ≈ 2,400 scan tasks ×
+    * 120 MB filter ≈ 290 GB of partials for ~300 GB of input; at 10⁹
+    * docs the partials are ~10× the input). Instead: project the
+    * 8-byte hash, `repartition(nBuckets, bucket)` — the shuffle
+    * carries 16 bytes × rows, three orders of magnitude less — and
+    * build each bucket's ONE filter inside its partition in a single
+    * pass. Hash partitioning co-locates every row of a bucket in
+    * exactly one partition, so exactly one `(bucket, filter)` row per
+    * live bucket reaches the probe join (a bucket emitting twice would
+    * duplicate probe rows — gated by the ShardedBloomSpec equality
+    * suite and the shuffle-bytes gate). A partition may hold several
+    * buckets (hash partitioning of nBuckets keys into nBuckets
+    * partitions is not a bijection); the per-partition map holds just
+    * those buckets' filters — ≤ a few × `expectedItemsPerBucket ×
+    * 1.2 B` — not the whole filter set.
+    */
+  private[text] def bloomShards(historical: DataFrame, textCol: String,
+      nBuckets: Int, expectedItemsPerBucket: Long, fpp: Double,
+      bucketColName: String, filterColName: String): DataFrame = {
+    val session = historical.sparkSession
+    import session.implicits._
+    historical
+      .where(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("_h"))
+      .select(pmod(col("_h"), lit(nBuckets.toLong)).as("_1"),
+        col("_h").as("_2"))
+      .repartition(nBuckets, col("_1"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val filters = scala.collection.mutable.LongMap
+          .empty[org.apache.spark.util.sketch.BloomFilter]
+        it.foreach { case (b, h) =>
+          filters.getOrElseUpdate(b,
+            org.apache.spark.util.sketch.BloomFilter
+              .create(expectedItemsPerBucket, fpp)).putLong(h)
+        }
+        filters.iterator.map { case (b, bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (b, bos.toByteArray)
+        }
+      }
+      .toDF(bucketColName, filterColName)
+  }
+
   def dedupAgainstPartitioned(
       incoming: DataFrame, historical: DataFrame, textCol: String,
       nBuckets: Int, expectedItemsPerBucket: Long, fpp: Double = 0.01,
@@ -847,14 +920,8 @@ object CorpusOps {
     def antiJoin(left: DataFrame): DataFrame = left.join(
       historical.select(col(textCol).as(ht)),
       col(textCol) === col(ht), "left_anti")
-    val bloomAgg = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BloomAggregator(expectedItemsPerBucket, fpp),
-      org.apache.spark.sql.Encoders.scalaLong)
-    val rawShards = historical
-      .where(col(textCol).isNotNull)
-      .select(xxhash64(col(textCol)).as("_h"))
-      .groupBy(pmod(col("_h"), lit(nBuckets.toLong)).as(sb))
-      .agg(bloomAgg(col("_h")).as(sf))
+    val rawShards = bloomShards(historical, textCol, nBuckets,
+      expectedItemsPerBucket, fpp, sb, sf)
     if (saturationCheck) {
       // The check materializes the build once, scoped to THIS action:
       // persist for the fpp pass, unpersist immediately after. Leaving
@@ -868,6 +935,7 @@ object CorpusOps {
       // `saturationCheck = false` and sizes shards from the history
       // count they already track.
       val persisted = rawShards.persist()
+      val checkStart = System.nanoTime()
       try {
         val session = historical.sparkSession
         import session.implicits._
@@ -885,7 +953,14 @@ object CorpusOps {
           .foreach(Console.err.println)
       } finally {
         persisted.unpersist(blocking = false)
-        ()
+        // The check is an extra history scan the returned plan pays
+        // again — log its cost so loop callers NOTICE the double
+        // build instead of discovering it in a profile (the scaladoc's
+        // `saturationCheck = false` opt-out skips it entirely).
+        Console.err.println(
+          f"INFO dedupAgainstPartitioned: shard fpp check took ${
+            (System.nanoTime() - checkStart) / 1e9}%.2f s (one extra " +
+            "history scan; saturationCheck = false skips it)")
       }
     }
     val shards = rawShards

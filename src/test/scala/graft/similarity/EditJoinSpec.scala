@@ -141,6 +141,37 @@ class EditJoinSpec extends SparkSpec {
     assert(!ps.contains("ScalaUDF"), ps)
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
       s"edit join must not plan a cross join:\n$ps")
+    // ONE execution of the explode subtree: the self-join's two sides
+    // must read the SAME cached relation (an InMemoryRelation
+    // materializes once), not two live executions of the Θ(len^k)
+    // variant generation. The result itself is also cached, so the
+    // join lives in the result scan's cached plan.
+    def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      planNodes(p).flatMap {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s +: deepNodes(s.relation.cachedPlan)
+        case other => Seq(other)
+      }
+    // The frontier relation is the one whose cached plan DIRECTLY
+    // contains the explode (GenerateExec); the cached result's plan
+    // merely references the frontier scans.
+    val frontierScans = deepNodes(out.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+          if planNodes(s.relation.cachedPlan).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+          => s.relation
+      }
+    assert(frontierScans.size == 2,
+      s"want the exploded frontier read twice from cache, got ${
+        frontierScans.size}:\n$ps")
+    // The per-side projections re-alias the relation's OUTPUT, but
+    // both must share the one CachedRDDBuilder — the thing that
+    // materializes (executes the explode) exactly once.
+    assert(frontierScans(0).cacheBuilder eq frontierScans(1).cacheBuilder,
+      "the two join sides cache DIFFERENT builders — the explode " +
+        "subtree would run twice")
     // SQL registry form resolves too.
     val viaSql = spark.sql(
       "SELECT delete_neighborhood('ab', 1, 16) AS v").head().getSeq[String](0)

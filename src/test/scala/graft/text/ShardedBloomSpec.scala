@@ -321,10 +321,92 @@ class ShardedBloomSpec extends SparkSpec {
     assert(joins.count(_.joinType ==
         org.apache.spark.sql.catalyst.plans.LeftAnti) == 1,
       s"want exactly one LeftAnti confirm:\n$ps")
-    // The BloomAggregator build aggregates per bucket (an
-    // ObjectHashAggregate/SortAggregate over the typed buffer).
-    assert(ps.contains("bloomaggregator") ||
-        ps.toLowerCase.contains("bloomagg"),
-      s"per-bucket Bloom build missing from the plan:\n$ps")
+    // The build is the repartition-first one-filter-per-bucket shape:
+    // NO aggregate anywhere in the build (a udaf build would plan a
+    // partial ObjectHashAggregate shipping one filter per live bucket
+    // per map task — the 100 TB scale-killer), just the bucket
+    // Exchange feeding the per-partition builder.
+    assert(!ps.contains("ObjectHashAggregate"),
+      s"Bloom build must not plan a partial/final udaf aggregate:\n$ps")
+    assert(ps.contains("MapPartitions"),
+      s"per-partition Bloom build missing from the plan:\n$ps")
+  }
+
+  test("bloomShards shuffles HASHES, not partial filters: build " +
+      "shuffle-write bytes are rows-sized, stay flat as history map " +
+      "tasks grow 4x, and never reach even one serialized filter") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val nBuckets = 4
+    val perBucket = 1000000L
+    val filterBytes = {
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(perBucket, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.size().toLong // ~1.2 MB: what ONE partial filter would ship
+    }
+    val rows = (0L until 4000L).map(i => (i, s"hist doc $i"))
+      .toDF("doc_id", "text")
+    // Persist both layouts so the measured jobs read cached partitions
+    // (no repartition-of-the-history shuffle inside the measurement;
+    // the map-task count IS the cached partition count).
+    val hist4 = rows.repartition(4).persist()
+    val hist32 = rows.repartition(32).persist()
+    hist4.count(); hist32.count()
+    def shuffleWriteOf(body: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // The listener bus is async: poll until the counter is stable.
+        var prev = -1L
+        var stable = 0
+        var spins = 0
+        while (stable < 3 && spins < 100) {
+          Thread.sleep(50)
+          val cur = bytes.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      bytes.get()
+    }
+    try {
+      val b4 = shuffleWriteOf {
+        CorpusOps.bloomShards(hist4, "text", nBuckets, perBucket, 0.01,
+          "b", "f").count()
+        ()
+      }
+      val b32 = shuffleWriteOf {
+        CorpusOps.bloomShards(hist32, "text", nBuckets, perBucket, 0.01,
+          "b", "f").count()
+        ()
+      }
+      // The old groupBy+udaf build would ship ≥ mapTasks × filterBytes
+      // (4 tasks ≈ 4.8 MB, 32 tasks ≈ 38 MB, growing 8x). The
+      // repartition-first build ships 4000 16-byte hash rows (+ row
+      // overhead + count partials): under ONE filter's size, and FLAT
+      // in the map-task count.
+      assert(b32 > 0, "listener saw no shuffle write at all")
+      assert(b32 < filterBytes,
+        s"build shuffled $b32 B >= one serialized filter " +
+          s"($filterBytes B) — partial filters are crossing the wire")
+      assert(b32 < b4 + filterBytes / 4,
+        s"build shuffle grew with map tasks: 4 tasks -> $b4 B, " +
+          s"32 tasks -> $b32 B")
+    } finally {
+      hist4.unpersist(false)
+      hist32.unpersist(false)
+      ()
+    }
   }
 }
