@@ -90,12 +90,24 @@ object Tables {
     * newline-bearing corpora must either opt in or arrive in a
     * structured format (parquet/ORC/JSON-lines) instead.
     */
+  /** The reader's default `nullValue`: a string NO real field can be
+    * (a lone U+0000) so a quoted `""` survives as an empty string
+    * instead of folding into null (see the fidelity notes above). The
+    * one collision left: an EXTERNAL file whose field legitimately
+    * contains the single-NUL string reads as null — an external-ingest
+    * caller whose data could hold that (or whose producer writes a
+    * different null token, e.g. `\\N` or `NULL`) overrides
+    * [[loadCsv]]'s `nullValue` with the producer's actual token.
+    */
+  val CsvNullSentinel: String = "\u0000"
+
   def loadCsv(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
-      multiLine: Boolean = false): DataFrame =
+      multiLine: Boolean = false,
+      nullValue: String = CsvNullSentinel): DataFrame =
     spark.read
       .option("header", "true")
-      .option("nullValue", "\u0000")
+      .option("nullValue", nullValue)
       .option("multiLine", multiLine.toString)
       .schema(schema)
       .csv(path)

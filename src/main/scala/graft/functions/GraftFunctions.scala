@@ -53,10 +53,24 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShardedBloomMightContain].getName,
         "sharded_bloom_might_contain"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 3,
-          "sharded_bloom_might_contain expects 3 arguments " +
-            s"(bucket, filter, hash), got ${exprs.length}")
-        ShardedBloomMightContain(exprs(0), exprs(1), exprs(2))
+        require(exprs.length == 3 || exprs.length == 4,
+          "sharded_bloom_might_contain expects (bucket, filter, hash" +
+            s"[, strictNulls]), got ${exprs.length} arguments")
+        // 3-arg SQL form defaults to STRICT per-row null semantics
+        // (exact, pays a per-row binary extraction); the operator's
+        // probe path passes strictNulls = false for the
+        // extract-on-miss fast mode, whose contract is per-bucket
+        // constant filters (see ShardedBloomMightContain).
+        val strict = exprs.length == 3 || {
+          val e = exprs(3)
+          require(e.foldable &&
+              e.dataType == org.apache.spark.sql.types.BooleanType,
+            "sharded_bloom_might_contain's 4th argument (strictNulls) " +
+              s"must be a foldable boolean, got $e")
+          e.eval().asInstanceOf[Boolean]
+        }
+        ShardedBloomMightContain(exprs(0), exprs(1), exprs(2),
+          strictNulls = strict)
       }),
     (FunctionIdentifier("delete_neighborhood"),
       new ExpressionInfo(classOf[DeleteNeighborhood].getName,
@@ -124,10 +138,16 @@ object GraftFunctions {
   /** Membership test against a PER-ROW serialized filter column (see
     * [[ShardedBloomMightContain]]); null filter (no bucket row from the
     * probe join) or null hash yields null — coalesce at the call site.
+    * This entry point is the OPERATOR's: it opts into the
+    * extract-on-miss fast mode (`strictNulls = false`), whose contract
+    * is per-bucket constant filters — exactly what a probe join
+    * produces. Arbitrary heterogeneous inputs should use the 3-arg SQL
+    * form, which is strict.
     */
   def shardedBloomMightContain(bucket: Column, filter: Column,
       hash: Column): Column =
-    call_function("sharded_bloom_might_contain", bucket, filter, hash)
+    call_function("sharded_bloom_might_contain", bucket, filter, hash,
+      org.apache.spark.sql.functions.lit(false))
 
   /** Distinct strings reachable by deleting at most `k` codepoints —
     * the exact candidate signature for edit-distance joining (see

@@ -30,11 +30,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * appended history doc flips ≤ k bits in a multi-MB filter, which an
   * offset sample provably misses. Driver-LOCAL evaluation (interpreted
   * eval with no [[TaskContext]], stageId −1) has no stage boundary to
-  * key on, so there the key falls back to a sampled content fingerprint
-  * (length + 64 evenly-spaced bytes, FNV-1a mixed) — exact for resize
-  * and gross mutation, best-effort for few-bit flips, and only
-  * reachable outside a real Spark job. Dead stages' entries linger only
-  * until the byte budget churns them (LRU).
+  * key on, so there the key carries an FNV-1a fingerprint of the FULL
+  * bytes — one linear pass per (rare) driver-side evaluation, so even
+  * a few-bit mutation of a retained plan's filter keys a fresh entry.
+  * Dead stages' entries linger only until the byte budget churns them
+  * (LRU).
   */
 final class BloomFilterCache(val maxBytes: Long) {
   require(maxBytes > 0, s"maxBytes $maxBytes")
@@ -136,23 +136,12 @@ object ShardedBloomCache {
     if (tc == null) -1 else tc.stageId()
   }
 
-  /** FNV-1a over the length and 64 evenly-spaced sample bytes — the
-    * driver-eval fallback freshness token (see [[BloomFilterCache]]).
-    */
-  private[functions] def sampledFp(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L ^ bytes.length.toLong
-    val step = math.max(1, bytes.length / 64)
-    var i = 0
-    while (i < bytes.length) {
-      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-      i += step
-    }
-    h
-  }
-
   /** FNV-1a over the FULL bytes — the content address for
-    * [[BloomMightContain]], computed once per deserialized expression
-    * instance (per task), never per row.
+    * [[BloomMightContain]] (computed once per deserialized expression
+    * instance, never per row) and the driver-eval freshness token
+    * (one linear pass per driver-local evaluation — rare enough that
+    * exactness beats the sampled fingerprint it replaced, which
+    * provably missed few-bit mutations).
     */
   private[functions] def fullFp(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
@@ -174,14 +163,14 @@ object ShardedBloomCache {
     else instance.lookup(BloomFilterCache.Key(callId, sid, bucket, 0L))
 
   /** Miss path: deserialize (or join a racing task's entry) under the
-    * byte budget. On the driver (sid < 0) the key carries the sampled
+    * byte budget. On the driver (sid < 0) the key carries the full
     * content fingerprint instead of a stage id.
     */
   def insert(callId: String, sid: Int, bucket: Long,
       bytes: Array[Byte]): BloomFilter = {
     val k =
       if (sid >= 0) BloomFilterCache.Key(callId, sid, bucket, 0L)
-      else BloomFilterCache.Key(callId, -1, bucket, sampledFp(bytes))
+      else BloomFilterCache.Key(callId, -1, bucket, fullFp(bytes))
     instance.getOrLoad(k, bytes)
   }
 
@@ -232,18 +221,37 @@ object ShardedBloomCache {
   * outer probe join found no bucket row) — callers coalesce the null
   * to `false`, i.e. "definitely new".
   *
-  * One documented edge of the fast path: if a hand-crafted input maps
-  * ONE bucket id to both null and non-null filter values within a
-  * stage, a null-filter row evaluated after the bucket's filter was
-  * cached uses the cached filter instead of returning null. A probe
-  * join's output cannot produce that shape (a bucket either matched
-  * its one shard row or matched nothing), so the operator never sees
-  * it; registered-SQL callers feeding heterogeneous rows should treat
-  * per-bucket filters as constants, which is the operator's contract.
+  * TWO codegen modes, chosen by `strictNulls`:
+  *
+  *  - `strictNulls = true` (the SQL registry's 3-arg default): every
+  *    child is evaluated on every row, so a null filter yields null
+  *    exactly as interpreted eval does, whatever was cached for the
+  *    bucket — registered-SQL callers feeding arbitrary heterogeneous
+  *    `(bucket, filter)` rows get exact per-row semantics. The cost
+  *    is the per-row binary extraction (`UnsafeRow.getBinary` copies
+  *    the serialized filter) the fast path exists to avoid.
+  *  - `strictNulls = false` (the operator's probe path; the SQL
+  *    registry's explicit 4th argument): the binary column is only
+  *    extracted on a cache MISS. One documented edge: if a
+  *    hand-crafted input maps ONE bucket id to both null and non-null
+  *    filter values within a stage, a null-filter row evaluated after
+  *    the bucket's filter was cached uses the cached filter instead
+  *    of returning null. A probe join's output cannot produce that
+  *    shape (a bucket either matched its one shard row or matched
+  *    nothing), so the operator never sees it — per-bucket filters
+  *    are constants there, which is the fast mode's contract.
+  *
+  *  In BOTH modes the cache key is the bucket (per call, per stage):
+  *  two DIFFERENT non-null filters under one bucket within a stage
+  *  serve the first-cached filter, in codegen and interpreted eval
+  *  alike — per-bucket filters are constants; that is the
+  *  expression's contract, strict mode just makes the NULL edge
+  *  exact.
   */
 case class ShardedBloomMightContain(
     first: Expression, second: Expression, third: Expression,
-    callId: String = java.util.UUID.randomUUID().toString)
+    callId: String = java.util.UUID.randomUUID().toString,
+    strictNulls: Boolean = true)
     extends TernaryExpression {
 
   private def bucket = first
@@ -272,7 +280,7 @@ case class ShardedBloomMightContain(
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // Hand-rolled (not nullSafeCodeGen) so the binary column is only
-    // extracted on a cache MISS — see the class doc.
+    // extracted on a cache MISS in fast mode — see the class doc.
     val idRef = ctx.addReferenceObj("shardedBloomCallId", callId,
       "java.lang.String")
     val bEv = bucket.genCode(ctx)
@@ -286,6 +294,39 @@ case class ShardedBloomMightContain(
       v => s"$v = Long.MIN_VALUE;")
     val lastFilter = ctx.addMutableState(
       "org.apache.spark.util.sketch.BloomFilter", "sbmcLastFilter")
+    if (strictNulls) {
+      // Exact per-row semantics: all three children evaluate on every
+      // row, a null anywhere is null — bit-identical to interpreted
+      // eval. The memo still skips the shared cache's monitor on
+      // bucket runs; only the binary extraction is paid per row.
+      val code =
+        code"""
+          ${bEv.code}
+          ${hEv.code}
+          ${fEv.code}
+          boolean ${ev.isNull} =
+            ${bEv.isNull} || ${hEv.isNull} || ${fEv.isNull};
+          boolean ${ev.value} = false;
+          if (!${ev.isNull}) {
+            org.apache.spark.util.sketch.BloomFilter $bf =
+              ($lastFilter != null && $lastBucket == ${bEv.value})
+                ? $lastFilter : null;
+            if ($bf == null) {
+              int $sid = graft.functions.ShardedBloomCache.stageId();
+              $bf = graft.functions.ShardedBloomCache.lookup(
+                $idRef, $sid, ${bEv.value});
+              if ($bf == null) {
+                $bf = graft.functions.ShardedBloomCache.insert(
+                  $idRef, $sid, ${bEv.value}, ${fEv.value});
+              }
+              $lastBucket = ${bEv.value};
+              $lastFilter = $bf;
+            }
+            ${ev.value} = $bf.mightContainLong(${hEv.value});
+          }
+        """
+      return ev.copy(code = code)
+    }
     val code =
       code"""
         ${bEv.code}

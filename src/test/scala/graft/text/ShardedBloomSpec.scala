@@ -224,6 +224,60 @@ class ShardedBloomSpec extends SparkSpec {
     val s5 = ShardedBloomCache.insert(callId, 5, 3L, ser(empty))
     val s6 = ShardedBloomCache.insert(callId, 6, 3L, ser(withItem))
     assert(!s5.mightContainLong(42L) && s6.mightContainLong(42L))
+    // FEW-BIT mutation: same-size filter with one more item flips <= k
+    // bits of a multi-KB bit array — the r18 sampled fingerprint
+    // provably missed this class; the full-bytes fingerprint must not.
+    val big = org.apache.spark.util.sketch.BloomFilter
+      .create(100000L, 0.01)
+    val bigPlusOne = org.apache.spark.util.sketch.BloomFilter
+      .create(100000L, 0.01)
+    bigPlusOne.putLong(7L)
+    assert(ser(big).length == ser(bigPlusOne).length)
+    val callId2 = java.util.UUID.randomUUID().toString
+    val g1 = ShardedBloomCache.get(callId2, 1L, ser(big))
+    val g2 = ShardedBloomCache.get(callId2, 1L, ser(bigPlusOne))
+    assert(!g1.mightContainLong(7L) && g2.mightContainLong(7L),
+      "a few-bit filter mutation served a STALE driver-side entry")
+  }
+
+  test("SQL-registry 3-arg form is STRICT: a null-filter row after " +
+      "the bucket's filter was cached is NULL in codegen (matching " +
+      "interpreted eval); the operator's 4-arg fast form still " +
+      "resolves") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+    bf.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val fb = bos.toByteArray
+    // ONE partition: the non-null row evaluates FIRST, so the bucket
+    // is cached when the null-filter row arrives — exactly the shape
+    // where the fast mode's documented edge would serve the cached
+    // filter instead of null.
+    val rows = Seq(
+      (1L, Option(fb), 42L),
+      (1L, Option.empty[Array[Byte]], 42L)
+    ).toDF("b", "f", "h").coalesce(1)
+    rows.createOrReplaceTempView("sbmc_strict_rows")
+    val got = spark.sql(
+      "SELECT sharded_bloom_might_contain(b, f, h) AS m " +
+        "FROM sbmc_strict_rows")
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+      .toSeq
+    assert(got == Seq(Some(true), None),
+      s"strict SQL form must yield (true, null), got $got")
+    // Explicit fast form resolves and agrees on homogeneous rows.
+    val fast = spark.sql(
+      "SELECT sharded_bloom_might_contain(b, f, h, false) AS m " +
+        "FROM sbmc_strict_rows WHERE f IS NOT NULL")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(fast == Seq(true), fast.toString)
+    // The 4th argument must be a foldable boolean.
+    intercept[Exception] {
+      spark.sql("SELECT sharded_bloom_might_contain(b, f, h, b = 1) " +
+        "FROM sbmc_strict_rows").collect()
+    }
+    ()
   }
 
   test("undersized expectedItemsPerBucket fires the per-shard " +
