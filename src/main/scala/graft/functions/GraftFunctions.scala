@@ -92,6 +92,21 @@ object GraftExtensions {
         DeleteNeighborhood(exprs.head, constInt(exprs(1), "k"),
           constInt(exprs(2), "maxLen"))
       }),
+    (FunctionIdentifier("affine_gap"),
+      new ExpressionInfo(classOf[AffineGapDistance].getName, "affine_gap"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"affine_gap expects 2 arguments, got ${exprs.length}")
+        AffineGapDistance(exprs.head, exprs(1), sim = false)
+      }),
+    (FunctionIdentifier("affine_gap_sim"),
+      new ExpressionInfo(classOf[AffineGapDistance].getName,
+        "affine_gap_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"affine_gap_sim expects 2 arguments, got ${exprs.length}")
+        AffineGapDistance(exprs.head, exprs(1), sim = true)
+      }),
     (FunctionIdentifier("bounded_min_by_n"),
       new ExpressionInfo(classOf[BoundedMinByN].getName,
         "bounded_min_by_n"),
@@ -148,6 +163,19 @@ object GraftFunctions {
       hash: Column): Column =
     call_function("sharded_bloom_might_contain", bucket, filter, hash,
       org.apache.spark.sql.functions.lit(false))
+
+  /** Codegen'd normalized affine-gap distance over two string columns
+    * (see [[AffineGapDistance]]): ~[0.5, 6], lower = more similar,
+    * identical = 0.5. Null in → null out.
+    */
+  def affineGap(a: Column, b: Column): Column =
+    call_function("affine_gap", a, b)
+
+  /** Codegen'd affine-gap similarity in (0, 1], 1 = identical (see
+    * [[AffineGapDistance]]). Null in → null out.
+    */
+  def affineGapSim(a: Column, b: Column): Column =
+    call_function("affine_gap_sim", a, b)
 
   /** Distinct strings reachable by deleting at most `k` codepoints —
     * the exact candidate signature for edit-distance joining (see

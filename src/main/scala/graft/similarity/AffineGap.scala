@@ -10,8 +10,10 @@ package graft.similarity
   * gap-open=10, gap-extend=7 (on a 0..n penalty scale where lower = more
   * similar), normalized by the summed string lengths.
   *
-  * Pure JVM function — used from a codegen-opaque Scala UDF for now; the
-  * DP is O(|a|·|b|) with two rolling rows, no allocation in the inner loop.
+  * Pure JVM function — called from inside whole-stage codegen by the
+  * native [[graft.functions.AffineGapDistance]] expression (formerly a
+  * codegen-opaque Scala UDF); the DP is O(|a|·|b|) with two rolling
+  * rows, no allocation in the inner loop.
   */
 object AffineGap {
 

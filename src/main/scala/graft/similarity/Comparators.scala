@@ -14,15 +14,24 @@ import graft.config.{DedupeConfig, FieldSpec}
   * Spark Column over a pair-DataFrame with `l_<field>` / `r_<field>`
   * columns, assembled into `features: array<double>`.
   *
-  * All comparators except affine-gap are pure column expressions
-  * (codegen'd); affine-gap is the one Scala UDF (SURVEY.md §2.7).
+  * ALL comparators are codegen'd column expressions — affine-gap,
+  * formerly the one Scala UDF here (it fenced whole-stage codegen
+  * around every String field in the scorer's feature projection), is
+  * the native [[graft.functions.AffineGapDistance]] expression calling
+  * the same [[AffineGap]] DP, bit-identical values (FunctionsSpec
+  * pins the three-way equality).
   */
 object Comparators {
 
-  val affineGapUdf =
-    udf((a: String, b: String) => AffineGap.normalized(a, b))
-  val affineGapSimUdf =
-    udf((a: String, b: String) => AffineGap.similarity(a, b))
+  /** Codegen'd normalized affine-gap distance (null in → null out;
+    * [[fieldDistance]]'s guard keeps nulls out anyway).
+    */
+  def affineGap(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.affineGap(a, b)
+
+  /** Codegen'd affine-gap similarity in (0, 1]. */
+  def affineGapSim(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.affineGapSim(a, b)
 
   /** Distance column for one field over pair columns l/r.
     * NULL on either side yields NaN-free 0.0 distance with the missing
@@ -31,7 +40,7 @@ object Comparators {
     */
   def fieldDistance(f: FieldSpec, l: Column, r: Column): Column = f.ftype match {
     case "String" =>
-      when(l.isNull || r.isNull, lit(0.0)).otherwise(affineGapUdf(l, r))
+      when(l.isNull || r.isNull, lit(0.0)).otherwise(affineGap(l, r))
     case "Categorical" | "Exact" =>
       when(l.isNull || r.isNull, lit(0.0))
         .otherwise(when(l === r, lit(0.0)).otherwise(lit(1.0)))
@@ -96,15 +105,15 @@ object Comparators {
     val baseNames = base.map(_._1).toSet
     // Interactions REFERENCE the materialized base feature columns
     // (`col("d_x")`), never re-instantiate the comparator expression —
-    // otherwise each affine-gap UDF would run once for the base feature
+    // otherwise each affine-gap DP would run once for the base feature
     // and again per interaction it appears in.
     val inter = cfg.interactions.map { members =>
       val cols = members.map { v =>
         // baseNames covers exactly byVar's keys (both derive from
         // cfg.fields), so an unknown member is a config error — fail
         // with a readable message rather than re-instantiating the
-        // comparator (the double-UDF trap the comment above warns of)
-        // or a bare NoSuchElementException.
+        // comparator (the double-evaluation trap the comment above
+        // warns of) or a bare NoSuchElementException.
         require(baseNames(s"d_$v"),
           s"interaction references unknown variable $v " +
             s"(known: ${byVar.keys.toSeq.sorted.mkString(", ")})")

@@ -336,6 +336,103 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("affine_gap / affine_gap_sim are bit-identical three ways: " +
+      "expression vs a ScalaUDF over the same DP vs driver Scala") {
+    import graft.similarity.AffineGap
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    val alpha = "abcdefgh ÁÉí中文🎈-'."
+    def randStr(): String =
+      Array.fill(rnd.nextInt(24))(alpha(rnd.nextInt(alpha.length)))
+        .mkString
+    val pairs = (0 until 300).map { i =>
+      val a = randStr()
+      // Mix: unrelated, identical, near (one substitution), empty.
+      val b = i % 4 match {
+        case 0 => randStr()
+        case 1 => a
+        case 2 => if (a.isEmpty) "x"
+          else a.updated(rnd.nextInt(a.length), 'z')
+        case _ => ""
+      }
+      (i.toLong, a, b)
+    }
+    val udfD = udf((a: String, b: String) => AffineGap.normalized(a, b))
+    val udfS = udf((a: String, b: String) => AffineGap.similarity(a, b))
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.affineGap(col("a"), col("b")).as("ed"),
+        udfD(col("a"), col("b")).as("ud"),
+        GraftFunctions.affineGapSim(col("a"), col("b")).as("es"),
+        udfS(col("a"), col("b")).as("us"))
+      .collect()
+    assert(got.length === 300)
+    got.foreach { case Row(a: String, b: String, ed: Double, ud: Double,
+        es: Double, us: Double) =>
+      def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+      assert(bits(ed) === bits(ud) && bits(ed) ===
+        bits(AffineGap.normalized(a, b)), s"dist('$a','$b'): $ed vs $ud")
+      assert(bits(es) === bits(us) && bits(es) ===
+        bits(AffineGap.similarity(a, b)), s"sim('$a','$b'): $es vs $us")
+    }
+    // Null semantics: the native expression is null-in-null-out (the
+    // old UDFs returned NaN/0.0 — that edge is unreachable behind
+    // fieldDistance's guard, and FunctionsSpec pins the new contract).
+    val nulls = Seq((Option("x"), Option.empty[String]))
+      .toDF("a", "b")
+      .select(GraftFunctions.affineGap(col("a"), col("b")).as("d"),
+        GraftFunctions.affineGapSim(col("a"), col("b")).as("s"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("affine_gap stays inside whole-stage codegen (no ScalaUDF), " +
+      "resolves from SQL, and rejects wrong types at analysis") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val df = docs.select(GraftFunctions
+      .affineGap(col("source"), col("lang")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    val codegenProject = plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("*(") && l.contains("affine_gap"))
+    assert(codegenProject,
+      s"affine_gap projection not in a WholeStageCodegen span:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"native expression must not plan as a UDF call:\n$plan")
+    assert(df.limit(5).collect().forall(r => r.getDouble(0) >= 0.0))
+    val viaSql = spark.sql(
+      "SELECT affine_gap('abc', 'abc') AS d, " +
+        "affine_gap_sim('abc', 'abc') AS s").head()
+    assert(viaSql.getDouble(0) === 0.5 && viaSql.getDouble(1) === 1.0)
+    intercept[AnalysisException] {
+      spark.sql("SELECT affine_gap(1, 2)").collect()
+    }
+    ()
+  }
+
+  test("the q50 scorer's feature projection plans ZERO ScalaUDFs — " +
+      "every comparator including affine-gap is codegen'd") {
+    import spark.implicits._
+    val cfg = graft.config.DedupeConfig(
+      key = "id",
+      fields = Seq(
+        graft.config.FieldSpec("name", "String", hasMissing = true),
+        graft.config.FieldSpec("city", "Categorical")),
+      interactions = Seq(Seq("name", "city")))
+    // Parquet-backed (a literal frame constant-folds to a
+    // LocalTableScan and shows no expressions at all).
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val pairs = docs.select(
+      col("source").as("l_name"), col("lang").as("r_name"),
+      col("lang").as("l_city"), col("source").as("r_city"))
+    val out = graft.similarity.Comparators.withFeatures(cfg, pairs)
+    out.collect()
+    val ps = out.queryExecution.executedPlan.toString
+    assert(ps.contains("affine_gap"),
+      s"feature projection lost the affine-gap comparator:\n$ps")
+    assert(!ps.contains("ScalaUDF"),
+      s"feature projection must be UDF-free:\n$ps")
+  }
+
   test("bounded_min_by_n rejects bad types and a non-positive or " +
       "non-literal limit at analysis") {
     import spark.implicits._
