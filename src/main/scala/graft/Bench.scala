@@ -49,6 +49,10 @@ object Bench {
     // variant-hash join + thresholded levenshtein verify — benched so
     // the explode volume and the verify plan show round-over-round.
     "q65_edit_distance_join",
+    // Boilerplate-line removal (round 19): narrow-key detection agg +
+    // per-doc set join + pure-column rewrite — benched so the two
+    // explode passes and the broadcast rewrite show round-over-round.
+    "q66_boilerplate_lines",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

@@ -274,6 +274,44 @@ object CorpusQueries {
         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
           array_to_string(t[i*5+1 : i*5+8], ' ') AS chunk_text,
           CAST(least(8, n - i*5) AS BIGINT) AS n_tokens
-        FROM c"""))
+        FROM c""")),
+
+    // Line-level cross-doc dedup (RefinedWeb-style boilerplate
+    // removal): every "line" occurring in more than 3/4 of the
+    // documents is removed from every document, order and multiplicity
+    // of survivors preserved. The fixture corpus has no newlines, so
+    // the query exercises the TOKEN grain (delimiter " ") — the
+    // operator is grain-agnostic; the threshold is computed from the
+    // corpus size on BOTH sides (integer 3n/4), so the row stays
+    // meaningful at every SF. The oracle restates the whole
+    // detect/remove/reassemble pipeline relationally
+    // (string_agg ORDER BY ordinality); the Spark side never shuffles
+    // the text at all (pure-column rewrite against a per-doc key set).
+    QueryDef(
+      "q66_boilerplate_lines",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val n = docs.where(col("doc_id").isNotNull &&
+          col("text").isNotNull).count()
+        CorpusOps.dropBoilerplateLines(docs, "doc_id", "text",
+            maxDocs = 3L * n / 4L, delimiter = " ")
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      },
+      Some("""WITH nn AS (SELECT doc_id, text FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          thr AS (SELECT 3 * count(*) // 4 AS t FROM nn),
+          parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM nn),
+          l AS (SELECT doc_id, unnest(p) AS line,
+                unnest(range(1, len(p) + 1)) AS i FROM parts),
+          boiler AS (SELECT line FROM l GROUP BY line
+            HAVING count(DISTINCT doc_id) > (SELECT t FROM thr)),
+          kept AS (SELECT doc_id, i, line FROM l
+            WHERE line NOT IN (SELECT line FROM boiler)),
+          agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS t2
+            FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, d.lang, d.source,
+          CASE WHEN d.text IS NULL OR d.doc_id IS NULL THEN d.text
+               ELSE coalesce(a.t2, '') END AS text
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
   )
 }

@@ -170,6 +170,88 @@ object CorpusOps {
           .as("keep"))
   }
 
+  /** Line-level cross-document dedup (RefinedWeb-style, Penedo et al.
+    * 2023 §3.3: lines duplicated across many documents are site
+    * boilerplate — navigation, cookie banners, footers — and are
+    * REMOVED from every document rather than dropping whole docs):
+    * deletes every line whose exact text occurs in MORE THAN
+    * `maxDocs` distinct documents, preserving the order and
+    * multiplicity of the surviving lines. `delimiter` is a LITERAL
+    * string (default `"\n"`), used both to split and to rejoin — so
+    * any unit with a faithful delimiter works: newline lines,
+    * sentences on `". "`, whitespace tokens (q66 exercises the token
+    * grain, the only grain the newline-free fixture corpus has).
+    * Extension beyond the reference surface (dssg/pgdedupe has no
+    * corpus layer).
+    *
+    * 100 TB shape — the document TEXT is never shuffled:
+    *  1. detection runs on a NARROW (id, lineKey) explode — one
+    *     groupBy on the line key counting distinct docs (partial aggs
+    *     shrink it map-side; `lineHash = "xxhash64"` swaps literal
+    *     line strings for 64-bit hashes as the key, the [[GramKeys]]
+    *     trade: ~10× narrower shuffle, decisions unchanged up to
+    *     negligible collisions);
+    *  2. each doc's OWN boilerplate keys come back as one small
+    *     `collect_set` row per affected doc (bounded by the doc's own
+    *     distinct boilerplate lines, never by corpus-wide counts) via
+    *     a left-semi join of the narrow lines against the flagged
+    *     keys — broadcast while the flagged set fits, else one
+    *     8-byte-key shuffle;
+    *  3. the rewrite is a PURE COLUMN program: re-split the text,
+    *     `filter` out lines whose key lands in the doc's set,
+    *     `concat_ws` back — order preserved by construction, no
+    *     reassembly shuffle, no window, no UDF. The split runs once
+    *     in the detection branch and once in the rewrite projection —
+    *     two cheap CPU passes instead of persisting (or shuffling) a
+    *     corpus-sized exploded frame. The text itself moves at most
+    *     once: not at all while the per-doc sets broadcast (the
+    *     fixture plan, gated), one equi-join shuffle of the intact
+    *     docs when they outgrow the threshold — never as exploded
+    *     lines, and never through an aggregate.
+    *
+    * Docs with a null id or null text pass through unchanged (a null
+    * id cannot join its boilerplate set back; a null text has no
+    * lines). A doc whose every line is boilerplate keeps an empty
+    * string. Empty lines count like any other line — blank-line runs
+    * shared by more than `maxDocs` docs ARE boilerplate by this
+    * definition; pre-normalize upstream if blank-line formatting must
+    * survive. Returns the caller's schema with `textCol` rewritten.
+    */
+  def dropBoilerplateLines(
+      docs: DataFrame, idCol: String, textCol: String, maxDocs: Long,
+      delimiter: String = "\n",
+      lineHash: String = "literal"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs $maxDocs (every line occurs in at " +
+      "least its own doc; 0 would drop every line)")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val lk = "_graft_bl_key"
+    val bs = "_graft_bl_set"
+    Seq(lk, bs).foreach { n =>
+      require(!docs.columns.exists(_.equalsIgnoreCase(n)),
+        s"docs already has a $n column")
+    }
+    // Pattern.quote: `delimiter` is a literal, never a regex — a regex
+    // split could not rejoin faithfully.
+    val delim = java.util.regex.Pattern.quote(delimiter)
+    val lines = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), delim)).as("_l"))
+      .select(col(idCol), gramKey(col("_l"), lineHash).as(lk))
+    val flagged = lines.groupBy(lk)
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") > maxDocs)
+      .select(lk)
+    val perDoc = lines.join(flagged, Seq(lk), "left_semi")
+      .groupBy(idCol).agg(collect_set(col(lk)).as(bs))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col(textCol).isNull || col(bs).isNull, col(textCol))
+          .otherwise(concat_ws(delimiter,
+            filter(split(col(textCol), delim),
+              l => !array_contains(col(bs), gramKey(l, lineHash))))))
+      .drop(bs)
+  }
+
   /** Streaming decontamination — the incremental twin of
     * [[decontaminate]]: the eval corpus is STATIC (benchmark suites
     * change by release, not by micro-batch) with its n-grams deduped

@@ -571,4 +571,80 @@ class CorpusOpsSpec extends SparkSpec {
         confirm = false, prefilter = false)
     }
   }
+
+  test("dropBoilerplateLines removes exactly the >maxDocs lines, " +
+      "preserves order/multiplicity, passes null id/text through, " +
+      "empties all-boilerplate docs, and hashes keys identically") {
+    // "nav" is in 3 docs, "foot" in 3, "body"/"uniq" in fewer; with
+    // maxDocs = 2 exactly nav and foot are boilerplate.
+    val docs = Seq(
+      (Option(1L), Option("nav\nbody one\nnav\nfoot")),
+      (Option(2L), Option("nav\nbody two\nfoot")),
+      (Option(3L), Option("nav\nfoot")),
+      (Option(4L), Option("uniq only")),
+      (Option(5L), Option.empty[String]),
+      (Option.empty[Long], Option("nav\nfoot\nkeep me"))
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dropBoilerplateLines(docs, "doc_id", "text",
+      maxDocs = 2)
+    val got = out.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got == Map(
+      Some(1L) -> Some("body one"),   // both navs AND the foot gone
+      Some(2L) -> Some("body two"),
+      Some(3L) -> Some(""),           // all lines boilerplate
+      Some(4L) -> Some("uniq only"),  // untouched
+      Some(5L) -> None,               // null text passes through
+      None -> Some("nav\nfoot\nkeep me") // null id passes through
+    ), got.toString)
+    // Token grain + hashed keys: same answer as literal keys.
+    val tok = Seq((1L, "a b a c"), (2L, "a d"), (3L, "a e"))
+      .toDF("doc_id", "text")
+    def ids(lineHash: String) = CorpusOps.dropBoilerplateLines(
+        tok, "doc_id", "text", maxDocs = 2, delimiter = " ",
+        lineHash = lineHash)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val litKeys = ids("literal")
+    assert(litKeys == Map(1L -> "b c", 2L -> "d", 3L -> "e"),
+      litKeys.toString)
+    assert(ids("xxhash64") == litKeys)
+    // Guards.
+    intercept[IllegalArgumentException] {
+      CorpusOps.dropBoilerplateLines(docs, "doc_id", "text", maxDocs = 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dropBoilerplateLines(
+        docs.withColumn("_graft_bl_set", lit(1)), "doc_id", "text", 2)
+    }
+    ()
+  }
+
+  test("dropBoilerplateLines plan: the text column never enters a " +
+      "shuffle while the per-doc sets broadcast, no aggregate ever " +
+      "carries it, and no cartesian appears") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val out = CorpusOps.dropBoilerplateLines(docs, "doc_id", "text",
+      maxDocs = 300, delimiter = " ")
+    out.queryExecution.toRdd.count()
+    val plan = out.queryExecution.executedPlan
+    val ps = plan.toString
+    assert(!ps.contains("CartesianProduct") &&
+      !ps.contains("BroadcastNestedLoop"), ps)
+    val shuffles = planNodes(plan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty, "detection must aggregate by line key")
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(_.name == "text"),
+        s"the document text is being SHUFFLED:\n$ps")
+    }
+    planNodes(plan).collect { case a: BaseAggregateExec => a }
+      .foreach { a =>
+        assert(!a.output.exists(_.name == "text") &&
+          !a.child.output.exists(_.name == "text"),
+          s"an aggregate carries the document text:\n$ps")
+      }
+  }
 }

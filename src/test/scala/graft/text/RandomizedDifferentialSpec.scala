@@ -250,6 +250,32 @@ class RandomizedDifferentialSpec extends SparkSpec {
             row_number() OVER (ORDER BY f1 ASC NULLS FIRST,
               f2 ASC NULLS FIRST) AS _unique_id
           FROM rentries GROUP BY f1, f2"""))
+
+      // dropBoilerplateLines twin at the token grain (the corpus has
+      // empty-string tokens from "" words — double spaces — and the
+      // planted boilerplate tail, both load-bearing): detect >5-doc
+      // tokens, remove them everywhere, reassemble ORDER-stated.
+      check("dropBoilerplateLines", seed,
+        CorpusOps.dropBoilerplateLines(docs, "doc_id", "text",
+          maxDocs = 5, delimiter = " "),
+        spark.sql("""
+          WITH nn AS (SELECT doc_id, text FROM rdocs
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          l AS (SELECT doc_id, i, line FROM nn
+              LATERAL VIEW posexplode(split(text, ' ')) t AS i, line),
+          boiler AS (SELECT line FROM l GROUP BY line
+              HAVING count(DISTINCT doc_id) > 5),
+          kept AS (SELECT doc_id, i, line FROM l
+              WHERE line NOT IN (SELECT line FROM boiler)),
+          agg AS (SELECT doc_id,
+              concat_ws(' ', transform(
+                array_sort(collect_list(struct(i, line))),
+                x -> x.line)) AS t2
+            FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, d.text2 AS text, d.lang, d.source
+          FROM (SELECT r.*, CASE WHEN r.text IS NULL THEN NULL
+                  ELSE coalesce(a.t2, '') END AS text2
+                FROM rdocs r LEFT JOIN agg a ON r.doc_id = a.doc_id) d"""))
     }
   }
 
