@@ -302,6 +302,35 @@ object ScaleBench {
     val (esSec, esRows) = editKernelAt(edBase * factor)
     System.err.println(f"[scale] edit_join x$factor: $esSec%.2f s, $esRows pairs")
 
+    // ---- boilerplate-line kernel (round 19): q66's operator on a
+    // synthesized corpus with a CONSTANT-FRACTION planted footer (the
+    // token-suffix replicas can't measure q66: suffixing splits every
+    // token's doc-frequency across replicas, so a scale-relative
+    // threshold finds nothing at x10 and the rewrite becomes a no-op).
+    // Here 3 of 5 docs carry the same 3-token footer at ANY n, body
+    // tokens are unique per doc, and the threshold is n/2 — detection
+    // volume, per-doc sets, and rewritten rows all scale exactly
+    // linearly, in the operator's cluster mode (xxhash64 line keys).
+    def boilerKernelAt(n: Int): (Double, Long) = {
+      val docs = spark.range(n.toLong).select(col("id"),
+        concat(
+          format_string("body%d uniq%d", col("id"), col("id")),
+          when(col("id") % 5 < 3, lit(" shared footer line"))
+            .otherwise(lit(""))).as("text"))
+        .repartition(32).persist()
+      docs.count()
+      val r = time(reps)(() => graft.text.CorpusOps.dropBoilerplateLines(
+        docs, "id", "text", maxDocs = n.toLong / 2, delimiter = " ",
+        lineHash = "xxhash64"))
+      docs.unpersist()
+      r
+    }
+    val blBase = 20000
+    val (bbSec, bbRows) = boilerKernelAt(blBase)
+    System.err.println(f"[scale] boiler_lines base: $bbSec%.2f s, $bbRows rows")
+    val (bsSec, bsRows) = boilerKernelAt(blBase * factor)
+    System.err.println(f"[scale] boiler_lines x$factor: $bsSec%.2f s, $bsRows rows")
+
     def jstr(s: String): String = JsonStr.escape(s)
     val qj = perQuery.map { case (n, (bs, br, ss, sr)) =>
       jstr(n) + ":" + f"""{"base_sec":$bs%.3f,"x${factor}_sec":$ss%.3f,""" +
@@ -327,7 +356,13 @@ object ScaleBench {
         f""""base_sec":$ebSec%.3f,"x${factor}_sec":$esSec%.3f,""" +
         f""""time_ratio":${esSec / math.max(1e-9, ebSec)}%.2f,""" +
         f""""base_pairs":$ebRows,"x${factor}_pairs":$esRows,""" +
-        f""""pair_ratio":${esRows.toDouble / math.max(1, ebRows)}%.2f}}"""
+        f""""pair_ratio":${esRows.toDouble / math.max(1, ebRows)}%.2f},""" +
+      f""""boilerplate_lines_planted_footer":{"n_base":$blBase,""" +
+        f""""n_scaled":${blBase * factor},""" +
+        f""""base_sec":$bbSec%.3f,"x${factor}_sec":$bsSec%.3f,""" +
+        f""""time_ratio":${bsSec / math.max(1e-9, bbSec)}%.2f,""" +
+        f""""base_rows":$bbRows,"x${factor}_rows":$bsRows,""" +
+        f""""row_ratio":${bsRows.toDouble / math.max(1, bbRows)}%.2f}}"""
     val phJ = phaseRecords.toSeq.sortBy(_._1).map { case (k, ph) =>
       jstr(k) + ":" + ph.toSeq.sortBy(_._1)
         .map { case (p, s) => jstr(p) + ":" + f"$s%.3f" }

@@ -92,6 +92,13 @@ object GraftExtensions {
         DeleteNeighborhood(exprs.head, constInt(exprs(1), "k"),
           constInt(exprs(2), "maxLen"))
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"nfc_normalize expects 1 argument, got ${exprs.length}")
+        NfcNormalize(exprs.head)
+      }),
     (FunctionIdentifier("affine_gap"),
       new ExpressionInfo(classOf[AffineGapDistance].getName, "affine_gap"),
       (exprs: Seq[Expression]) => {
@@ -163,6 +170,14 @@ object GraftFunctions {
       hash: Column): Column =
     call_function("sharded_bloom_might_contain", bucket, filter, hash,
       org.apache.spark.sql.functions.lit(false))
+
+  /** Codegen'd Unicode NFC normalization (see [[NfcNormalize]]):
+    * canonical composition so visually-identical composed/decomposed
+    * strings hash, join, and dedup identically downstream. Null in →
+    * null out; ASCII and already-normalized rows return the input
+    * untouched.
+    */
+  def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
 
   /** Codegen'd normalized affine-gap distance over two string columns
     * (see [[AffineGapDistance]]): ~[0.5, 6], lower = more similar,

@@ -313,5 +313,23 @@ object CorpusQueries {
           CASE WHEN d.text IS NULL OR d.doc_id IS NULL THEN d.text
                ELSE coalesce(a.t2, '') END AS text
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
+  , // q67: Unicode NFC + control-strip normalization — the pre-hash
+    // cleanup pass. The fixture corpus is pure ASCII, so this row
+    // proves the end-to-end plumbing and the no-op fast path
+    // (output == input bytes); the unicode semantics a parquet
+    // fixture can't carry are pinned by FunctionsSpec (three-way vs
+    // java.text.Normalizer, idempotence on randomized combining
+    // marks) and the hostile-corpus unit cases. DuckDB's
+    // nfc_normalize is the independent oracle twin of the custom
+    // expression.
+    QueryDef(
+      "q67_normalize_text",
+      (s, dir) => CorpusOps.normalizeText(
+          Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      Some("""SELECT doc_id, lang, source,
+          regexp_replace(nfc_normalize(text),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text
+        FROM documents"""))
   )
 }

@@ -598,6 +598,44 @@ object CorpusOps {
         .cast("long").as("n_masked"))
   }
 
+  /** Text normalization — the canonical pre-hash cleanup pass every
+    * exact-match stage depends on: the same user-visible string
+    * arrives composed (`é`) or decomposed (`e` + U+0301) depending on
+    * source, and until canonicalized the two hash, join, block, and
+    * dedup as DIFFERENT texts (content-hash dedup q13/q62,
+    * boilerplate lines q66, decontamination q53, blocking keys — all
+    * exact-match on the bytes). Two steps, each a pure column
+    * expression:
+    *
+    *  1. Unicode NFC via the codegen'd
+    *     [[graft.functions.NfcNormalize]] expression (Spark has no
+    *     built-in normalizer; ASCII and already-normalized rows
+    *     return the input untouched — zero allocation on the
+    *     overwhelmingly common row);
+    *  2. control-character strip (opt-out `stripControls = false`):
+    *     C0 controls except `\t` `\n` `\r`, plus DEL — the bytes
+    *     crawler output and broken decoders leave behind, which
+    *     corrupt delimiters and sinks downstream (the CSV fidelity
+    *     sentinel is a lone U+0000 precisely because real fields
+    *     never legitimately contain one).
+    *
+    * Pure per-row program: ZERO shuffle, streaming-safe unchanged
+    * (same class as [[repetitionScore]]/[[piiScrub]]). Null text
+    * passes through null. Returns the caller's schema with `textCol`
+    * rewritten. NFC runs FIRST (control chars are normalization-inert,
+    * so the order cannot change the answer; pinned anyway so the
+    * oracle states the identical composition).
+    */
+  def normalizeText(docs: DataFrame, textCol: String,
+      stripControls: Boolean = true): DataFrame = {
+    val nfc = graft.functions.GraftFunctions.nfcNormalize(col(textCol))
+    val cleaned =
+      if (stripControls)
+        regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      else nfc
+    docs.withColumn(textCol, cleaned)
+  }
+
   /** Fixed-window token chunking with stride (the context-window
     * packing step between curation and sharding: every pretraining
     * pipeline cuts documents into model-window-sized sequences, with

@@ -409,6 +409,74 @@ class FunctionsSpec extends SparkSpec {
     ()
   }
 
+  test("nfc_normalize matches java.text.Normalizer three ways, is " +
+      "idempotent on randomized combining-mark strings, fast-paths " +
+      "ASCII/normalized input, and stays in codegen") {
+    import spark.implicits._
+    import java.text.Normalizer
+    // Hand-planted: decomposed e+combining-acute composes to é; the
+    // composed form round-trips untouched; Hangul jamo compose; ASCII
+    // unchanged; null passes through.
+    val planted = Seq(
+      "é decomposed", "é composed", "plain ascii",
+      "각", // Hangul jamo -> composed syllable
+      "ﬁ ligature stays", // NFC does NOT decompose compatibility forms
+      "")
+    val nfcUdf = udf((s: String) =>
+      Normalizer.normalize(s, Normalizer.Form.NFC))
+    val got = planted.toDF("s")
+      .select(col("s"), GraftFunctions.nfcNormalize(col("s")).as("e"),
+        nfcUdf(col("s")).as("u"))
+      .collect()
+    got.foreach { case Row(s: String, e: String, u: String) =>
+      assert(e == u && e == Normalizer.normalize(s, Normalizer.Form.NFC),
+        s"'$s' -> '$e' vs '$u'")
+    }
+    assert(got.map(_.getString(1)).take(2).toSeq ==
+      Seq("é decomposed", "é composed"))
+    // Randomized: strings mixing ASCII, combining marks, precomposed
+    // chars, astral symbols — expression == Normalizer, and applying
+    // it twice is a fixed point.
+    val rnd = new scala.util.Random(31L)
+    val pieces = Seq("a", "é", "é", "ö́", "中",
+      "🎈", "́", " ", "ñ")
+    val rows = (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.length)))
+        .mkString
+    }
+    val two = rows.toDF("s").select(col("s"),
+        GraftFunctions.nfcNormalize(col("s")).as("once"),
+        GraftFunctions.nfcNormalize(
+          GraftFunctions.nfcNormalize(col("s"))).as("twice"))
+      .collect()
+    two.foreach { case Row(s: String, once: String, twice: String) =>
+      assert(once == Normalizer.normalize(s, Normalizer.Form.NFC), s"'$s'")
+      assert(once == twice, s"not idempotent on '$s'")
+    }
+    // Null and SQL registry.
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(GraftFunctions.nfcNormalize(col("s"))).head()
+    assert(n.isNullAt(0))
+    assert(spark.sql("SELECT nfc_normalize('é') AS x")
+      .head().getString(0) == "é")
+    intercept[AnalysisException] {
+      spark.sql("SELECT nfc_normalize(1)").collect()
+    }
+    // Codegen span over a parquet scan; no ScalaUDF.
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val df = docs.select(GraftFunctions.nfcNormalize(col("text")).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Project") &&
+      l.contains("*(") && l.contains("nfc_normalize")), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // ASCII fast path returns the very same instance (no allocation).
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain")
+    assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii)
+    val normalized = UTF8String.fromString("é")
+    assert(graft.functions.NfcNormalize.nfc(normalized) eq normalized)
+  }
+
   test("the q50 scorer's feature projection plans ZERO ScalaUDFs — " +
       "every comparator including affine-gap is codegen'd") {
     import spark.implicits._

@@ -620,6 +620,34 @@ class CorpusOpsSpec extends SparkSpec {
     ()
   }
 
+  test("normalizeText composes NFC, strips C0 controls except " +
+      "tab/newline/CR plus DEL, keeps other columns, and passes null " +
+      "text through; stripControls=false keeps the control bytes") {
+    // Explicit escapes so the source encoding can never decide which
+    // unicode form a literal carries: doc 1 is DECOMPOSED e+U+0301
+    // with a NUL and a BEL planted; doc 2 keeps \t \n \r but loses
+    // DEL (U+007F).
+    val docs = Seq(
+      (1L, Option("e\u0301 plus\u0000junk\u0007here")),
+      (2L, Option("tab\tand\nnewline\rstay \u007fgone")),
+      (3L, Option("plain")),
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.normalizeText(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(
+      1L -> "\u00e9 plusjunkhere",
+      2L -> "tab\tand\nnewline\rstay gone",
+      3L -> "plain",
+      4L -> null), got.toString)
+    // stripControls=false: NFC still composes, the control bytes stay.
+    val raw = CorpusOps.normalizeText(docs, "text",
+        stripControls = false)
+      .where(col("doc_id") === 1L).head().getString(1)
+    assert(raw == "\u00e9 plus\u0000junk\u0007here")
+  }
+
   test("dropBoilerplateLines plan: the text column never enters a " +
       "shuffle while the per-doc sets broadcast, no aggregate ever " +
       "carries it, and no cartesian appears") {
