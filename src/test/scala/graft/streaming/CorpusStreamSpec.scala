@@ -160,6 +160,9 @@ class CorpusStreamSpec extends SparkSpec {
     val chunks = CorpusOps.chunkTokens(
       docs.toDF().toDF("doc_id", "text"), "doc_id", "text",
       window = 3, stride = 2)
+    val ndocs = MemoryStream[(Long, String)]
+    val norm = CorpusOps.normalizeText(
+      ndocs.toDF().toDF("doc_id", "text"), "text")
     val q1 = scrub.writeStream.format("memory").queryName("scrub_out")
       .outputMode("append").start()
     val q2 = rep.writeStream.format("memory").queryName("rep_out")
@@ -168,11 +171,15 @@ class CorpusStreamSpec extends SparkSpec {
       .outputMode("append").start()
     val q4 = chunks.writeStream.format("memory").queryName("chunk_out")
       .outputMode("append").start()
+    val q5 = norm.writeStream.format("memory").queryName("norm_out")
+      .outputMode("append").start()
     try {
       events.addData((1L, 42L, """{"k": 69}"""))
       docs.addData((1L, "x y z x y z x y"))
+      ndocs.addData((2L, "e\u0301 nfc\u0007streams"))
       q1.processAllAvailable(); q2.processAllAvailable()
       q3.processAllAvailable(); q4.processAllAvailable()
+      q5.processAllAvailable()
       val s = spark.table("scrub_out")
         .select("payload_scrubbed", "n_masked")
         .as[(String, Long)].head()
@@ -194,7 +201,12 @@ class CorpusStreamSpec extends SparkSpec {
         .as[(Int, String, Long)].collect().toSet
       assert(ch == Set((0, "x y z", 3L), (1, "z x y", 3L),
         (2, "y z x", 3L), (3, "x y", 2L)))
-    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
+      // normalizeText is the same pure column program on a stream:
+      // NFC composes, the control byte is stripped.
+      val nm = spark.table("norm_out").select("doc_id", "text")
+        .as[(Long, String)].head()
+      assert(nm == ((2L, "\u00e9 nfcstreams")), nm.toString)
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop() }
   }
 
   test("dedupAgainst confirm=false runs on a streaming batch and " +
