@@ -6,7 +6,8 @@ import graft.SparkSpec
 
 /** Gates for [[CorpusOps.dedupAgainstPartitioned]] — the beyond-driver-
   * Bloom sharded mode — and its two building blocks (the per-bucket
-  * BloomAggregator build, the codegen'd sharded membership probe).
+  * no-partial-merge `bloomShards` build, the codegen'd sharded
+  * membership probe).
   */
 class ShardedBloomSpec extends SparkSpec {
   import spark.implicits._
