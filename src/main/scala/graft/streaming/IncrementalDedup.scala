@@ -293,6 +293,100 @@ object IncrementalDedup {
       maxBucketState, stateTtl)
   }
 
+  final case class BoilerLine(line_key: String, n_docs: Long)
+
+  /** Streaming boilerplate-line detection — the incremental twin of
+    * [[graft.text.CorpusOps.dropBoilerplateLines]]'s DETECTION stage
+    * (q66): as documents arrive, each line key accumulates the set of
+    * DISTINCT doc ids carrying it, and the key is emitted exactly ONCE,
+    * the moment that set first exceeds `maxDocs` — the boilerplate feed
+    * a downstream rewriter (or the batch operator's rewrite stage, via
+    * a stream-static join) subscribes to.
+    *
+    * State is bounded PER KEY by construction: an unflagged key retains
+    * at most `maxDocs + 1` doc ids (a capped distinct-set, which also
+    * absorbs at-least-once redeliveries — a replayed doc cannot
+    * double-count), and a FLAGGED key collapses to an empty marker, so
+    * hot boilerplate lines — exactly the keys with unbounded doc
+    * arrivals — carry O(1) state forever after. The number of KEYS
+    * grows with the corpus' distinct lines, the same unbounded axis as
+    * the candidate streams' buckets: pass `stateTtl` for long-running
+    * feeds (same processing-time-timeout semantics and trigger caveat
+    * as [[minhashCandidateStream]] — an expiry drops a key's counts and
+    * a later arrival restarts from zero, trading recall across the gap
+    * for bounded state).
+    *
+    * `n_docs` in the emission is always exactly `maxDocs + 1` (the
+    * accumulator stops at the crossing, so even a burst batch cannot
+    * overshoot it) — the EMITTED KEY SET equals the batch detection's
+    * flagged set for any batch partitioning of the input (gated in
+    * IncrementalDedupSpec with redeliveries), which is the operator's
+    * contract; counts past the threshold stop accumulating by design. Null-id/null-text docs
+    * are dropped exactly as the batch twin drops them; `lineHash` and
+    * `delimiter` match [[graft.text.CorpusOps.dropBoilerplateLines]].
+    */
+  def boilerplateLineStream(
+      docs: DataFrame, maxDocs: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      delimiter: String = "\n", lineHash: String = "literal",
+      stateTtl: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    requireIntegralId(docs, idCol)
+    require(maxDocs >= 1, s"maxDocs $maxDocs")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    require(graft.text.CorpusOps.GramKeys.contains(lineHash),
+      s"lineHash $lineHash not in ${graft.text.CorpusOps.GramKeys}")
+    val delim = java.util.regex.Pattern.quote(delimiter)
+    val lineCol =
+      if (lineHash == "xxhash64") xxhash64(col("_l")).cast("string")
+      else col("_l")
+    val keyed = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), delim)).as("_l"))
+      .select(lineCol.as("line_key"), col("doc_id"))
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed.as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[(Boolean, Seq[Long])]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty[BoilerLine]
+          } else {
+            val (flagged, seen) =
+              state.getOption.getOrElse((false, Seq.empty[Long]))
+            if (flagged) {
+              stateTtl.foreach(state.setTimeoutDuration)
+              Iterator.empty[BoilerLine]
+            } else {
+              val set = scala.collection.mutable.HashSet
+                .empty[Long] ++= seen
+              val it = rows.map(_._2)
+              // Stop accumulating the moment the threshold is crossed:
+              // the distinct-set never holds more than maxDocs + 1 ids,
+              // however hot the key.
+              while (it.hasNext && set.size <= maxDocs) set += it.next()
+              val out =
+                if (set.size > maxDocs) {
+                  state.update((true, Seq.empty))
+                  Iterator.single(BoilerLine(key, set.size.toLong))
+                } else {
+                  state.update((false, set.toSeq.sorted))
+                  Iterator.empty[BoilerLine]
+                }
+              stateTtl.foreach(state.setTimeoutDuration)
+              out
+            }
+          }
+        })
+      .toDF()
+  }
+
   /** The candidate streams carry ids through Long-typed keyed state, so
     * the id column must be integral — checked at CONSTRUCTION: a string
     * id would cast to null per row, and a null inside the stream's

@@ -289,7 +289,10 @@ class RandomizedDifferentialSpec extends SparkSpec {
       canon(CorpusOps.domainCap(d, "doc_id", "source", 5, "pc")),
       canon(CorpusOps.packShards(d, "doc_id",
         size(split(col("text"), " ")), budget = 50L)),
-      canon(CorpusOps.duplicateSpans(d, "doc_id", "text", 3, 2)))
+      canon(CorpusOps.duplicateSpans(d, "doc_id", "text", 3, 2)),
+      canon(CorpusOps.dropBoilerplateLines(d, "doc_id", "text",
+        maxDocs = 5, delimiter = " ")),
+      canon(CorpusOps.normalizeText(d, "text")))
     val base = runAll(docs)
     // 1-partition, many-partition, and skew-clustered layouts must all
     // produce identical answers (range partitioning on the skewed
