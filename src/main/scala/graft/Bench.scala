@@ -53,6 +53,10 @@ object Bench {
     // per-doc set join + pure-column rewrite — benched so the two
     // explode passes and the broadcast rewrite show round-over-round.
     "q66_boilerplate_lines",
+    // Sequence packing (round 19): the two-pass prefix-sum tape + one
+    // assembly shuffle — benched so the RDD seam and the groupBy
+    // assembly show round-over-round.
+    "q68_pack_sequences",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

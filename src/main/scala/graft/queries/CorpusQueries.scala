@@ -331,5 +331,50 @@ object CorpusQueries {
           regexp_replace(nfc_normalize(text),
             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text
         FROM documents"""))
+
+  , // q68: GPT-style sequence packing — documents laid on one global
+    // token tape in doc_id order, cut into exact 64-token training
+    // sequences with per-sequence doc-boundary metadata; straddling
+    // docs split at the token. The oracle restates the tape with a
+    // window prefix sum (the DuckDB side can afford a global window;
+    // the Spark side uses the distributed two-pass offset machinery)
+    // and the same piece arithmetic. Arrays are csv-serialized at the
+    // QueryDef level (the driver's comparator hashes scalars).
+    QueryDef(
+      "q68_pack_sequences",
+      (s, dir) => CorpusOps.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 64)
+        .select(col("seq_id"), col("text"),
+          array_join(col("doc_ids").cast("array<string>"), ",")
+            .as("doc_ids"),
+          array_join(col("doc_starts").cast("array<string>"), ",")
+            .as("doc_starts"),
+          col("n_tokens")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+              len(string_split(text, ' ')) AS w
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          c AS (SELECT doc_id, toks, w,
+              CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS cum
+            FROM d),
+          p AS (SELECT doc_id, toks, w, cum,
+              unnest(range(cum // 64, (cum + w - 1) // 64 + 1)) AS seq_id
+            FROM c),
+          s AS (SELECT seq_id, doc_id,
+              greatest(cum, seq_id * 64) - seq_id * 64 AS pos,
+              toks[greatest(cum, seq_id * 64) - cum + 1 :
+                   least((seq_id + 1) * 64, cum + w) - cum] AS piece
+            FROM p)
+        SELECT seq_id,
+          string_agg(array_to_string(piece, ' '), ' ' ORDER BY pos)
+            AS text,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)
+            AS doc_ids,
+          string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+            AS doc_starts,
+          CAST(sum(len(piece)) AS BIGINT) AS n_tokens
+        FROM s GROUP BY seq_id"""))
   )
 }

@@ -346,54 +346,148 @@ object CorpusOps {
       docs: DataFrame, idCol: String, weight: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget $budget")
-    val spark = docs.sparkSession
-    val sorted = docs
-      .select(col(idCol), coalesce(weight.cast("long"), lit(0L)).as("_w"))
+    withRunningOffset(
+        docs.select(col(idCol),
+          coalesce(weight.cast("long"), lit(0L)).as("weight")),
+        idCol, "weight")
+      .select(col(idCol), col("weight"),
+        expr(s"_cum div ${budget}L").as("shard_id"))
+  }
+
+  /** The scale-safe exclusive prefix sum shared by [[packShards]] and
+    * [[packSequences]]: appends `_cum` = sum of `weightCol` over all
+    * rows with a smaller `idCol` (the row's own weight excluded).
+    * `rows` must already carry a non-null LONG `weightCol`; every
+    * input column rides through — callers project first, so only what
+    * the downstream op needs crosses the range shuffle.
+    *
+    * NOT a global single-task window: range-repartition + in-partition
+    * sort (distributed), one small job for per-partition weight sums,
+    * a driver-side prefix over those (bounded by the partition count),
+    * then a per-partition running sum seeded with the broadcast
+    * offsets — the `RelationalOps.denseIds` two-pass seam, with the
+    * sorted RDD's shuffle files reused by the second pass.
+    *
+    * The second pass replays the SAME RDD and indexes `offsets` by
+    * partition id: its correctness depends on the sorted RDD keeping
+    * the partitioning (and contents) the sums were computed under.
+    * That holds because `rdd` is one materialized lineage reused by
+    * both jobs (the range shuffle's files are reused, not re-sampled)
+    * — but verify it with guards that CAN fail (a bare
+    * `partSums.length == getNumPartitions` check is tautological:
+    * pass 1 emits exactly one sum per partition by construction).
+    * Each pass-2 partition checks (a) its index is inside the pass-1
+    * offset table and (b) after draining, its running sum landed
+    * exactly on the next pass-1 offset — any lineage re-evaluation
+    * that moved rows across partitions trips (b) instead of silently
+    * mis-assigning everything after the drifted partition.
+    */
+  private def withRunningOffset(
+      rows: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val spark = rows.sparkSession
+    val sorted = rows
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val wIdx = sorted.schema.fieldIndex(weightCol)
     val rdd = sorted.rdd
     val partSums = rdd
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+        var s = 0L; it.foreach(s += _.getLong(wIdx)); Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val schema = sorted.schema
-      .add("shard_id", LongType, nullable = false)
-    // The second pass replays the SAME RDD and indexes `offsets` by
-    // partition id: its correctness depends on the sorted RDD keeping
-    // the partitioning (and contents) the sums were computed under.
-    // That holds because `rdd` is one materialized lineage reused by
-    // both jobs (the range shuffle's files are reused, not re-sampled)
-    // — but verify it with guards that CAN fail (a bare
-    // `partSums.length == getNumPartitions` check is tautological:
-    // pass 1 emits exactly one sum per partition by construction).
-    // Each pass-2 partition checks (a) its index is inside the pass-1
-    // offset table and (b) after draining, its running sum landed
-    // exactly on the next pass-1 offset — any lineage re-evaluation
-    // that moved rows across partitions trips (b) instead of silently
-    // mis-sharding everything after the drifted partition.
-    val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+    val schema = sorted.schema.add("_cum", LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
       val off = bc.value
       if (i + 1 >= off.length)
         throw new IllegalStateException(
-          s"packShards partition drift: partition $i outside the " +
-            s"${off.length - 1} ranges summed in pass 1")
+          s"withRunningOffset partition drift: partition $i outside " +
+            s"the ${off.length - 1} ranges summed in pass 1")
       var cum = off(i)
       it.map { r =>
-        val shard = cum / budget
-        cum += r.getLong(1)
-        Row(r.get(0), r.getLong(1), shard)
+        val before = cum
+        cum += r.getLong(wIdx)
+        Row.fromSeq(r.toSeq :+ before)
       } ++ {
         if (cum != off(i + 1))
           throw new IllegalStateException(
-            s"packShards partition drift: partition $i weight " +
+            s"withRunningOffset partition drift: partition $i weight " +
               s"${cum - off(i)} != pass-1 sum ${off(i + 1) - off(i)}")
         Iterator.empty
       }
     }
-    spark.createDataFrame(packed, schema)
-      .withColumnRenamed("_w", "weight")
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Sequence packing — the step between curation and the trainer
+    * that [[chunkTokens]] (split LONG docs) and [[packShards]]
+    * (group docs into storage shards) bracket: short documents are
+    * packed densely into FIXED-LENGTH training sequences of `seqLen`
+    * whitespace tokens, each sequence carrying the doc-boundary
+    * metadata an attention-mask-aware trainer needs (no attending
+    * across document boundaries). Documents are laid out in `idCol`
+    * order on a single global token tape; sequence `s` is tokens
+    * `[s·seqLen, (s+1)·seqLen)` of that tape, so every sequence
+    * except the last is EXACTLY `seqLen` tokens and a document
+    * straddling a boundary is split across the adjacent sequences at
+    * the token (GPT-style packing: nothing padded, nothing dropped —
+    * the concatenation of all sequences is exactly the concatenation
+    * of all documents).
+    *
+    * Scale shape: the global token offsets come from
+    * [[withRunningOffset]] (the distributed two-pass prefix sum — no
+    * single-task window), the piece explode is pure per-row column
+    * work (a doc lands in `1 + ⌊(w−1)/seqLen⌋` sequences), and ONE
+    * `groupBy(seq_id)` shuffle assembles the output — the text
+    * crosses the wire exactly once, unavoidably, because the output
+    * rows ARE new groupings of it. Ordering inside a sequence needs
+    * no window: piece positions are disjoint by construction, so one
+    * `sort_array(collect_list(struct(pos, …)))` orders members.
+    *
+    * `idCol` is the layout key and must be unique per doc (ties make
+    * tape order — and thus every downstream sequence — undefined);
+    * docs with a null id or null text are excluded (nothing to
+    * train on). An empty text is ONE empty token, exactly as
+    * [[chunkTokens]] counts it. Returns
+    * `(seq_id BIGINT, text STRING, doc_ids ARRAY<idType>,
+    * doc_starts ARRAY<BIGINT>, n_tokens BIGINT)` with `doc_starts(i)`
+    * = the token position inside this sequence where `doc_ids(i)`'s
+    * piece begins.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen $seqLen")
+    val L = seqLen.toLong
+    val base = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).cast("long").as("_w"))
+    val cw = withRunningOffset(base, idCol, "_w")
+    val pieces = cw
+      .select(col(idCol), col("_toks"), col("_cum"), col("_w"),
+        explode(sequence(expr(s"_cum div ${L}L"),
+          expr(s"(_cum + _w - 1) div ${L}L"))).as("seq_id"))
+      .select(col("seq_id"),
+        (greatest(col("_cum"), col("seq_id") * L) - col("seq_id") * L)
+          .as("pos"),
+        col(idCol).as("_doc"),
+        slice(col("_toks"),
+          (greatest(col("_cum"), col("seq_id") * L) - col("_cum") + 1)
+            .cast("int"),
+          (least((col("seq_id") + 1) * L, col("_cum") + col("_w")) -
+            greatest(col("_cum"), col("seq_id") * L)).cast("int"))
+          .as("_piece"))
+    pieces.groupBy("seq_id")
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("_doc"), col("_piece")))).as("_ps"))
+      .select(col("seq_id"),
+        concat_ws(" ",
+          flatten(transform(col("_ps"), p => p("_piece")))).as("text"),
+        transform(col("_ps"), p => p("_doc")).as("doc_ids"),
+        transform(col("_ps"), p => p("pos")).as("doc_starts"),
+        aggregate(col("_ps"), lit(0L),
+          (acc, p) => acc + size(p("_piece"))).as("n_tokens"))
   }
 
   /** Hash functions accepted by the deterministic sampling family

@@ -648,6 +648,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(raw == "\u00e9 plus\u0000junk\u0007here")
   }
 
+  test("packSequences: hand-computed tape layout with a straddling " +
+      "doc, boundary metadata, and the nothing-lost invariants on " +
+      "fixture documents") {
+    // Tape: a b c | d e f | g h i  with L=3 -> doc 3 straddles seqs
+    // 1 and 2 at the token.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"),
+      (4L, null.asInstanceOf[String]) // excluded
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.packSequences(docs, "doc_id", "text", 3)
+      .orderBy("seq_id")
+      .select("seq_id", "text", "doc_ids", "doc_starts", "n_tokens")
+      .as[(Long, String, Seq[Long], Seq[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, "a b c", Seq(1L), Seq(0L), 3L),
+      (1L, "d e f", Seq(2L, 3L), Seq(0L, 2L), 3L),
+      (2L, "g h i", Seq(3L), Seq(0L), 3L)), out.toString)
+    // Fixture invariants at L=64: every sequence except the last is
+    // exactly full, and the concatenation of all sequences IS the
+    // concatenation of all documents in id order (nothing padded,
+    // nothing dropped, order preserved).
+    val fx = graft.Tables.load(spark, sf0001, "documents")
+    val seqs = CorpusOps.packSequences(fx, "doc_id", "text", 64)
+      .orderBy("seq_id")
+      .select("seq_id", "text", "n_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(seqs.map(_._1) == seqs.indices.map(_.toLong),
+      "sequence ids must be dense from 0")
+    assert(seqs.dropRight(1).forall(_._3 == 64L),
+      "every non-final sequence must be exactly seqLen tokens")
+    assert(seqs.last._3 <= 64L && seqs.last._3 > 0L)
+    val tape = seqs.map(_._2).mkString(" ")
+    val docsTape = fx.where(col("text").isNotNull)
+      .orderBy("doc_id").select("text")
+      .as[String].collect().mkString(" ")
+    assert(tape == docsTape,
+      "concat of sequences must equal concat of documents")
+    intercept[IllegalArgumentException] {
+      CorpusOps.packSequences(docs, "doc_id", "text", 0)
+    }
+    ()
+  }
+
   test("dropBoilerplateLines plan: the text column never enters a " +
       "shuffle while the per-doc sets broadcast, no aggregate ever " +
       "carries it, and no cartesian appears") {

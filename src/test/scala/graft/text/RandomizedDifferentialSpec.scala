@@ -292,7 +292,11 @@ class RandomizedDifferentialSpec extends SparkSpec {
       canon(CorpusOps.duplicateSpans(d, "doc_id", "text", 3, 2)),
       canon(CorpusOps.dropBoilerplateLines(d, "doc_id", "text",
         maxDocs = 5, delimiter = " ")),
-      canon(CorpusOps.normalizeText(d, "text")))
+      canon(CorpusOps.normalizeText(d, "text")),
+      canon(CorpusOps.packSequences(d, "doc_id", "text", 16)
+        .select(col("seq_id"), col("text"),
+          col("doc_ids").cast("array<string>"),
+          col("doc_starts"), col("n_tokens"))))
     val base = runAll(docs)
     // 1-partition, many-partition, and skew-clustered layouts must all
     // produce identical answers (range partitioning on the skewed
