@@ -213,7 +213,12 @@ object ScaleBench {
       // structure (replica texts never collide across replicas), so
       // the re-crawl dup rate is scale-invariant and survivors must
       // grow exactly linearly.
-      "q62_incremental_dedup")
+      "q62_incremental_dedup",
+      // Sequence packing: replica ids stay contiguous and per-doc
+      // token counts are replica-invariant, so the global tape (and
+      // the sequence count) grows exactly linearly — measures the
+      // two-pass prefix-sum seam plus the assembly shuffle at 10x.
+      "q68_pack_sequences")
     val qs = SparkEntry.queries
     var phaseRecords = Map.empty[String, Map[String, Double]]
 
