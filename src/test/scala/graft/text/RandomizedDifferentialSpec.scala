@@ -276,6 +276,55 @@ class RandomizedDifferentialSpec extends SparkSpec {
           FROM (SELECT r.*, CASE WHEN r.text IS NULL THEN NULL
                   ELSE coalesce(a.t2, '') END AS text2
                 FROM rdocs r LEFT JOIN agg a ON r.doc_id = a.doc_id) d"""))
+
+      // packSequences twin: the global token tape restated with a
+      // WINDOW prefix sum (single-task, fine for a test) — an
+      // implementation-independent check on the distributed two-pass
+      // offset machinery; empty texts (one empty token) and negative
+      // ids are load-bearing hostile inputs here.
+      def seqCsv(df: DataFrame): DataFrame = df.select(
+        col("seq_id"), col("text"),
+        array_join(col("doc_ids").cast("array<string>"), ",")
+          .as("doc_ids"),
+        array_join(col("doc_starts").cast("array<string>"), ",")
+          .as("doc_starts"),
+        col("n_tokens"))
+      check("packSequences", seed,
+        seqCsv(CorpusOps.packSequences(docs, "doc_id", "text", 16)),
+        spark.sql("""
+          WITH d AS (SELECT doc_id, split(text, ' ') AS toks,
+                CAST(size(split(text, ' ')) AS BIGINT) AS w
+              FROM rdocs
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          c AS (SELECT doc_id, toks, w,
+              coalesce(sum(w) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0L) AS cum
+            FROM d),
+          p AS (SELECT doc_id, toks, w, cum, seq_id
+            FROM c
+            LATERAL VIEW explode(sequence(cum div 16L,
+              (cum + w - 1) div 16L)) t AS seq_id),
+          s AS (SELECT seq_id, doc_id,
+              greatest(cum, seq_id * 16) - seq_id * 16 AS pos,
+              slice(toks,
+                CAST(greatest(cum, seq_id * 16) - cum + 1 AS INT),
+                CAST(least((seq_id + 1) * 16, cum + w)
+                  - greatest(cum, seq_id * 16) AS INT)) AS piece
+            FROM p),
+          g AS (SELECT seq_id,
+              array_sort(collect_list(struct(pos, doc_id, piece))) AS ps
+            FROM s GROUP BY seq_id)
+          SELECT seq_id,
+            concat_ws(' ',
+              flatten(transform(ps, x -> x.piece))) AS text,
+            array_join(cast(transform(ps, x -> x.doc_id)
+              AS array<string>), ',') AS doc_ids,
+            array_join(cast(transform(ps, x -> x.pos)
+              AS array<string>), ',') AS doc_starts,
+            aggregate(ps, 0L, (acc, x) -> acc + size(x.piece))
+              AS n_tokens
+          FROM g"""))
     }
   }
 
