@@ -71,4 +71,35 @@ class AnsiGateSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("GLOBAL plan hygiene: no query plans a CartesianProduct or " +
+      "nested-loop join except the declared brute-force oracles, and " +
+      "none plans a ScalaUDF") {
+    // Piggybacks on the same battery surface: every queries() entry is
+    // planned once and its executed plan swept. The allowlist is the
+    // DECLARED exactness oracles whose whole point is the N² compare
+    // (SURVEY §8); anything else going cartesian means a join key was
+    // silently lost, and any ScalaUDF means a codegen fence crept back
+    // into a shipped plan (the affine-gap conversion removed the last
+    // one in round 19).
+    val declaredCartesian = Set(
+      "q44_knn_bruteforce", // brute-force KNN: the N² oracle itself
+      "q48_embedding_neardup", // exact near-dup over all pairs (oracle)
+      // IVF centroid assignment: every vector scores against the
+      // BROADCAST centroid table — a bounded nested loop whose inner
+      // side is a constant-size (≤ nlist) frame, not an N² join.
+      "q46_knn_ivf", "q49_knn_ivf_fullprobe"
+    )
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      if (!declaredCartesian(n))
+        assert(!plan.contains("CartesianProduct") &&
+            !plan.contains("BroadcastNestedLoop"),
+          s"$n plans a cartesian/nested-loop join:\n$plan")
+      assert(!plan.contains("ScalaUDF"),
+        s"$n plans a ScalaUDF (codegen fence):\n$plan")
+    }
+  }
 }
