@@ -376,5 +376,50 @@ object CorpusQueries {
             AS doc_starts,
           CAST(sum(len(piece)) AS BIGINT) AS n_tokens
         FROM s GROUP BY seq_id"""))
+
+  , // q69: vocabulary build + token-id encoding — top-16 tokens by
+    // corpus count (ties broken token-ASC; the fixture HAS equal
+    // counts, so the tie-break is load-bearing on both sides), ids
+    // 0..15, everything else → unk id 16. The 16-entry vocab leaves
+    // ~45% of fixture occurrences out-of-vocabulary at every SF (the
+    // synthetic corpus draws ~31 distinct tokens), so the OOV path
+    // and n_unk are genuinely exercised. The oracle rebuilds the
+    // vocab with a row_number window over the same (count DESC,
+    // token ASC) order and re-encodes positionally; token_ids are
+    // csv-serialized at the QueryDef level (the driver's comparator
+    // hashes scalars).
+    QueryDef(
+      "q69_encode_tokens",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vocab = CorpusOps.buildVocab(docs, "text", 16)
+        CorpusOps.encodeTokens(docs, vocab, "doc_id", "text",
+            unkId = 16)
+          .select(col("doc_id"),
+            array_join(col("token_ids").cast("array<string>"), ",")
+              .as("token_ids"),
+            col("n_tokens"), col("n_unk"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          tok AS (SELECT unnest(t) AS token FROM d),
+          cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+          vocab AS (SELECT token,
+              CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                AS INTEGER) AS token_id
+            FROM cnt ORDER BY n DESC, token LIMIT 16),
+          e AS (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+            FROM d),
+          j AS (SELECT e.doc_id, e.i,
+              coalesce(v.token_id, 16) AS tid
+            FROM e LEFT JOIN vocab v ON e.t[e.i + 1] = v.token)
+        SELECT doc_id,
+          string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i)
+            AS token_ids,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN tid = 16 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unk
+        FROM j GROUP BY doc_id"""))
   )
 }

@@ -490,6 +490,120 @@ object CorpusOps {
           (acc, p) => acc + size(p("_piece"))).as("n_tokens"))
   }
 
+  /** Vocabulary build — the other half of trainer prep next to the
+    * layout family: the top-`vocabSize` whitespace tokens of the
+    * corpus by occurrence count, ids `0..V-1` assigned in
+    * `(count DESC, token ASC)` order (the ASC tie-break makes the
+    * vocabulary — and therefore every downstream encoding —
+    * deterministic under equal counts). Returns
+    * `(token STRING, token_id INT, n_occurrences BIGINT)`.
+    *
+    * Scale shape: the explode ships one token per occurrence but the
+    * `groupBy(token)` partial-aggregates map-side, so the shuffle is
+    * one `(token, count)` pair per distinct token per map task — the
+    * corpus text itself never crosses the wire. The global top-V is
+    * `orderBy.limit` = TakeOrderedAndProject (per-partition top-V
+    * heaps, driver merge of ≤ V·numPartitions summary rows — no
+    * global sort of the distinct-token frame). The id assignment is a
+    * single-partition `row_number` window, bounded by `vocabSize`
+    * (≤ ~10⁵·~20 B = megabytes), never by corpus size.
+    *
+    * Docs with null text contribute nothing; an empty text is ONE
+    * empty token, exactly as [[chunkTokens]]/[[packSequences]] count
+    * it (the `""` token then competes for a vocab slot like any
+    * other).
+    */
+  def buildVocab(docs: DataFrame, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize $vocabSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token"))
+    docs
+      .where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(vocabSize)
+      .withColumn("token_id", (row_number().over(w) - 1).cast("int"))
+      .select(col("token"), col("token_id"), col("n_occurrences"))
+  }
+
+  /** Token-id encoding — maps each document's whitespace tokens to
+    * [[buildVocab]] ids, out-of-vocabulary tokens to `unkId` (callers
+    * conventionally pass `vocabSize`, the first id no real token
+    * holds). Returns
+    * `(idCol, token_ids ARRAY<INT>, n_tokens BIGINT, n_unk BIGINT)`
+    * — the ints a trainer consumes plus the OOV-rate signal curation
+    * dashboards watch.
+    *
+    * Scale shape: `vocab` is broadcast (it is ≤ vocabSize rows by
+    * construction) so the per-token lookup is a map-side
+    * BroadcastHashJoin — the exploded token stream never shuffles for
+    * the join. The only exchange is the per-doc reassembly
+    * `groupBy(idCol)`, and by then each row is `(id, pos INT,
+    * tid INT)` — the TEXT never enters any shuffle (same discipline
+    * as [[dropBoilerplateLines]]'s rewrite). In-doc order needs no
+    * window: positions are disjoint, one
+    * `sort_array(collect_list(struct))` orders them.
+    *
+    * Docs with a null id or null text are excluded (nothing to
+    * encode); an empty text is ONE empty token (family grain). For
+    * small vocabularies [[encodeTokensLit]] is the zero-shuffle
+    * per-row variant — same answer, plan-embedded map, streaming-safe
+    * unchanged.
+    */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame, idCol: String,
+      textCol: String, unkId: Int): DataFrame = {
+    require(unkId >= 0, s"unkId $unkId")
+    Seq("_pos", "_tok", "_tid").foreach { n =>
+      require(!docs.columns.exists(_.equalsIgnoreCase(n)),
+        s"docs already has a $n column")
+    }
+    val exploded = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
+    exploded
+      .join(broadcast(vocab.select(col("token").as("_tok"),
+        col("token_id"))), Seq("_tok"), "left")
+      .select(col(idCol), col("_pos"),
+        coalesce(col("token_id"), lit(unkId)).cast("int").as("_tid"))
+      .groupBy(idCol)
+      .agg(
+        sort_array(collect_list(struct(col("_pos"), col("_tid"))))
+          .as("_ps"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_tid") === unkId, 1L).otherwise(0L)).as("n_unk"))
+      .select(col(idCol),
+        transform(col("_ps"), p => p("_tid")).as("token_ids"),
+        col("n_tokens"), col("n_unk"))
+  }
+
+  /** Per-row twin of [[encodeTokens]]: the vocabulary as a PLAN
+    * LITERAL map, the encode as a pure column program — zero shuffle,
+    * zero join, and therefore streaming-safe UNCHANGED (the same
+    * body runs on a streaming frame; gated in CorpusStreamSpec).
+    * Right when the vocab is driver-resident and small (the literal
+    * serializes with every task); [[encodeTokens]] is the scale path
+    * when it isn't. Emits bit-identical rows to the join variant —
+    * gated in VocabEncodeSpec.
+    */
+  def encodeTokensLit(docs: DataFrame, vocab: Map[String, Int],
+      idCol: String, textCol: String, unkId: Int): DataFrame = {
+    require(unkId >= 0, s"unkId $unkId")
+    val m = typedLit(vocab)
+    val ids = transform(split(col(textCol), " "),
+      t => coalesce(element_at(m, t), lit(unkId)).cast("int"))
+    docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), ids.as("token_ids"))
+      .select(col(idCol), col("token_ids"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        size(filter(col("token_ids"), t => t === unkId)).cast("long")
+          .as("n_unk"))
+  }
+
   /** Hash functions accepted by the deterministic sampling family
     * ([[splitAssign]] / [[stratifiedSample]] / [[domainCap]] /
     * [[mixtureExpand]]).
