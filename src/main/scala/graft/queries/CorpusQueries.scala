@@ -421,5 +421,36 @@ object CorpusQueries {
           CAST(sum(CASE WHEN tid = 16 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_unk
         FROM j GROUP BY doc_id"""))
+
+  , // q70: top-3 characteristic terms per doc — linear-idf keyword
+    // extraction (score = tf/df: one correctly-rounded IEEE division
+    // of exact integers, so the DOUBLE hashes identically across
+    // engines, where ln(N/df) would be libm-dependent). The oracle
+    // ranks with a window row_number over the same (score DESC, term
+    // ASC) order; the Spark side needs no window at all — a doc's
+    // distinct-term group is bounded by the doc itself, so
+    // sort_array(collect_list) + slice cuts the top-k per doc.
+    QueryDef(
+      "q70_top_terms",
+      (s, dir) => CorpusOps.topTerms(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+            GROUP BY doc_id, term),
+          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+            GROUP BY term),
+          s AS (SELECT tf.doc_id, tf.term, tf.tf,
+              CAST(tf.tf AS DOUBLE) / df.df AS score
+            FROM tf JOIN df USING (term)),
+          r AS (SELECT doc_id, term, tf, score,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS rank
+            FROM s)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+          CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3"""))
   )
 }

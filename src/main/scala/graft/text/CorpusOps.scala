@@ -604,6 +604,60 @@ object CorpusOps {
           .as("n_unk"))
   }
 
+  /** Top-`k` characteristic terms per document — TF-IDF-family
+    * keyword extraction with a LINEAR idf: `score = tf / df` (term
+    * frequency in the doc over corpus document frequency). Linear idf
+    * is chosen over `tf·ln(N/df)` for cross-engine bit determinism:
+    * the score is ONE correctly-rounded IEEE division of two exact
+    * integers, identical in any engine, where `ln` is a libm call
+    * with no cross-engine rounding contract (the log variant is a
+    * one-expression swap if ranking fidelity to classic TF-IDF
+    * matters more than oracle hashability). Ties break token-ASC, so
+    * the extraction is a pure function of the corpus. Returns
+    * `(idCol, term STRING, tf BIGINT, score DOUBLE, rank INT)` with
+    * rank 1..k per doc, fewer when the doc has < k distinct terms.
+    *
+    * Scale shape: tf is a `groupBy(id, term)` over the narrow
+    * exploded token stream (map-side partial agg), df a
+    * `groupBy(term)` with exact distinct-doc counting, and the
+    * tf⋈df lookup a shuffle equi-join on the term — the df side is
+    * the corpus VOCABULARY, far too large to assume broadcastable at
+    * crawl scale, so no broadcast hint (AQE may still choose one when
+    * small). The top-k needs no window: a doc's distinct-term group
+    * is bounded by the doc's own length, so one
+    * `sort_array(collect_list(struct))` + `slice` per doc orders and
+    * cuts it — the sort key struct leads with `-score` (ascending
+    * struct sort = score descending, term-ASC tie-break). The text
+    * never enters any shuffle; every exchanged row is
+    * `(id, term, tf, df)`-narrow. Docs with a null id or null text
+    * are excluded; an empty text is ONE empty token (family grain).
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k $k")
+    Seq("_term", "_ns", "_top", "_i", "_t").foreach { n =>
+      require(!docs.columns.exists(_.equalsIgnoreCase(n)),
+        s"docs already has a $n column")
+    }
+    val tok = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("_term"))
+    val tf = tok.groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("_term"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+    tf.join(dfreq, "_term")
+      .select(col(idCol), col("_term"), col("tf"),
+        (col("tf").cast("double") / col("_df")).as("score"))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("_ns"), col("_term"), col("tf"),
+        col("score")))), 1, k).as("_top"))
+      .select(col(idCol), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col(idCol), col("_t._term").as("term"), col("_t.tf"),
+        col("_t.score"), (col("_i") + 1).cast("int").as("rank"))
+  }
+
   /** Hash functions accepted by the deterministic sampling family
     * ([[splitAssign]] / [[stratifiedSample]] / [[domainCap]] /
     * [[mixtureExpand]]).
