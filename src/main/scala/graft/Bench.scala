@@ -57,6 +57,15 @@ object Bench {
     // assembly shuffle — benched so the RDD seam and the groupBy
     // assembly show round-over-round.
     "q68_pack_sequences",
+    // Vocab build + token-id encoding (round 19): token-count top-V +
+    // broadcast-lookup encode with one int-triple assembly shuffle —
+    // benched so the two explode passes and the broadcast show
+    // round-over-round.
+    "q69_encode_tokens",
+    // Top-k terms (round 19): tf/df scoring via two aggs + a term
+    // equi-join, window-free per-doc cut — benched so the
+    // countDistinct plan and the bounded collect show round-over-round.
+    "q70_top_terms",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

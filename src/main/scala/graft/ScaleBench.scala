@@ -218,7 +218,17 @@ object ScaleBench {
       // token counts are replica-invariant, so the global tape (and
       // the sequence count) grows exactly linearly — measures the
       // two-pass prefix-sum seam plus the assembly shuffle at 10x.
-      "q68_pack_sequences")
+      "q68_pack_sequences",
+      // Vocab encode: output rows = docs, exactly linear by
+      // construction (the suffix replicas grow the VOCABULARY 10x —
+      // distinct tokens, not per-token counts — so this also measures
+      // the top-V and broadcast-lookup paths under a wider token
+      // space, the direction a real crawl grows).
+      "q69_encode_tokens",
+      // Top-k terms: output rows = 3 x docs, exactly linear; the df
+      // aggregation and the tf-join-df equi-join see the same 10x
+      // vocabulary growth.
+      "q70_top_terms")
     val qs = SparkEntry.queries
     var phaseRecords = Map.empty[String, Map[String, Double]]
 

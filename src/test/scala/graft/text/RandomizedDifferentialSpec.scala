@@ -325,6 +325,69 @@ class RandomizedDifferentialSpec extends SparkSpec {
             aggregate(ps, 0L, (acc, x) -> acc + size(x.piece))
               AS n_tokens
           FROM g"""))
+
+      // buildVocab + encodeTokens twin: the whole vocab-then-encode
+      // program restated (row_number vocab ids over the same
+      // (count DESC, token ASC) order, positional re-encode). The
+      // hostile corpus makes "" a HIGH-FREQUENCY token (~1/10 docs are
+      // empty = one empty token each), so the empty string competes
+      // for — and usually wins — a vocab slot on both sides; vocab
+      // counting is id-blind (text-only filter) while encoding drops
+      // null-id docs, and the twin restates BOTH filters.
+      check("encodeTokens", seed,
+        CorpusOps.encodeTokens(docs,
+            CorpusOps.buildVocab(docs, "text", 5), "doc_id", "text",
+            unkId = 5)
+          .select(col("doc_id"),
+            array_join(col("token_ids").cast("array<string>"), ",")
+              .as("token_ids"),
+            col("n_tokens"), col("n_unk")),
+        spark.sql("""
+          WITH cnt AS (SELECT token, count(*) AS n
+              FROM (SELECT explode(split(text, ' ')) AS token
+                    FROM rdocs WHERE text IS NOT NULL)
+              GROUP BY token),
+          vocab AS (SELECT token,
+              CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                AS INT) AS token_id
+            FROM cnt ORDER BY n DESC, token LIMIT 5),
+          d AS (SELECT doc_id, split(text, ' ') AS t FROM rdocs
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          e AS (SELECT doc_id, i, token FROM d
+                LATERAL VIEW posexplode(t) x AS i, token),
+          j AS (SELECT e.doc_id, e.i, coalesce(v.token_id, 5) AS tid
+                FROM e LEFT JOIN vocab v ON e.token = v.token)
+          SELECT doc_id,
+            array_join(transform(array_sort(collect_list(struct(i, tid))),
+              x -> cast(x.tid AS string)), ',') AS token_ids,
+            count(*) AS n_tokens,
+            sum(CASE WHEN tid = 5 THEN 1 ELSE 0 END) AS n_unk
+          FROM j GROUP BY doc_id"""))
+
+      // topTerms twin: the window row_number idiom over the same
+      // (tf/df DESC, term ASC) order — equal scores are common here
+      // (singleton terms in singleton docs all score 1.0), so the
+      // term-ASC tie-break is load-bearing on both sides.
+      check("topTerms", seed,
+        CorpusOps.topTerms(docs, "doc_id", "text", k = 2),
+        spark.sql("""
+          WITH d AS (SELECT doc_id, split(text, ' ') AS t FROM rdocs
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          tok AS (SELECT doc_id, term FROM d
+                LATERAL VIEW explode(t) x AS term),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+            GROUP BY doc_id, term),
+          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+            GROUP BY term),
+          s AS (SELECT tf.doc_id, tf.term, tf.tf,
+              cast(tf.tf AS double) / df.df AS score
+            FROM tf JOIN df ON tf.term = df.term),
+          r AS (SELECT doc_id, term, tf, score,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS rank
+            FROM s)
+          SELECT doc_id, term, tf, score, cast(rank AS int) AS rank
+          FROM r WHERE rank <= 2"""))
     }
   }
 
@@ -345,7 +408,10 @@ class RandomizedDifferentialSpec extends SparkSpec {
       canon(CorpusOps.packSequences(d, "doc_id", "text", 16)
         .select(col("seq_id"), col("text"),
           col("doc_ids").cast("array<string>"),
-          col("doc_starts"), col("n_tokens"))))
+          col("doc_starts"), col("n_tokens"))),
+      canon(CorpusOps.encodeTokens(d,
+        CorpusOps.buildVocab(d, "text", 5), "doc_id", "text", 5)),
+      canon(CorpusOps.topTerms(d, "doc_id", "text", 3)))
     val base = runAll(docs)
     // 1-partition, many-partition, and skew-clustered layouts must all
     // produce identical answers (range partitioning on the skewed
