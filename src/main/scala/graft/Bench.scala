@@ -66,6 +66,10 @@ object Bench {
     // equi-join, window-free per-doc cut — benched so the
     // countDistinct plan and the bounded collect show round-over-round.
     "q70_top_terms",
+    // Epoch shuffle (round 19): hash range-repartition + zipWithIndex
+    // numbering — benched so the denseIds RDD seam shows
+    // round-over-round on a corpus-wide permutation.
+    "q71_epoch_shuffle",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

@@ -228,7 +228,11 @@ object ScaleBench {
       // Top-k terms: output rows = 3 x docs, exactly linear; the df
       // aggregation and the tf-join-df equi-join see the same 10x
       // vocabulary growth.
-      "q70_top_terms")
+      "q70_top_terms",
+      // Epoch shuffle: output rows = docs, exactly linear; measures
+      // the hash range-repartition + zipWithIndex numbering on a 10x
+      // corpus-wide permutation.
+      "q71_epoch_shuffle")
     val qs = SparkEntry.queries
     var phaseRecords = Map.empty[String, Map[String, Double]]
 

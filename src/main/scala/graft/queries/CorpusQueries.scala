@@ -452,5 +452,28 @@ object CorpusQueries {
         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
           CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 3"""))
+
+  , // q71: deterministic epoch shuffle — dense 1-based training-order
+    // positions by rank in (salted md5 hash, id) order. The oracle is
+    // a window row_number over the same order (the DuckDB side can
+    // afford one global window; the Spark side range-repartitions on
+    // the uniform hash and zipWithIndex-numbers — no single-task
+    // window, the q06/denseIds machinery). Same md5 arithmetic as the
+    // q57/q59/q60 sampling family, so the permutation replays in any
+    // engine.
+    QueryDef(
+      "q71_epoch_shuffle",
+      (s, dir) => CorpusOps.epochShuffle(
+          Tables.load(s, dir, "documents"), "doc_id", "graft-epoch-v1")
+        .select(col("doc_id"), col("shuffle_pos")),
+      Some("""WITH h AS (SELECT doc_id,
+            CAST(('0x' || substring(
+              md5('graft-epoch-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hk
+          FROM documents WHERE doc_id IS NOT NULL)
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
+            AS shuffle_pos
+        FROM h"""))
   )
 }

@@ -658,6 +658,38 @@ object CorpusOps {
         col("_t.score"), (col("_i") + 1).cast("int").as("rank"))
   }
 
+  /** Deterministic epoch shuffle — the training-order permutation
+    * between curation and the trainer: every doc gets a dense 1-based
+    * `shuffle_pos` equal to its rank in `(saltedHash(id), id)` order.
+    * A new `salt` is a new epoch's independent permutation; the same
+    * salt reproduces the identical order on any cluster, any
+    * partitioning, any day — which is what makes training runs
+    * replayable and loss curves comparable. The id tie-break makes
+    * the rank well-defined even under hash collisions, provided
+    * `idCol` is unique per doc (same contract as [[packSequences]]);
+    * docs with a null id are excluded (no identity, no position).
+    *
+    * Scale shape: the rank is NOT a global `row_number` window (one
+    * task holding the corpus) — [[graft.ops.RelationalOps.denseIds]]
+    * range-repartitions on the hash, sorts within partitions, and
+    * assigns global offsets via `zipWithIndex` with O(#partitions)
+    * driver work; the hash is uniform by construction, so the range
+    * partitions are balanced no matter how skewed the ids. `hashFn`
+    * follows [[HashFns]]: `"md5"` replays in any engine (the oracle
+    * mode), `"xxhash64"` is the one-codegen-hash 100 TB mode.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, salt: String,
+      hashFn: String = "md5"): DataFrame = {
+    require(!docs.columns.exists(_.equalsIgnoreCase("_h")),
+      "docs already has a _h column")
+    val withH = docs
+      .where(col(idCol).isNotNull)
+      .withColumn("_h", hashKey(idCol, salt, hexLen = 15, hashFn))
+    graft.ops.RelationalOps
+      .denseIds(withH, Seq(col("_h"), col(idCol)), "shuffle_pos")
+      .drop("_h")
+  }
+
   /** Hash functions accepted by the deterministic sampling family
     * ([[splitAssign]] / [[stratifiedSample]] / [[domainCap]] /
     * [[mixtureExpand]]).

@@ -388,6 +388,24 @@ class RandomizedDifferentialSpec extends SparkSpec {
             FROM s)
           SELECT doc_id, term, tf, score, cast(rank AS int) AS rank
           FROM r WHERE rank <= 2"""))
+
+      // epochShuffle twin: global row_number over the same salted-md5
+      // rank order (negative and huge ids are the hostile inputs — the
+      // hash string is the DECIMAL rendering, which both sides must
+      // agree on for negatives).
+      check("epochShuffle", seed,
+        CorpusOps.epochShuffle(docs, "doc_id", "ez")
+          .select(col("doc_id"), col("shuffle_pos")),
+        spark.sql("""
+          WITH h AS (SELECT doc_id,
+              cast(conv(substring(md5(concat('ez:',
+                cast(doc_id AS string))), 1, 15), 16, 10) AS bigint)
+                AS hk
+            FROM rdocs WHERE doc_id IS NOT NULL)
+          SELECT doc_id,
+            cast(row_number() OVER (ORDER BY hk, doc_id) AS bigint)
+              AS shuffle_pos
+          FROM h"""))
     }
   }
 
@@ -411,7 +429,9 @@ class RandomizedDifferentialSpec extends SparkSpec {
           col("doc_starts"), col("n_tokens"))),
       canon(CorpusOps.encodeTokens(d,
         CorpusOps.buildVocab(d, "text", 5), "doc_id", "text", 5)),
-      canon(CorpusOps.topTerms(d, "doc_id", "text", 3)))
+      canon(CorpusOps.topTerms(d, "doc_id", "text", 3)),
+      canon(CorpusOps.epochShuffle(d, "doc_id", "pz")
+        .select(col("doc_id"), col("shuffle_pos"))))
     val base = runAll(docs)
     // 1-partition, many-partition, and skew-clustered layouts must all
     // produce identical answers (range partitioning on the skewed
