@@ -387,7 +387,10 @@ object CorpusQueries {
     // vocab with a row_number window over the same (count DESC,
     // token ASC) order and re-encodes positionally; token_ids are
     // csv-serialized at the QueryDef level (the driver's comparator
-    // hashes scalars).
+    // hashes scalars). Vocab counting is id-BLIND (text-only filter)
+    // while encoding drops null-id docs — the oracle restates both
+    // filters separately, so a fixture regeneration that adds a
+    // null-id doc with text cannot silently diverge the two sides.
     QueryDef(
       "q69_encode_tokens",
       (s, dir) => {
@@ -403,7 +406,8 @@ object CorpusQueries {
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
             FROM documents
             WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-          tok AS (SELECT unnest(t) AS token FROM d),
+          tok AS (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL),
           cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
           vocab AS (SELECT token,
               CAST(row_number() OVER (ORDER BY n DESC, token) - 1

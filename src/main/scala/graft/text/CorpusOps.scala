@@ -556,7 +556,7 @@ object CorpusOps {
   def encodeTokens(docs: DataFrame, vocab: DataFrame, idCol: String,
       textCol: String, unkId: Int): DataFrame = {
     require(unkId >= 0, s"unkId $unkId")
-    Seq("_pos", "_tok", "_tid").foreach { n =>
+    Seq("_pos", "_tok", "_tid", "_miss").foreach { n =>
       require(!docs.columns.exists(_.equalsIgnoreCase(n)),
         s"docs already has a $n column")
     }
@@ -567,14 +567,19 @@ object CorpusOps {
     exploded
       .join(broadcast(vocab.select(col("token").as("_tok"),
         col("token_id"))), Seq("_tok"), "left")
+      // n_unk counts the JOIN MISS, not `_tid === unkId`: if a caller
+      // breaks the "unkId is an id no real token holds" convention,
+      // the OOV rate must still be exact (only token_ids becomes
+      // ambiguous, and only for that caller).
       .select(col(idCol), col("_pos"),
-        coalesce(col("token_id"), lit(unkId)).cast("int").as("_tid"))
+        coalesce(col("token_id"), lit(unkId)).cast("int").as("_tid"),
+        col("token_id").isNull.as("_miss"))
       .groupBy(idCol)
       .agg(
         sort_array(collect_list(struct(col("_pos"), col("_tid"))))
           .as("_ps"),
         count(lit(1)).as("n_tokens"),
-        sum(when(col("_tid") === unkId, 1L).otherwise(0L)).as("n_unk"))
+        sum(when(col("_miss"), 1L).otherwise(0L)).as("n_unk"))
       .select(col(idCol),
         transform(col("_ps"), p => p("_tid")).as("token_ids"),
         col("n_tokens"), col("n_unk"))
@@ -583,11 +588,12 @@ object CorpusOps {
   /** Per-row twin of [[encodeTokens]]: the vocabulary as a PLAN
     * LITERAL map, the encode as a pure column program — zero shuffle,
     * zero join, and therefore streaming-safe UNCHANGED (the same
-    * body runs on a streaming frame; gated in CorpusStreamSpec).
-    * Right when the vocab is driver-resident and small (the literal
-    * serializes with every task); [[encodeTokens]] is the scale path
-    * when it isn't. Emits bit-identical rows to the join variant —
-    * gated in VocabEncodeSpec.
+    * body runs on a streaming frame; gated in VocabEncodeSpec's
+    * MemoryStream test). Right when the vocab is driver-resident and
+    * small (the literal serializes with every task);
+    * [[encodeTokens]] is the scale path when it isn't. Emits
+    * bit-identical rows to the join variant — gated in
+    * VocabEncodeSpec.
     */
   def encodeTokensLit(docs: DataFrame, vocab: Map[String, Int],
       idCol: String, textCol: String, unkId: Int): DataFrame = {
@@ -595,13 +601,16 @@ object CorpusOps {
     val m = typedLit(vocab)
     val ids = transform(split(col(textCol), " "),
       t => coalesce(element_at(m, t), lit(unkId)).cast("int"))
+    // n_unk counts the LOOKUP MISS (same contract as the join
+    // variant): exact OOV rate even when `unkId` collides with a
+    // real vocab id.
+    val misses = size(filter(split(col(textCol), " "),
+      t => element_at(m, t).isNull)).cast("long")
     docs
       .where(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol), ids.as("token_ids"))
-      .select(col(idCol), col("token_ids"),
-        size(col("token_ids")).cast("long").as("n_tokens"),
-        size(filter(col("token_ids"), t => t === unkId)).cast("long")
-          .as("n_unk"))
+      .select(col(idCol), ids.as("token_ids"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        misses.as("n_unk"))
   }
 
   /** Top-`k` characteristic terms per document — TF-IDF-family

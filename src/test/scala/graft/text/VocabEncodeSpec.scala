@@ -56,6 +56,32 @@ class VocabEncodeSpec extends SparkSpec {
       (2L, "0,1,1,3", 4L, 1L),
       (3L, "3", 1L, 1L)), // empty text = ONE empty token, OOV here
       enc.toString)
+    // n_unk counts the lookup MISS, not `tid == unkId`: a caller who
+    // breaks the "unkId is an id no real token holds" convention
+    // (unkId = 0 collides with token 'a' here) still gets the exact
+    // OOV rate — only token_ids becomes ambiguous — and the literal
+    // variant agrees bit-for-bit.
+    val collide = CorpusOps.encodeTokens(docs, vocab, "doc_id", "text",
+        unkId = 0)
+      .orderBy("doc_id")
+      .select(col("doc_id"),
+        array_join(col("token_ids").cast("array<string>"), ",")
+          .as("ids"),
+        col("n_tokens"), col("n_unk"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(collide == Seq(
+      (1L, "1,0,0,2", 4L, 0L),
+      (2L, "0,1,1,0", 4L, 1L),
+      (3L, "0", 1L, 1L)), collide.toString)
+    val collideLit = CorpusOps.encodeTokensLit(docs,
+        Map("a" -> 0, "b" -> 1, "c" -> 2), "doc_id", "text", unkId = 0)
+      .orderBy("doc_id")
+      .select(col("doc_id"),
+        array_join(col("token_ids").cast("array<string>"), ",")
+          .as("ids"),
+        col("n_tokens"), col("n_unk"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(collideLit == collide)
     intercept[IllegalArgumentException] {
       CorpusOps.buildVocab(docs, "text", 0)
     }
