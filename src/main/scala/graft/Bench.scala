@@ -70,6 +70,10 @@ object Bench {
     // numbering — benched so the denseIds RDD seam shows
     // round-over-round on a corpus-wide permutation.
     "q71_epoch_shuffle",
+    // Bigram-LM quality score (round 19): bigram explode + two model
+    // aggs + two scoring equi-joins — benched so the LM-filter's join
+    // plan shows round-over-round.
+    "q72_bigram_lm",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

@@ -232,7 +232,12 @@ object ScaleBench {
       // Epoch shuffle: output rows = docs, exactly linear; measures
       // the hash range-repartition + zipWithIndex numbering on a 10x
       // corpus-wide permutation.
-      "q71_epoch_shuffle")
+      "q71_epoch_shuffle",
+      // Bigram LM: output rows = docs, exactly linear; the suffix
+      // replicas grow the bigram VOCABULARY 10x while per-bigram
+      // counts stay flat — the model aggs and scoring joins scale on
+      // the axis a real crawl grows.
+      "q72_bigram_lm")
     val qs = SparkEntry.queries
     var phaseRecords = Map.empty[String, Map[String, Double]]
 

@@ -479,5 +479,38 @@ object CorpusQueries {
           CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
             AS shuffle_pos
         FROM h"""))
+
+  , // q72: corpus-self-trained bigram-LM quality score (the CCNet/
+    // KenLM-style LM filter) — mean MLE bigram probability per doc.
+    // Every per-bigram probability is one correctly-rounded division
+    // and multiply, quantized to 1e-9 (round half-up — identical for
+    // positives in both engines) and summed EXACTLY in integer space,
+    // then one exact-integer division — so the DOUBLE score hashes
+    // identically (a ln per bigram would be libm-dependent; the
+    // log-perplexity variant is a one-expression swap where oracle
+    // hashability isn't needed). Docs with < 2 tokens score NULL with
+    // n_bigrams 0.
+    QueryDef(
+      "q72_bigram_lm",
+      (s, dir) => CorpusOps.bigramLmScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                  FROM d)),
+          c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+          c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+          p AS (SELECT bg.doc_id,
+              CAST(round(CAST(c2.n2 AS DOUBLE) / c1.n1 * 1000000000, 0)
+                AS BIGINT) AS q
+            FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+          s AS (SELECT doc_id, count(*) AS nb, sum(q) AS sq FROM p
+            GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+          CAST(s.sq AS DOUBLE) / (s.nb * 1000000000) AS lm_score
+        FROM d LEFT JOIN s ON d.doc_id = s.doc_id"""))
   )
 }

@@ -699,6 +699,77 @@ object CorpusOps {
       .drop("_h")
   }
 
+  /** Corpus-self-trained bigram-LM quality score — the LM-filter
+    * stage of a curation pipeline (CCNet/KenLM-style: score each doc
+    * by how well a language model trained on the corpus itself
+    * predicts it; outliers in either direction are candidates for
+    * dropping). The model is the MLE bigram table of the corpus
+    * (`p(w2|w1) = c(w1 w2) / c(w1 ·)`, prefix-marginal denominator)
+    * and the score is the MEAN per-bigram probability over the doc's
+    * `n−1` bigrams. The mean is linear, not log-perplexity, by
+    * design: each probability is one correctly-rounded IEEE division
+    * and multiply, quantized to 1e−9 (`round`, half-up — identical
+    * for positives in any engine) and summed EXACTLY in integer
+    * space ([[graft.queries.QueryDef.exactSum]]'s pattern), then one
+    * final exact-integer division — so the DOUBLE score hashes
+    * identically across engines, where a `ln` per bigram would be a
+    * libm call with no cross-engine rounding contract (the
+    * log-perplexity variant is the same program with `ln` swapped in
+    * before quantization, if within-engine use doesn't need oracle
+    * hashability).
+    *
+    * Scale shape: the bigram explode is narrow `(id, w1, w2)` rows;
+    * the model is two map-side-partial aggregations (`c2` over
+    * bigrams, `c1` as the prefix marginal — computed FROM `c2`, so
+    * the second agg runs on the already-collapsed bigram vocabulary);
+    * scoring is two shuffle equi-joins on the bigram/prefix keys (the
+    * bigram vocabulary at crawl scale is far too large to broadcast)
+    * and one `groupBy(id)` of `(id, q LONG)` rows. The document text
+    * never enters any exchange. Docs with a null id or null text are
+    * excluded; docs with fewer than 2 tokens (including the empty
+    * text = one empty token) emit `n_bigrams = 0` with a NULL score —
+    * unscoreable, the caller decides. Returns
+    * `(idCol, n_bigrams BIGINT, lm_score DOUBLE)`.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    Seq("_t", "_i", "_w1", "_w2", "_n2", "_n1", "_q").foreach { n =>
+      require(!docs.columns.exists(_.equalsIgnoreCase(n)),
+        s"docs already has a $n column")
+    }
+    val base = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("_t"))
+    // sequence(1, 0) would be DESCENDING [1, 0], not empty — guard
+    // short docs explicitly (same trap packSequences' family avoids).
+    val bg = base
+      .select(col(idCol), col("_t"),
+        explode(when(size(col("_t")) >= 2,
+          sequence(lit(1), size(col("_t")) - 1))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col(idCol),
+        element_at(col("_t"), col("_i")).as("_w1"),
+        element_at(col("_t"), col("_i") + 1).as("_w2"))
+    val c2 = bg.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_n2"))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_n2")).as("_n1"))
+    val perDoc = bg
+      .join(c2, Seq("_w1", "_w2"))
+      .join(c1, Seq("_w1"))
+      .select(col(idCol),
+        round(col("_n2").cast("double") / col("_n1") * 1e9, 0)
+          .cast("long").as("_q"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_q")).as("_sq"))
+    base.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("_sq").cast("double") /
+          (col("n_bigrams") * lit(1000000000L)).cast("double"))
+          .as("lm_score"))
+  }
+
   /** Hash functions accepted by the deterministic sampling family
     * ([[splitAssign]] / [[stratifiedSample]] / [[domainCap]] /
     * [[mixtureExpand]]).

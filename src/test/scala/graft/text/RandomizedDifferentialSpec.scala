@@ -406,6 +406,34 @@ class RandomizedDifferentialSpec extends SparkSpec {
             cast(row_number() OVER (ORDER BY hk, doc_id) AS bigint)
               AS shuffle_pos
           FROM h"""))
+
+      // bigramLmScore twin: the whole MLE-bigram/quantized-sum
+      // program restated. The hostile corpus's ~1/10 empty docs land
+      // in the NULL-score branch (one empty token, zero bigrams) and
+      // its boilerplate tails create genuinely repeated bigrams.
+      check("bigramLmScore", seed,
+        CorpusOps.bigramLmScore(docs, "doc_id", "text"),
+        spark.sql("""
+          WITH d AS (SELECT doc_id, split(text, ' ') AS t FROM rdocs
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          bg AS (SELECT doc_id, element_at(t, i) AS w1,
+                element_at(t, i + 1) AS w2
+            FROM (SELECT doc_id, t, explode(sequence(1, size(t) - 1))
+                    AS i
+                  FROM d WHERE size(t) >= 2)),
+          c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg
+            GROUP BY w1, w2),
+          c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+          p AS (SELECT bg.doc_id,
+              CAST(round(CAST(n2 AS double) / n1 * 1e9, 0) AS bigint)
+                AS q
+            FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+          s AS (SELECT doc_id, count(*) AS nb, sum(q) AS sq FROM p
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+            cast(coalesce(s.nb, 0) AS bigint) AS n_bigrams,
+            CAST(s.sq AS double) / (s.nb * 1000000000) AS lm_score
+          FROM d LEFT JOIN s ON d.doc_id = s.doc_id"""))
     }
   }
 
@@ -431,7 +459,8 @@ class RandomizedDifferentialSpec extends SparkSpec {
         CorpusOps.buildVocab(d, "text", 5), "doc_id", "text", 5)),
       canon(CorpusOps.topTerms(d, "doc_id", "text", 3)),
       canon(CorpusOps.epochShuffle(d, "doc_id", "pz")
-        .select(col("doc_id"), col("shuffle_pos"))))
+        .select(col("doc_id"), col("shuffle_pos"))),
+      canon(CorpusOps.bigramLmScore(d, "doc_id", "text")))
     val base = runAll(docs)
     // 1-partition, many-partition, and skew-clustered layouts must all
     // produce identical answers (range partitioning on the skewed
