@@ -48,11 +48,27 @@ import org.apache.spark.sql.functions._
   * Rows with a null id or
   * null string are excluded (a null key cannot form an ordered pair;
   * a null string has no distance).
+  *
+  * '''Eagerness.''' `eager = true` (default) RUNS A JOB AT CALL TIME:
+  * the result is persisted and materialized so the exploded frontier
+  * cache can be released before returning — one cached pass of the
+  * Θ(len^maxDist) variant generation feeds both join sides, and the
+  * caller owns the returned persist (the TextDedup-family contract;
+  * Bench releases it). `eager = false` is the plan-composing escape
+  * hatch: ZERO jobs at call time (gated in EditJoinSpec), identical
+  * answer, result NOT persisted — the frontier cache instead stays
+  * registered for the returned plan's lifetime, so every action on
+  * the plan still reads ONE cached pass of the variant generation
+  * (first action populates it; MEMORY_AND_DISK, the narrow 8-byte-
+  * hash projection). The lazy frontier cache has no release handle —
+  * it is evictable (LRU) and bounded, but a caller issuing MANY
+  * lazy calls should prefer eager mode or clear the session cache.
   */
 object EditJoin {
 
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, maxFieldLen: Int = 128): DataFrame = {
+      maxDist: Int, maxFieldLen: Int = 128,
+      eager: Boolean = true): DataFrame = {
     require(maxDist >= 0 &&
         maxDist <= graft.functions.DeleteNeighborhood.MaxK,
       s"maxDist $maxDist not in [0, " +
@@ -87,16 +103,20 @@ object EditJoin {
         col(vhL).as(vhR))
     // A hash collision between unrelated variants only ADDS a
     // candidate the verify rejects; it can never drop a true pair.
-    val result = l
+    val answer = l
       .join(r, col(vhL) === col(vhR) && col("id1") < col("id2"))
       .select(col("id1"), col(s1), col("id2"), col(s2))
       .distinct()
       .withColumn(d, levenshtein(col(s1), col(s2), maxDist))
       .where(col(d) >= 0)
       .select(col("id1"), col("id2"), col(d).cast("long").as("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize now, while the frontier is cached
-    exploded.unpersist(false)
-    result
+    if (!eager) answer // zero jobs now; frontier cache feeds the plan
+    else {
+      val result = answer
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count() // materialize now, while the frontier is cached
+      exploded.unpersist(false)
+      result
+    }
   }
 }
