@@ -74,6 +74,19 @@ object Bench {
     // aggs + two scoring equi-joins — benched so the LM-filter's join
     // plan shows round-over-round.
     "q72_bigram_lm",
+    // BPE learn (round 20): K iterations of pair-count agg + argmax
+    // collect + localCheckpoint rewrite over the distinct-word table —
+    // benched so the iterative learn loop's per-iteration cost shows
+    // round-over-round.
+    "q73_bpe_learn",
+    // BPE encode (round 20): learn + the zero-shuffle codegen'd
+    // per-word encode — benched so the compiled merge-pass path shows
+    // round-over-round.
+    "q74_bpe_encode",
+    // Image perceptual near-dup (round 20): per-row BMP synth +
+    // integer dHash + SimHash chunk join — benched so the decode/hash
+    // expression and the Hamming band join show round-over-round.
+    "q75_image_neardup",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {

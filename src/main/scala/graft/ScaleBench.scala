@@ -237,7 +237,21 @@ object ScaleBench {
       // replicas grow the bigram VOCABULARY 10x while per-bigram
       // counts stay flat — the model aggs and scoring joins scale on
       // the axis a real crawl grows.
-      "q72_bigram_lm")
+      "q72_bigram_lm",
+      // BPE learn (round 20): the suffix replicas grow the
+      // distinct-word table 10x, so this measures the per-iteration
+      // pair aggregation + rewrite at 10x vocabulary (rows = 8 merges,
+      // flat by design — time ratio is the signal).
+      "q73_bpe_learn",
+      // BPE encode (round 20): learn at 10x vocabulary + the
+      // zero-shuffle per-row encode; output rows = docs, exactly
+      // linear.
+      "q74_bpe_encode",
+      // Image perceptual near-dup (round 20): synthGroupImages keys on
+      // doc_id alone, so the scaled corpus plants 10x groups — pairs
+      // grow exactly linearly (10 per group) while the dHash work is
+      // pure per-row compute.
+      "q75_image_neardup")
     val qs = SparkEntry.queries
     var phaseRecords = Map.empty[String, Map[String, Double]]
 
@@ -355,6 +369,43 @@ object ScaleBench {
     val (bsSec, bsRows) = boilerKernelAt(blBase * factor)
     System.err.println(f"[scale] boiler_lines x$factor: $bsSec%.2f s, $bsRows rows")
 
+    // ---- Zipf hot-key kernel (round 20): the suffix replicas hold
+    // per-token counts FLAT (they grow the vocabulary), so they
+    // structurally CANNOT exercise the q70/q72 vocabulary joins' skew
+    // claim — on natural text "the" joins in nearly every doc. Here
+    // every doc opens with the SAME hot trigram ("zipfhot" x3) plus 5
+    // unique body tokens, so the hot term's tf rows (q70's tf JOIN df
+    // key) and the hot bigram's occurrence rows (q72's bg JOIN c2 key)
+    // grow 10x ON ONE KEY — the AQE-skew-split path the scaladocs
+    // delegate to, now measured. Output stays exactly linear by
+    // construction (q70: 3 rows/doc — the first 3 uniques by the
+    // (score DESC, term ASC) order, zipfhot's 3/n score losing to the
+    // uniques' 1.0; q72: 1 row/doc).
+    def zipfDocs(n: Int): DataFrame =
+      spark.range(n.toLong).select(col("id"),
+        concat(lit("zipfhot zipfhot zipfhot "),
+          format_string("u%da u%db u%dc u%dd u%de",
+            col("id"), col("id"), col("id"), col("id"), col("id")))
+          .as("text"))
+        .repartition(32)
+    def zipfKernelAt(n: Int): ((Double, Long), (Double, Long)) = {
+      val docs = zipfDocs(n).persist()
+      docs.count()
+      val tt = time(reps)(() =>
+        graft.text.CorpusOps.topTerms(docs, "id", "text", k = 3))
+      val lm = time(reps)(() =>
+        graft.text.CorpusOps.bigramLmScore(docs, "id", "text"))
+      docs.unpersist()
+      (tt, lm)
+    }
+    val zfBase = 20000
+    val ((ztbSec, ztbRows), (zlbSec, zlbRows)) = zipfKernelAt(zfBase)
+    System.err.println(f"[scale] zipf base: topTerms $ztbSec%.2f s " +
+      f"($ztbRows rows), bigramLm $zlbSec%.2f s ($zlbRows rows)")
+    val ((ztsSec, ztsRows), (zlsSec, zlsRows)) = zipfKernelAt(zfBase * factor)
+    System.err.println(f"[scale] zipf x$factor: topTerms $ztsSec%.2f s " +
+      f"($ztsRows rows), bigramLm $zlsSec%.2f s ($zlsRows rows)")
+
     def jstr(s: String): String = JsonStr.escape(s)
     val qj = perQuery.map { case (n, (bs, br, ss, sr)) =>
       jstr(n) + ":" + f"""{"base_sec":$bs%.3f,"x${factor}_sec":$ss%.3f,""" +
@@ -386,7 +437,19 @@ object ScaleBench {
         f""""base_sec":$bbSec%.3f,"x${factor}_sec":$bsSec%.3f,""" +
         f""""time_ratio":${bsSec / math.max(1e-9, bbSec)}%.2f,""" +
         f""""base_rows":$bbRows,"x${factor}_rows":$bsRows,""" +
-        f""""row_ratio":${bsRows.toDouble / math.max(1, bbRows)}%.2f}}"""
+        f""""row_ratio":${bsRows.toDouble / math.max(1, bbRows)}%.2f},""" +
+      f""""zipf_hotkey_topterms":{"n_base":$zfBase,""" +
+        f""""n_scaled":${zfBase * factor},""" +
+        f""""base_sec":$ztbSec%.3f,"x${factor}_sec":$ztsSec%.3f,""" +
+        f""""time_ratio":${ztsSec / math.max(1e-9, ztbSec)}%.2f,""" +
+        f""""base_rows":$ztbRows,"x${factor}_rows":$ztsRows,""" +
+        f""""row_ratio":${ztsRows.toDouble / math.max(1, ztbRows)}%.2f},""" +
+      f""""zipf_hotkey_bigramlm":{"n_base":$zfBase,""" +
+        f""""n_scaled":${zfBase * factor},""" +
+        f""""base_sec":$zlbSec%.3f,"x${factor}_sec":$zlsSec%.3f,""" +
+        f""""time_ratio":${zlsSec / math.max(1e-9, zlbSec)}%.2f,""" +
+        f""""base_rows":$zlbRows,"x${factor}_rows":$zlsRows,""" +
+        f""""row_ratio":${zlsRows.toDouble / math.max(1, zlbRows)}%.2f}}"""
     val phJ = phaseRecords.toSeq.sortBy(_._1).map { case (k, ph) =>
       jstr(k) + ":" + ph.toSeq.sortBy(_._1)
         .map { case (p, s) => jstr(p) + ":" + f"$s%.3f" }

@@ -114,6 +114,41 @@ object GraftExtensions {
           s"affine_gap_sim expects 2 arguments, got ${exprs.length}")
         AffineGapDistance(exprs.head, exprs(1), sim = true)
       }),
+    (FunctionIdentifier("image_dhash"),
+      new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"image_dhash expects 1 argument, got ${exprs.length}")
+        ImageDHash(exprs.head)
+      }),
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"bpe_encode expects (word, merges), got ${exprs.length}")
+        // The merge table is STRUCTURAL (it defines the function), so
+        // it must be an analysis-time constant: evaluated HERE into a
+        // precompiled BpeMergeTable and carried as a plain field — the
+        // analyzed plan never contains the K-pair literal (the
+        // bloom_might_contain pattern).
+        val m = exprs(1)
+        require(m.foldable && m.dataType ==
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, false), false),
+          "bpe_encode's second argument must be a foldable " +
+            s"array<array<string>> of (l, r) merge pairs, got $m")
+        val arr = m.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(arr != null, "bpe_encode's merge table is null")
+        val pairs = (0 until arr.numElements()).map { i =>
+          val p = arr.getArray(i)
+          require(p != null && p.numElements() == 2,
+            s"bpe_encode merge ${i + 1} is not an (l, r) pair")
+          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }
+        BpeEncode(exprs.head, BpeMergeTable(pairs))
+      }),
     (FunctionIdentifier("bounded_min_by_n"),
       new ExpressionInfo(classOf[BoundedMinByN].getName,
         "bounded_min_by_n"),
@@ -191,6 +226,26 @@ object GraftFunctions {
     */
   def affineGapSim(a: Column, b: Column): Column =
     call_function("affine_gap_sim", a, b)
+
+  /** Codegen'd per-word BPE encoding (see [[BpeEncode]]): codepoint
+    * symbols, each merge applied in rank order as one left-to-right
+    * greedy pass. The merge table compiles into the expression at
+    * analysis time (one static call per row, no K-deep expression
+    * tree). Null word → null; empty word → [""] (the family's
+    * empty-token grain).
+    */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
+    // An empty table would make the literal's element type unresolvable
+    // (and a zero-merge encode is just split(w, "") — say so).
+    require(merges.nonEmpty,
+      "bpe_encode with no merges is split(word, '') — use that directly")
+    call_function("bpe_encode", word,
+      org.apache.spark.sql.functions.array(merges.map { case (l, r) =>
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(l),
+          org.apache.spark.sql.functions.lit(r))
+      }: _*))
+  }
 
   /** Distinct strings reachable by deleting at most `k` codepoints —
     * the exact candidate signature for edit-distance joining (see

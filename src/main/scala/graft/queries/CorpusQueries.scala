@@ -22,6 +22,52 @@ object CorpusQueries {
     * short docs yield an empty range, hence zero unnested rows —
     * mirroring the Spark side's empty-array guard).
     */
+  /** One left-to-right greedy BPE merge pass in DuckDB, over a `syms`
+    * VARCHAR[] column, with the pair taken from 1-row CTE `b` (columns
+    * l, r): the accumulator is the symbols joined by chr(31) (a
+    * separator no fixture token contains); merging is detecting that
+    * the accumulator's LAST symbol is exactly `l` (ends_with on the
+    * separator-prefixed l — anchored, so a longer symbol merely ending
+    * in l cannot match) and appending `x` WITHOUT a separator. A
+    * collapsed symbol immediately becomes the left operand at the next
+    * position — the same greedy semantics as
+    * [[graft.functions.BpeEncode]] and [[graft.text.Bpe.mergePassCol]]
+    * (BpeSpec pins all three bit-equal; the q73/q74 oracle rows prove
+    * it cross-engine).
+    */
+  private def bpeMergePassSql(b: String): String =
+    s"""CASE WHEN len(syms) < 2 THEN syms
+      ELSE string_split(list_reduce(syms, (acc, x) ->
+        CASE WHEN x = $b.r AND (acc = $b.l
+              OR ends_with(acc, chr(31) || $b.l))
+             THEN acc || x ELSE acc || chr(31) || x END), chr(31))
+      END"""
+
+  /** The UNROLLED BPE learn in DuckDB — `k` argmax+rewrite stages over
+    * the distinct-word table, each stage's best pair a 1-row CTE `bi`
+    * with the engine's (count DESC, l ASC, r ASC) tie-break. Ends with
+    * CTEs `b1..bk` (the learned merges) and `wk` (the rewritten word
+    * table) available to the caller.
+    */
+  private def bpeLearnCtes(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"""p$i AS (SELECT unnest(syms[1:len(syms)-1]) AS l,
+          unnest(syms[2:len(syms)]) AS r, n
+        FROM w${i - 1} WHERE len(syms) >= 2),
+      b$i AS (SELECT l, r, sum(n) AS total FROM p$i GROUP BY l, r
+        ORDER BY total DESC, l, r LIMIT 1),
+      w$i AS (SELECT ${bpeMergePassSql(s"b$i")} AS syms, n
+        FROM w${i - 1}, b$i)"""
+    }
+    s"""w0 AS (SELECT syms, n FROM (
+          SELECT string_split(w, '') AS syms, n FROM (
+            SELECT w, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+              WHERE text IS NOT NULL) GROUP BY w))
+        WHERE len(syms) >= 2),
+      ${stages.mkString(",\n      ")}"""
+  }
+
   private def gramsCte(n: Int): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t
           FROM documents),
@@ -512,5 +558,61 @@ object CorpusQueries {
           CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
           CAST(s.sq AS DOUBLE) / (s.nb * 1000000000) AS lm_score
         FROM d LEFT JOIN s ON d.doc_id = s.doc_id"""))
+
+  , // q73: BPE merge learning (Sennrich 2016) — 8 merges from the
+    // corpus's distinct-word table, deterministic (count DESC, pair
+    // ASC argmax). The oracle UNROLLS the whole iterative learn — 8
+    // argmax+rewrite stages over the same word table — so the LEARN
+    // loop itself is oracle-proven, not just suite-trusted (the
+    // fixture's rank-7/8 tie at equal counts and the chained p+ar
+    // merge are load-bearing on both sides). minPairCount = 2 never
+    // fires at any SF (every fixture pair count is in the hundreds),
+    // matching the oracle's fixed 8 stages.
+    QueryDef(
+      "q73_bpe_learn",
+      (s, dir) => graft.text.Bpe.mergesToDf(s,
+        graft.text.Bpe.learnBpe(Tables.load(s, dir, "documents"),
+          "text", numMerges = 8, minPairCount = 2L)),
+      Some(s"""WITH ${bpeLearnCtes(8)}
+        SELECT * FROM (${(1 to 8).map(i =>
+          s"""SELECT $i AS merge_rank, l AS lhs, r AS rhs,
+            CAST(total AS BIGINT) AS pair_count FROM b$i""")
+          .mkString(" UNION ALL ")})
+        ORDER BY merge_rank"""))
+
+  , // q74: BPE encoding of the corpus with the q73-learned table —
+    // per-word codepoint symbols, each merge one left-to-right greedy
+    // pass, pieces flattened in word order. Pure per-row compute on
+    // the Spark side (the merge table compiles into ONE codegen'd
+    // bpe_encode call; zero shuffle — plan-gated in BpeSpec); the
+    // oracle re-learns the merges (b1..b8) and re-encodes every word
+    // through the same list_reduce merge-pass chain, so learn+encode
+    // are proven END-TO-END cross-engine.
+    QueryDef(
+      "q74_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = graft.text.Bpe.learnBpe(docs, "text",
+          numMerges = 8, minPairCount = 2L).map(m => (m.l, m.r))
+        graft.text.Bpe.encodeBpe(docs, merges, "doc_id", "text")
+          .select(col("doc_id"),
+            array_join(col("pieces"), " ").as("pieces"),
+            col("n_pieces"))
+      },
+      Some(s"""WITH ${bpeLearnCtes(8)},
+        d AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        wd AS (SELECT doc_id, unnest(ws) AS w,
+            unnest(range(1, len(ws) + 1)) AS wi FROM d),
+        e0 AS (SELECT doc_id, wi, string_split(w, '') AS syms FROM wd),
+        ${(1 to 8).map(i =>
+          s"""e$i AS (SELECT doc_id, wi, ${bpeMergePassSql(s"b$i")}
+            AS syms FROM e${i - 1}, b$i)""").mkString(",\n        ")},
+        f AS (SELECT doc_id, wi, unnest(syms) AS sym,
+            unnest(range(1, len(syms) + 1)) AS si FROM e8)
+        SELECT doc_id, string_agg(sym, ' ' ORDER BY wi, si) AS pieces,
+          CAST(count(*) AS BIGINT) AS n_pieces
+        FROM f GROUP BY doc_id"""))
   )
 }

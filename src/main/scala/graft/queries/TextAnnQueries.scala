@@ -342,6 +342,83 @@ object TextAnnQueries {
       Some("""SELECT doc_id,
           octet_length(CAST(text AS BLOB)) AS n_bytes,
           lower(to_hex(CAST(substring(text, 1, 4) AS BLOB))) AS header_hex
-        FROM documents"""))
+        FROM documents""")),
+
+    // Image perceptual near-dup: REAL 25x14 BMPs synthesized per doc
+    // (md5 pixels shared within id-groups of five, corner-perturbed
+    // per member — planted Hamming <= 2 near-dups with exact ground
+    // truth), decoded by the REAL BMP parser, hashed by the
+    // integer-space 60-bit dHash, paired through the SimHash Hamming
+    // banding UNCHANGED. The oracle never sees a byte of BMP: it
+    // recomputes the pixel FORMULA arithmetically (md5 -> cells ->
+    // cross-multiplied dHash -> chunk join -> bit_count), so a drift
+    // anywhere in encode -> decode -> luma -> downsample -> hash ->
+    // band surfaces as a hash mismatch.
+    QueryDef(
+      "q75_image_neardup",
+      (s, dir) => graft.multimodal.Multimodal.imageNearDups(
+        graft.multimodal.Multimodal.synthGroupImages(
+          Tables.load(s, dir, "documents").select(col("doc_id")),
+          "doc_id", w = 25, h = 14),
+        "payload", "doc_id", maxHamming = 2),
+      Some(imageDHashOracleSql(w = 25, h = 14, maxHamming = 2)))
   )
+
+  /** q75's oracle: the synthetic pixel formula, integer luma cells,
+    * cross-multiplied dHash bits, pigeonhole chunk join, and Hamming
+    * filter — generated from the same grid constants as
+    * [[graft.multimodal.Multimodal.dHash60]] (11x6 grid, 60 bits,
+    * maxHamming+1 chunks), the q37 oracle's pattern. Pixel sums here
+    * are raw 0..255 values where the engine sums 1000x lumas (r=g=b);
+    * the cross-multiplication comparison is scale-invariant, so the
+    * bits agree exactly.
+    */
+  private def imageDHashOracleSql(w: Int, h: Int,
+      maxHamming: Int): String = {
+    val gw = graft.multimodal.Multimodal.DHashGridW
+    val gh = graft.multimodal.Multimodal.DHashGridH
+    val bits = 60
+    val chunks = math.min(maxHamming + 1, bits)
+    val bounds = (0 to chunks).map(c => c * bits / chunks)
+    val bandSelects = (0 until chunks).map { c =>
+      val lo = bounds(c)
+      val mask = (1L << (bounds(c + 1) - lo)) - 1L
+      s"SELECT doc_id, $c AS chunk, (simhash >> $lo) & $mask AS ckey FROM fp"
+    }.mkString(" UNION ALL ")
+    s"""WITH ids AS (SELECT doc_id FROM documents
+          WHERE doc_id IS NOT NULL),
+      px AS (SELECT doc_id, x, y,
+          CAST(('0x' || substring(md5('img-v1:'
+            || CAST(doc_id // 5 AS VARCHAR) || ':' || x || ':' || y),
+            1, 2)) AS INT) AS v0
+        FROM ids, (SELECT unnest(range(0, $w)) AS x),
+             (SELECT unnest(range(0, $h)) AS y)),
+      pv AS (SELECT doc_id, x, y,
+          CASE WHEN (x = 0 AND y = 0) OR (x = ${w - 1} AND y = ${h - 1})
+               THEN CAST((v0 + (doc_id % 5) * 51) % 256 AS INT)
+               ELSE v0 END AS v
+        FROM px),
+      cells AS (SELECT doc_id, (x * $gw) // $w AS cx,
+          (y * $gh) // $h AS cy, sum(v) AS s, count(*) AS c
+        FROM pv GROUP BY doc_id, cx, cy),
+      bits AS (SELECT a.doc_id,
+          CAST(a.cy * ${gw - 1} + a.cx AS INT) AS bit,
+          CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS val
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1),
+      fp AS (SELECT doc_id,
+          CAST(sum(CASE WHEN val = 1 THEN CAST(1 AS BIGINT) << bit
+            ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+      banded AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b USING (chunk, ckey)
+        WHERE a.doc_id < b.doc_id)
+    SELECT c.a_id, c.b_id,
+      CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.a_id
+    JOIN fp fb ON fb.doc_id = c.b_id
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $maxHamming"""
+  }
 }

@@ -10,6 +10,7 @@ import graft.SparkSpec
   * featurize's routing (real decode vs stub fallback) is verified.
   */
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
 
   private def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
@@ -235,6 +236,79 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kinds(1L) == "unknown", s"WebP sniffed as ${kinds(1L)}")
     assert(kinds(2L) == "wav")
+  }
+
+  test("dHash60: integer-space reference equality on random pixel " +
+      "grids (uneven cells), BMP == PNG bit-for-bit, undecodable -> " +
+      "null, synthBmp round-trips its pixel function") {
+    val gw = Multimodal.DHashGridW
+    val gh = Multimodal.DHashGridH
+    // Driver-side reference written from the CONTRACT: integer luma
+    // cells + cross-multiplied comparisons.
+    def ref(w: Int, h: Int, pix: (Int, Int) => Int): Long = {
+      val sums = Array.ofDim[Long](gh, gw)
+      val cnts = Array.ofDim[Long](gh, gw)
+      for (y <- 0 until h; x <- 0 until w) {
+        val lum = 1000L * (pix(x, y) & 0xff) // r=g=b: 114+587+299
+        sums(y * gh / h)(x * gw / w) += lum
+        cnts(y * gh / h)(x * gw / w) += 1
+      }
+      var fp = 0L
+      for (cy <- 0 until gh; cx <- 0 until gw - 1)
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) >
+            sums(cy)(cx) * cnts(cy)(cx + 1))
+          fp |= 1L << (cy * (gw - 1) + cx)
+      fp
+    }
+    val r = new scala.util.Random(20260815L)
+    // Sizes chosen so cells are UNEVEN (25 % 11 != 0, 14 % 6 != 0) as
+    // well as exact; includes degenerate 1-px-cell rows.
+    Seq((25, 14), (22, 12), (11, 6), (37, 19)).foreach { case (w, h) =>
+      (0 until 3).foreach { _ =>
+        val grid = Array.fill(h, w)(r.nextInt(256))
+        val pix = (x: Int, y: Int) => grid(y)(x)
+        val bmp = Multimodal.synthBmp(w, h, pix)
+        val viaBmp = Multimodal.dHash60(bmp)
+        assert(viaBmp != null, s"$w x $h BMP must decode")
+        assert(viaBmp.longValue() == ref(w, h, pix),
+          s"$w x $h BMP dHash != integer reference")
+        // Same pixels through the LOSSLESS ImageIO path.
+        val png = makeImage("png", w, h)((x, y) =>
+          (grid(y)(x), grid(y)(x), grid(y)(x)))
+        val viaPng = Multimodal.dHash60(png)
+        assert(viaPng != null && viaPng.longValue() == viaBmp.longValue(),
+          s"$w x $h PNG dHash != BMP dHash")
+      }
+    }
+    assert(Multimodal.dHash60(null) == null)
+    assert(Multimodal.dHash60(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.dHash60("RIFFxxxxWAVE".getBytes) == null)
+  }
+
+  test("imageNearDups: planted within-group pairs are recalled " +
+      "EXACTLY (all 10 per group, Hamming <= 2, zero cross-group), " +
+      "plan has no ScalaUDF / cartesian") {
+    val ids = spark.range(50).toDF("doc_id")
+    val imgs = Multimodal.synthGroupImages(ids, "doc_id", w = 25, h = 14)
+    val pairs = Multimodal.imageNearDups(imgs, "payload", "doc_id",
+      maxHamming = 2)
+    val got = pairs.select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    val want = (0L until 50L).groupBy(_ / 5).values.flatMap { g =>
+      for (a <- g; b <- g if a < b) yield (a, b)
+    }.toSet
+    assert(got == want,
+      s"planted recall: got ${got.size} pairs, want ${want.size}; " +
+        s"missing ${(want -- got).take(5)}, spurious ${(got -- want).take(5)}")
+    val ham = pairs.select("hamming").as[Long].collect()
+    assert(ham.forall(_ <= 2))
+    val ps = pairs.queryExecution.executedPlan.toString
+    assert(!ps.contains("ScalaUDF"), ps)
+    assert(!ps.contains("CartesianProduct") &&
+      !ps.contains("BroadcastNestedLoop"), ps)
+    assert(ps.contains("image_dhash") ||
+      // the hash may sit inside the cached fingerprint subplan
+      pairs.queryExecution.analyzed.toString.contains("image_dhash"), ps)
   }
 
   test("featurize routes real decoders and falls back to the stub") {
