@@ -614,5 +614,64 @@ object CorpusQueries {
         SELECT doc_id, string_agg(sym, ' ' ORDER BY wi, si) AS pieces,
           CAST(count(*) AS BIGINT) AS n_pieces
         FROM f GROUP BY doc_id"""))
+
+  , // q76: the full trainer-prep chain — text -> BPE pieces -> int
+    // token ids — as a pure COMPOSITION of oracle-proven operators:
+    // learnBpe (q73) + encodeBpe (q74) produce per-doc piece text
+    // (pieces are substrings of whitespace-split words, so they never
+    // contain spaces and re-enter the token family at the piece
+    // grain), then buildVocab/encodeTokens (q69) assign ids. The
+    // piece VOCABULARY is built from the doc_id % 3 != 0 slice only
+    // and encoding covers ALL docs, so the held-out third produces
+    // genuine OOV (n_unk > 0) — the fixed-vocab-meets-new-data shape
+    // a real trainer hits. The oracle restates the whole chain:
+    // unrolled learn, per-word encode, slice-filtered piece counts,
+    // windowed vocab ids, positional re-encode.
+    QueryDef(
+      "q76_bpe_ids",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = graft.text.Bpe.learnBpe(docs, "text",
+          numMerges = 8, minPairCount = 2L).map(m => (m.l, m.r))
+        val ptext = graft.text.Bpe
+          .encodeBpe(docs, merges, "doc_id", "text")
+          .select(col("doc_id"), array_join(col("pieces"), " ").as("pt"))
+        val vocab = CorpusOps.buildVocab(
+          ptext.where(col("doc_id") % 3 =!= 0), "pt", 24)
+        CorpusOps.encodeTokens(ptext, vocab, "doc_id", "pt", unkId = 24)
+          .select(col("doc_id"),
+            array_join(col("token_ids").cast("array<string>"), ",")
+              .as("token_ids"),
+            col("n_tokens"), col("n_unk"))
+      },
+      Some(s"""WITH ${bpeLearnCtes(8)},
+        d AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        wd AS (SELECT doc_id, unnest(ws) AS w,
+            unnest(range(1, len(ws) + 1)) AS wi FROM d),
+        e0 AS (SELECT doc_id, wi, string_split(w, '') AS syms FROM wd),
+        ${(1 to 8).map(i =>
+          s"""e$i AS (SELECT doc_id, wi, ${bpeMergePassSql(s"b$i")}
+            AS syms FROM e${i - 1}, b$i)""").mkString(",\n        ")},
+        f AS (SELECT doc_id, wi, unnest(syms) AS sym,
+            unnest(range(1, len(syms) + 1)) AS si FROM e8),
+        cnt AS (SELECT sym AS token, count(*) AS n FROM f
+          WHERE doc_id % 3 <> 0 GROUP BY sym),
+        vocab AS (SELECT token,
+            CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+              AS INTEGER) AS token_id
+          FROM cnt ORDER BY n DESC, token LIMIT 24),
+        j AS (SELECT f.doc_id, f.wi, f.si,
+            coalesce(v.token_id, 24) AS tid,
+            v.token_id IS NULL AS miss
+          FROM f LEFT JOIN vocab v ON f.sym = v.token)
+        SELECT doc_id,
+          string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wi, si)
+            AS token_ids,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unk
+        FROM j GROUP BY doc_id"""))
   )
 }

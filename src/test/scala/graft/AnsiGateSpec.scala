@@ -35,10 +35,10 @@ class AnsiGateSpec extends SparkSpec {
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("all 75 queries answer identically with ansi.enabled true and " +
+  test("all 76 queries answer identically with ansi.enabled true and " +
       "false (and none throws under ANSI)") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    assert(names.size == 75)
+    assert(names.size == 76)
     def battery(): Map[String, Seq[String]] = names.map { n =>
       val rows =
         try canon(SparkEntry.queries(n)(spark, sf0001))

@@ -144,6 +144,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeBpe runs UNCHANGED on a streaming frame (zero-shuffle " +
+      "per-row program)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = Bpe.encodeBpe(input.toDF().toDF("doc_id", "text"),
+      Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")),
+      "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("bpe_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "low lower lowest"), (2L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("bpe_out")
+        .select(col("doc_id"), array_join(col("pieces"), " ").as("p"),
+          col("n_pieces"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, "low lower low e s t", 6L),
+        (2L, "", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("randomized learn differential: distributed learnBpe == " +
       "driver-side reference learn on hostile corpora, and the result " +
       "is partitioning-invariant (3 seeds)") {
