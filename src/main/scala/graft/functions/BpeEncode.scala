@@ -20,7 +20,6 @@ import org.apache.spark.unsafe.types.UTF8String
 final class BpeMergeTable(val l: Array[String], val r: Array[String],
     val lr: Array[String]) extends Serializable {
   def size: Int = l.length
-  def pairs: Seq[(String, String)] = l.toSeq.zip(r.toSeq)
 }
 
 object BpeMergeTable {

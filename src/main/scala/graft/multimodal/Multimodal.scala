@@ -631,11 +631,23 @@ object Multimodal {
     * with exact ground truth; the ×51 magnitude actually flips bits
     * on a fixture-sized corpus (the q75 sf0.001 mix is ~72/25/3% at
     * Hamming 0/1/2), so the band join and the Hamming verify are both
-    * genuinely exercised. floorDiv/floorMod match the oracle's
-    * `//`/`%` on any id sign (the fixtures are non-negative).
+    * genuinely exercised. NON-NEGATIVE ids only, enforced loudly:
+    * DuckDB's `//`/`%` truncate toward zero while floorDiv/floorMod
+    * floor, so the two sides would silently compute DIFFERENT groups
+    * and perturbations for a negative id — the distributed form
+    * rejects them instead of diverging from the oracle.
     */
   def synthGroupImage(id: Long, w: Int, h: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    synthGroupImageWith(md, id, w, h)
+  }
+
+  private def synthGroupImageWith(md: java.security.MessageDigest,
+      id: Long, w: Int, h: Int): Array[Byte] = {
+    require(id >= 0,
+      s"synthGroupImage: id $id is negative — the group arithmetic " +
+        "(floorDiv/floorMod) diverges from the oracle's " +
+        "truncating // and % below zero")
     val g = java.lang.Math.floorDiv(id, 5L)
     val m = java.lang.Math.floorMod(id, 5L).toInt
     synthBmp(w, h, (x, y) => {
@@ -660,7 +672,10 @@ object Multimodal {
     ids.select(col(idCol).cast("long"))
       .where(col(idCol).isNotNull)
       .as[Long]
-      .mapPartitions(_.map(id => (id, synthGroupImage(id, w, h))))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(id => (id, synthGroupImageWith(md, id, w, h)))
+      }
       .toDF(idCol, "payload")
   }
 

@@ -60,9 +60,13 @@ import org.apache.spark.sql.functions._
   * registered for the returned plan's lifetime, so every action on
   * the plan still reads ONE cached pass of the variant generation
   * (first action populates it; MEMORY_AND_DISK, the narrow 8-byte-
-  * hash projection). The lazy frontier cache has no release handle —
-  * it is evictable (LRU) and bounded, but a caller issuing MANY
-  * lazy calls should prefer eager mode or clear the session cache.
+  * hash projection). The lazy frontier cache has NO release handle:
+  * it stays registered in the session CacheManager (blocks spill to
+  * executor disk under memory pressure and are reclaimed only at
+  * unpersist — which nothing calls — or session end), so a caller
+  * issuing MANY lazy calls in one session accumulates cache entries;
+  * prefer eager mode for repeated calls, or
+  * `spark.catalog.clearCache()` between batches.
   */
 object EditJoin {
 

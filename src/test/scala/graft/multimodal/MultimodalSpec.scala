@@ -283,6 +283,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash60(null) == null)
     assert(Multimodal.dHash60(Array[Byte](1, 2, 3)) == null)
     assert(Multimodal.dHash60("RIFFxxxxWAVE".getBytes) == null)
+    // Negative ids fail LOUDLY: DuckDB's truncating // and % would
+    // silently disagree with floorDiv/floorMod below zero.
+    intercept[IllegalArgumentException] {
+      Multimodal.synthGroupImage(-1L, 25, 14)
+    }
+    ()
   }
 
   test("imageNearDups: planted within-group pairs are recalled " +
