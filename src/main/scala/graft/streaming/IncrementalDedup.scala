@@ -293,6 +293,81 @@ object IncrementalDedup {
       maxBucketState, stateTtl)
   }
 
+  /** Streaming Hamming-banded near-dup candidates over 60-bit
+    * fingerprints — the pigeonhole analog of [[minhashCandidateStream]]
+    * and the incremental twin of the batch
+    * [[graft.dedup.TextDedup.simHashCandidates]] chunk join (q37, and
+    * q75's image path — ANY 60-bit fingerprint stream works): arriving
+    * fingerprints are cut into the SAME `maxHamming + 1` pigeonhole
+    * chunks as the batch operator (identical bounds arithmetic, so two
+    * fingerprints within `maxHamming` differing bits share a chunk
+    * key), then paired against per-(chunk, ckey) keyed state under the
+    * same bucket cap. Emits CANDIDATES; the exact
+    * `bit_count(xor) <= maxHamming` verify composes downstream as a
+    * stream-static join against the fingerprint store — the same
+    * verify the batch path runs, demonstrated in IncrementalDedupSpec.
+    * `fps` carries `(idCol, fpCol LONG)` — produce it with
+    * `TextDedup.simHash` (text) or `Multimodal.imageDHashes` (images),
+    * both stateless per-row programs that run on a streaming frame
+    * unchanged (see [[simhashCandidateStream]] /
+    * [[imageCandidateStream]]).
+    */
+  def fingerprintCandidateStream(
+      fps: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", fpCol: String = "simhash",
+      maxBucketState: Int = 1000, stateTtl: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    requireIntegralId(fps, idCol)
+    require(maxHamming >= 0, s"maxHamming $maxHamming")
+    val bits = 60
+    val chunks = math.min(maxHamming + 1, bits)
+    val bounds = (0 to chunks).map(c => c * bits / chunks)
+    pairStream(
+      fps.where(col(fpCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc_id"),
+          posexplode(array((0 until chunks).map { c =>
+            val lo = bounds(c)
+            val mask = (1L << (bounds(c + 1) - lo)) - 1L
+            shiftright(col(fpCol), lo).bitwiseAND(mask)
+          }: _*)).as(Seq("_chunk", "_ckey")))
+        .select(concat_ws("|", col("_chunk"), col("_ckey"))
+          .as("bucket_key"), col("doc_id"))
+        .where(col("doc_id").isNotNull),
+      maxBucketState, stateTtl)
+  }
+
+  /** [[fingerprintCandidateStream]] over streaming TEXT: arriving docs
+    * are fingerprinted by the SAME fused SimHash as batch q37
+    * (`TextDedup.simHash` — stateless, streaming-safe unchanged), then
+    * Hamming-banded against keyed state.
+    */
+  def simhashCandidateStream(
+      docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketState: Int = 1000, stateTtl: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    requireIntegralId(docs, idCol)
+    fingerprintCandidateStream(
+      graft.dedup.TextDedup.simHash(docs, textCol, idCol),
+      maxHamming, idCol, "simhash", maxBucketState, stateTtl)
+  }
+
+  /** [[fingerprintCandidateStream]] over streaming IMAGES: arriving
+    * payloads are hashed by the SAME integer-space dHash expression as
+    * batch q75 (`Multimodal.imageDHashes` — stateless, undecodable
+    * payloads drop), then Hamming-banded against keyed state.
+    */
+  def imageCandidateStream(
+      imgs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", binCol: String = "payload",
+      maxBucketState: Int = 1000, stateTtl: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    requireIntegralId(imgs, idCol)
+    fingerprintCandidateStream(
+      graft.multimodal.Multimodal.imageDHashes(imgs, binCol, idCol),
+      maxHamming, idCol, "dhash", maxBucketState, stateTtl)
+  }
+
   final case class BoilerLine(line_key: String, n_docs: Long)
 
   /** Streaming boilerplate-line detection — the incremental twin of

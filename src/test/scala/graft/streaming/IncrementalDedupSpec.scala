@@ -223,6 +223,95 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhashCandidateStream + stream-static bit_count verify " +
+      "matches batch simHashCandidates on the documents corpus " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val docsDf = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val rows = docsDf.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = IncrementalDedup.simhashCandidateStream(
+      input.toDF().toDF("doc_id", "text"), maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("sh_cand_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // Candidates are a superset; the SAME bit_count verify the batch
+      // path runs (stream-static join against the fingerprint store)
+      // must land exactly the batch answer.
+      val fp = graft.dedup.TextDedup.simHash(docsDf)
+      val cands = spark.table("sh_cand_out")
+        .select("a_id", "b_id").distinct()
+      val verified = cands
+        .join(fp.select(col("doc_id").as("a_id"),
+          col("simhash").as("ha")), "a_id")
+        .join(fp.select(col("doc_id").as("b_id"),
+          col("simhash").as("hb")), "b_id")
+        .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+        .select("a_id", "b_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val batch = graft.dedup.TextDedup.simHashCandidates(fp, "doc_id",
+          maxHamming = 3)
+        .select("a_id", "b_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(batch.nonEmpty, "batch simhash pair set unexpectedly empty")
+      assert(verified == batch,
+        s"streamed-verified ${verified.size} != batch ${batch.size}; " +
+          s"missing=${(batch -- verified).take(5)} " +
+          s"extra=${(verified -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  test("imageCandidateStream + stream-static bit_count verify matches " +
+      "batch imageNearDups on synthesized group images across " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val imgsDf = graft.multimodal.Multimodal.synthGroupImages(
+      spark.range(50).toDF("doc_id"), "doc_id", w = 25, h = 14)
+    val rows = imgsDf.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = IncrementalDedup.imageCandidateStream(
+      input.toDF().toDF("doc_id", "payload"), maxHamming = 2)
+    val q = out.writeStream.format("memory").queryName("img_cand_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(20).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val fp = graft.multimodal.Multimodal.imageDHashes(
+        imgsDf, "payload", "doc_id")
+      val verified = spark.table("img_cand_out")
+        .select("a_id", "b_id").distinct()
+        .join(fp.select(col("doc_id").as("a_id"),
+          col("dhash").as("ha")), "a_id")
+        .join(fp.select(col("doc_id").as("b_id"),
+          col("dhash").as("hb")), "b_id")
+        .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 2)
+        .select("a_id", "b_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val batch = graft.multimodal.Multimodal.imageNearDups(
+          imgsDf, "payload", "doc_id", maxHamming = 2)
+        .select("a_id", "b_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(batch.nonEmpty, "batch image pair set unexpectedly empty")
+      assert(verified == batch,
+        s"streamed-verified ${verified.size} != batch ${batch.size}; " +
+          s"missing=${(batch -- verified).take(5)} " +
+          s"extra=${(verified -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("boilerplateLineStream emits exactly the batch-flagged line " +
       "keys, each exactly once, across micro-batches, redeliveries, " +
       "and both key modes") {
