@@ -154,7 +154,7 @@ class TrainingSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
       df.collect().toSeq
         .map(_.toSeq.map(v => Option(v).map(_.toString).orNull))
-        .sortBy(_.mkString(""))
+        .sortBy(_.mkString("\u0001"))
     assert(canon(reparsed) == canon(labeled))
   }
 

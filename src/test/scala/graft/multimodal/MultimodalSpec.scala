@@ -291,6 +291,35 @@ class MultimodalSpec extends SparkSpec {
     ()
   }
 
+  test("dHash is PERCEPTUAL: lossy JPEG re-encode of a smooth image " +
+      "stays within a small Hamming distance of the BMP hash, far " +
+      "under the distance to an unrelated image") {
+    // Smooth low-frequency content (diagonal gradient + a soft blob):
+    // JPEG quantization perturbs pixels but cell MEANS survive, which
+    // is the property dHash banks on. Integer pixel fn on both paths.
+    val (w, h) = (88, 48)
+    def smooth(x: Int, y: Int): Int = {
+      val g = (x * 160) / (w - 1) + (y * 60) / (h - 1)
+      val dx = x - 30; val dy = y - 20
+      val blob = math.max(0, 35 - (dx * dx + dy * dy) / 12)
+      math.min(255, g + blob)
+    }
+    val viaBmp = Multimodal.dHash60(Multimodal.synthBmp(w, h, smooth))
+    val jpeg = makeImage("jpg", w, h)((x, y) =>
+      (smooth(x, y), smooth(x, y), smooth(x, y)))
+    val viaJpeg = Multimodal.dHash60(jpeg)
+    assert(viaBmp != null && viaJpeg != null)
+    val near = java.lang.Long.bitCount(
+      viaBmp.longValue() ^ viaJpeg.longValue())
+    // Unrelated content: an md5-noise image (a synthGroupImage).
+    val other = Multimodal.dHash60(Multimodal.synthGroupImage(0L, w, h))
+    val far = java.lang.Long.bitCount(
+      viaBmp.longValue() ^ other.longValue())
+    assert(near <= 6, s"JPEG re-encode moved the dHash $near bits")
+    assert(far >= 15, s"unrelated image unexpectedly close: $far bits")
+    assert(near < far, s"near $near !< far $far")
+  }
+
   test("imageNearDups: planted within-group pairs are recalled " +
       "EXACTLY (all 10 per group, Hamming <= 2, zero cross-group), " +
       "plan has no ScalaUDF / cartesian") {

@@ -97,7 +97,7 @@ class BpeSpec extends SparkSpec {
       val viaExpr = df.select(col("id"),
           graft.functions.GraftFunctions.bpeEncode(col("w"), merges)
             .as("p"))
-        .select(col("id"), array_join(col("p"), "").as("p"))
+        .select(col("id"), array_join(col("p"), "\u0001").as("p"))
         .as[(Long, String)].collect().toMap
       // 2: the HOF column-program chain (the learner's rewrite path)
       val viaCols = {
@@ -105,7 +105,7 @@ class BpeSpec extends SparkSpec {
         merges.foreach { case (l, r) =>
           c = Bpe.mergePassCol(c, lit(l), lit(r))
         }
-        df.select(col("id"), array_join(c, "").as("p"))
+        df.select(col("id"), array_join(c, "\u0001").as("p"))
           .as[(Long, String)].collect().toMap
       }
       // 3: driver-side reference written from the CONTRACT
@@ -135,7 +135,7 @@ class BpeSpec extends SparkSpec {
         syms
       }
       val viaRef = words.zipWithIndex
-        .map { case (w, i) => i.toLong -> ref(w).mkString("") }
+        .map { case (w, i) => i.toLong -> ref(w).mkString("\u0001") }
         .toMap
       assert(viaExpr == viaCols,
         s"expression vs column twin diverged at seed $seed")
@@ -165,6 +165,34 @@ class BpeSpec extends SparkSpec {
         (1L, "low lower low e s t", 6L),
         (2L, "", 1L)), rows.toString)
     } finally q.stop()
+  }
+
+  test("merge-table artifact: parquet round-trip preserves ranks and " +
+      "counts, loud on corrupt rank sequences, mergesHash is a pure " +
+      "function of the ranked pairs") {
+    val merges = Bpe.learnBpe(lowCorpus, "text", numMerges = 4,
+      minPairCount = 1L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_merges").toString + "/m.parquet"
+    Bpe.saveMerges(spark, dir, merges)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == merges, loaded.toString)
+    assert(Bpe.mergesHash(loaded) == Bpe.mergesHash(merges))
+    // Counts excluded from the hash: same ranked pairs learned from a
+    // different corpus = the same tokenizer.
+    assert(Bpe.mergesHash(merges) ==
+      Bpe.mergesHash(merges.map(m => m.copy(pairCount = 999L))))
+    // Different order/pairs = different tokenizer.
+    assert(Bpe.mergesHash(merges) !=
+      Bpe.mergesHash(merges.reverse.zipWithIndex.map {
+        case (m, i) => m.copy(rank = i + 1)
+      }))
+    // A corrupt artifact (gap in ranks) fails loudly.
+    Bpe.saveMerges(spark, dir, merges.filter(_.rank != 2))
+    intercept[IllegalArgumentException] {
+      Bpe.loadMerges(spark, dir)
+    }
+    ()
   }
 
   test("randomized learn differential: distributed learnBpe == " +
