@@ -403,14 +403,41 @@ object TextDedup {
     * chunk keys and so more candidate collisions — the usual
     * recall/cost trade, made explicit instead of silently capped.
     */
+  /** The 60-bit fingerprint's pigeonhole chunk keys as an ARRAY column
+    * — the ONE definition of the banding arithmetic, shared by the
+    * batch chunk join below and the streaming
+    * [[graft.streaming.IncrementalDedup.fingerprintCandidateStream]]
+    * (posexplode on either side yields (chunk, ckey) rows). Bounds are
+    * `c·60/chunks` with `chunks = maxHamming + 1`: any two
+    * fingerprints within `maxHamming` differing bits agree exactly on
+    * at least one chunk. That guarantee needs at least one chunk to
+    * be WIDER than zero differing bits per pigeonhole slot, i.e.
+    * `maxHamming < 60` — at 60+ every chunk is one bit and a pair
+    * differing everywhere shares nothing, so the bound is enforced
+    * loudly (a 60-bit hash can't band a ≥ 60 radius; that query is
+    * "all pairs", not a band join).
+    */
+  private[graft] def hammingChunkKeys(fp: Column,
+      maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming $maxHamming not in [0, 60): the pigeonhole " +
+        "guarantee needs chunks wider than the per-chunk difference " +
+        "budget; hamming >= 60 over 60 bits means ALL pairs")
+    val bits = 60
+    val chunks = maxHamming + 1
+    val bounds = (0 to chunks).map(c => c * bits / chunks)
+    array((0 until chunks).map { c =>
+      val lo = bounds(c)
+      val mask = (1L << (bounds(c + 1) - lo)) - 1L
+      shiftright(fp, lo).bitwiseAND(mask)
+    }: _*)
+  }
+
   def simHashCandidates(fingerprints: DataFrame, idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
-    // maxHamming < 0 would give zero pigeonhole chunks and a silently
-    // EMPTY candidate set — a caller typo must not read as "no dups".
-    require(maxHamming >= 0, s"maxHamming $maxHamming")
-    val bits = 60
-    val chunks = math.min(maxHamming + 1, bits)
-    val bounds = (0 to chunks).map(c => c * bits / chunks)
+    // maxHamming bounds checked in hammingChunkKeys (a negative value
+    // would silently read as "no dups"; >= 60 would silently DROP
+    // qualifying pairs — both fail loudly there).
     // Persisted: the chunk self-join consumes this twice — otherwise the
     // fingerprint scan runs twice. Released by sealResult before return —
     // but ONLY if this call created the cache: Dataset.persist returns
@@ -427,11 +454,8 @@ object TextDedup {
     // functions of the ids, so distinct over (a_id, b_id, ha, hb) has
     // the cardinality of (a_id, b_id).
     val banded = fp.select(col(idCol), col("simhash"),
-      posexplode(array((0 until chunks).map { c =>
-        val lo = bounds(c)
-        val mask = (1L << (bounds(c + 1) - lo)) - 1L
-        shiftright(col("simhash"), lo).bitwiseAND(mask)
-      }: _*)).as(Seq("chunk", "ckey")))
+      posexplode(hammingChunkKeys(col("simhash"), maxHamming))
+        .as(Seq("chunk", "ckey")))
     val l = banded.select(col("chunk"), col("ckey"),
       col(idCol).as("a_id"), col("simhash").as("ha"))
     val r = banded.select(col("chunk"), col("ckey"),

@@ -318,18 +318,19 @@ object IncrementalDedup {
       maxBucketState: Int = 1000, stateTtl: Option[String] = None)(
       implicit spark: SparkSession): DataFrame = {
     requireIntegralId(fps, idCol)
-    require(maxHamming >= 0, s"maxHamming $maxHamming")
-    val bits = 60
-    val chunks = math.min(maxHamming + 1, bits)
-    val bounds = (0 to chunks).map(c => c * bits / chunks)
+    // The chunk arithmetic shifts in the LONG domain; an IntegerType
+    // fingerprint would shift mod 32 (shift-by-45 = shift-by-13) and
+    // silently compute WRONG chunk keys — same "silently wrong at
+    // runtime" class requireIntegralId guards on the id.
+    require(fps.schema(fpCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"fingerprint column $fpCol must be LONG (60-bit hash), got " +
+        fps.schema(fpCol).dataType)
     pairStream(
       fps.where(col(fpCol).isNotNull)
         .select(col(idCol).cast("long").as("doc_id"),
-          posexplode(array((0 until chunks).map { c =>
-            val lo = bounds(c)
-            val mask = (1L << (bounds(c + 1) - lo)) - 1L
-            shiftright(col(fpCol), lo).bitwiseAND(mask)
-          }: _*)).as(Seq("_chunk", "_ckey")))
+          posexplode(graft.dedup.TextDedup.hammingChunkKeys(
+            col(fpCol), maxHamming)).as(Seq("_chunk", "_ckey")))
         .select(concat_ws("|", col("_chunk"), col("_ckey"))
           .as("bucket_key"), col("doc_id"))
         .where(col("doc_id").isNotNull),

@@ -158,12 +158,16 @@ object Bpe {
     * pairs — counts excluded: two corpora learning the same merges in
     * the same order ARE the same tokenizer). The tokenizer twin of the
     * model-definition hash (P9): encode artifacts stamped with it are
-    * mutually compatible iff the hashes match.
+    * mutually compatible iff the hashes match. The canonical form
+    * LENGTH-PREFIXES each symbol, so it is injective for ANY symbol
+    * content — learnBpe splits only on single spaces, so symbols can
+    * legitimately contain newlines/tabs, and a separator-based form
+    * would let two distinct tables collide.
     */
   def mergesHash(merges: Seq[Merge]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val canonical = merges
-      .map(m => s"${m.rank} ${m.l} ${m.r}")
+      .map(m => s"${m.rank}|${m.l.length}:${m.l}|${m.r.length}:${m.r}")
       .mkString("\n")
     md.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString

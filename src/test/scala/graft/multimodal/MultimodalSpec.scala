@@ -305,8 +305,31 @@ class MultimodalSpec extends SparkSpec {
       math.min(255, g + blob)
     }
     val viaBmp = Multimodal.dHash60(Multimodal.synthBmp(w, h, smooth))
-    val jpeg = makeImage("jpg", w, h)((x, y) =>
-      (smooth(x, y), smooth(x, y), smooth(x, y)))
+    // Explicit-quality JPEG encode: the default writer quality is a
+    // JDK implementation detail, and this assertion's bound must not
+    // float with the host's encoder defaults.
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = smooth(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.85f)
+      val bos = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null,
+          new javax.imageio.IIOImage(img, null, null), param)
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
     val viaJpeg = Multimodal.dHash60(jpeg)
     assert(viaBmp != null && viaJpeg != null)
     val near = java.lang.Long.bitCount(
