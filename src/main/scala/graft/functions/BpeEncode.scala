@@ -20,6 +20,24 @@ import org.apache.spark.unsafe.types.UTF8String
 final class BpeMergeTable(val l: Array[String], val r: Array[String],
     val lr: Array[String]) extends Serializable {
   def size: Int = l.length
+
+  // Content-based equality (over the ranked (l, r) pairs — `lr` is
+  // derived): [[BpeEncode]] is a case class, so with the default
+  // reference equality two bpe_encode calls built from IDENTICAL merge
+  // tables never compared semantically equal — defeating common-
+  // subexpression elimination and exchange/plan reuse for repeated
+  // encodes with the same tokenizer.
+  override def equals(other: Any): Boolean = other match {
+    case t: BpeMergeTable =>
+      java.util.Arrays.equals(l.asInstanceOf[Array[AnyRef]],
+        t.l.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(r.asInstanceOf[Array[AnyRef]],
+          t.r.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    31 * java.util.Arrays.hashCode(l.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.hashCode(r.asInstanceOf[Array[AnyRef]])
 }
 
 object BpeMergeTable {
@@ -77,9 +95,11 @@ object BpeEncode {
   }
 
   /** Codepoint split matching `split(w, "")`: "" → [""], surrogate
-    * pairs stay whole (one codepoint, one symbol).
+    * pairs stay whole (one codepoint, one symbol). `private[graft]`:
+    * [[graft.text.Bpe]]'s driver-local learn loop reuses it so the
+    * fast path's symbol grain is the compiled encode's by construction.
     */
-  private def splitCodepoints(w: String): Array[String] = {
+  private[graft] def splitCodepoints(w: String): Array[String] = {
     if (w.isEmpty) return Array("")
     val n = w.codePointCount(0, w.length)
     val out = new Array[String](n)
@@ -95,8 +115,14 @@ object BpeEncode {
     out
   }
 
-  /** One left-to-right greedy pass of merge (l, r) → lr. */
-  private def mergePass(syms: Array[String], l: String, r: String,
+  /** One left-to-right greedy pass of merge (l, r) → lr. Returns the
+    * INPUT array (reference-equal) when no adjacency matched — callers
+    * use the `eq` check as a free "did anything change" probe.
+    * `private[graft]`: [[graft.text.Bpe]]'s driver-local learn loop
+    * reuses it so learn-side rewrites and the compiled encode share one
+    * pass definition.
+    */
+  private[graft] def mergePass(syms: Array[String], l: String, r: String,
       lr: String): Array[String] = {
     val out = new Array[String](syms.length)
     var n = 0

@@ -65,20 +65,65 @@ object Bpe {
   /** Learn `numMerges` BPE merges from the corpus. Stops early when no
     * remaining adjacent pair reaches `minPairCount` (total occurrences
     * across the corpus, weighted by word frequency). Deterministic: the
-    * argmax tie-break is (count DESC, l ASC, r ASC).
+    * argmax tie-break is (count DESC, l ASC, r ASC) under UTF-8 binary
+    * string order (Spark's string ordering).
+    *
+    * '''Two kernels, one answer (bit-equality gated in BpeSpec).'''
+    * The corpus-sized `(word, count)` aggregation always runs
+    * distributed. The merge LOOP is latency-bound, not data-bound —
+    * every iteration touches vocabulary-sized data only, and the
+    * distributed loop pays two driver-coordinated Spark jobs per merge
+    * (argmax + checkpoint materialization): at a production 32k-merge
+    * table that is ~64k sequential job launches over a megabytes-sized
+    * table, hours of scheduling latency for seconds of compute. So when
+    * the multi-symbol word table fits under `driverVocabCap` rows
+    * (probed with a limit-collect — ONE job), the loop runs in-process
+    * on the driver with incremental pair-count maintenance: collect
+    * once, merge at memory speed. Driver memory budget ≈ the word
+    * strings + one int per symbol position in the pair→words index —
+    * roughly 100 bytes per position; the 2M-row default caps that well
+    * under a gigabyte. Over the cap it falls back LOUDLY (log +
+    * PhaseLog note, the CC `auto` discipline) to the distributed loop,
+    * which now also releases each iteration's superseded
+    * localCheckpoint blocks EXPLICITLY instead of waiting for
+    * GC/ContextCleaner (the r17 `block_score` measurement shows
+    * GC-timed block accumulation is a real failure mode in long-lived
+    * JVMs).
     */
   def learnBpe(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): Seq[Merge] = {
+      minPairCount: Long = 2L,
+      driverVocabCap: Long = 2000000L): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges $numMerges")
     require(minPairCount >= 1L, s"minPairCount $minPairCount")
-    // The corpus-sized pass: distinct words + counts, symbolized.
-    // Single-symbol words can never merge — pruned here and per pass.
-    var words = docs
+    // The corpus-sized pass: distinct words + counts. Single-symbol
+    // words can never merge — pruned here (length() counts codepoints,
+    // exactly the symbol grain) and per rewrite pass.
+    val wordCounts = docs
       .where(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("_w"))
       .groupBy("_w").agg(count(lit(1)).as("_n"))
+      .where(length(col("_w")) >= 2)
+    if (driverVocabCap > 0 && driverVocabCap < Int.MaxValue) {
+      // Bounded probe: one job; `limit` returns the FULL row set iff it
+      // is under the cap (the rows are a deterministic set either way —
+      // we only use a complete one).
+      val probe = wordCounts.select(col("_w"), col("_n"))
+        .limit(driverVocabCap.toInt + 1).collect()
+      if (probe.length <= driverVocabCap) {
+        graft.pipeline.PhaseLog.note("bpe_learn_kernel",
+          s"driver-local (${probe.length} words, cap $driverVocabCap)")
+        return learnDriver(probe.map(r => (r.getString(0), r.getLong(1))),
+          numMerges, minPairCount)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"learnBpe: > $driverVocabCap multi-symbol words — falling " +
+          "back to the distributed merge loop (2 jobs per merge); " +
+          "raise driverVocabCap if the driver has the memory")
+      graft.pipeline.PhaseLog.note("bpe_learn_kernel",
+        s"distributed (over cap $driverVocabCap)")
+    }
+    var words = wordCounts
       .select(split(col("_w"), "").as("_syms"), col("_n"))
-      .where(size(col("_syms")) >= 2)
       .localCheckpoint()
     val out = ArrayBuffer.empty[Merge]
     var k = 1
@@ -99,15 +144,158 @@ object Bpe {
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         out += Merge(k, l, r, best(0).getLong(2))
-        // Dropping the previous iteration's handle releases its
-        // local-checkpoint blocks via the ContextCleaner on GC (a
-        // localCheckpoint has no explicit unpersist); the live set is
-        // therefore ~one vocabulary-sized table at a time.
-        words = words
+        // The new checkpoint is materialized eagerly by localCheckpoint
+        // itself; the superseded iteration's blocks are then released
+        // EXPLICITLY (ContextCleaner-on-GC alone lets blocks accumulate
+        // when block creation outruns GC — a 32k-iteration loop can
+        // outrun it; measured precedent in blocking/Predicates.scala's
+        // r17 scaladoc). The live set is ~one vocabulary-sized table.
+        val next = words
           .select(mergePassCol(col("_syms"), lit(l), lit(r)).as("_syms"),
             col("_n"))
           .where(size(col("_syms")) >= 2)
           .localCheckpoint()
+        releaseLocalCheckpoint(words)
+        words = next
+        k += 1
+      }
+    }
+    releaseLocalCheckpoint(words)
+    out.toSeq
+  }
+
+  /** Unpersist the checkpointed RDD blocks behind a
+    * `localCheckpoint()`ed frame (Dataset.unpersist only touches
+    * CacheManager entries, not RDD-level storage). No-op for frames
+    * that are not local checkpoints.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
+  /** UTF-8 binary string comparison — Spark's string ordering (the
+    * distributed argmax's `orderBy(_l, _r)`), which DIFFERS from Java's
+    * UTF-16 `String.compareTo` for supplementary codepoints (e.g.
+    * U+FFFF sorts BELOW U+10000 in UTF-8 bytes but above it in UTF-16
+    * code units) — the driver loop must tie-break identically.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** In-process merge loop over the collected `(word, count)` table —
+    * bit-identical to the distributed loop (gated in BpeSpec): same
+    * symbol grain ([[graft.functions.BpeEncode.splitCodepoints]], the
+    * compiled encode's), same greedy pass
+    * ([[graft.functions.BpeEncode.mergePass]]), same
+    * (count DESC, l ASC, r ASC) argmax under UTF-8 binary order.
+    *
+    * Incremental bookkeeping (the classic Sennrich learn_bpe shape):
+    * a TreeSet argmax over live pair counts plus a pair → word-indices
+    * index, so each merge revisits only the words that CONTAIN the
+    * pair instead of rescanning the vocabulary. The index is
+    * append-only and may carry stale/duplicate entries; a visit whose
+    * greedy pass changes nothing (mergePass returns the input array
+    * reference) applies a zero delta, so staleness costs a no-op, not
+    * correctness.
+    */
+  private def learnDriver(rows: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[Merge] = {
+    import scala.collection.mutable
+    val nW = rows.length
+    val syms = new Array[Array[String]](nW)
+    val cnt = new Array[Long](nW)
+    var i = 0
+    while (i < nW) {
+      syms(i) = graft.functions.BpeEncode.splitCodepoints(rows(i)._1)
+      cnt(i) = rows(i)._2
+      i += 1
+    }
+    // Argmax order: count DESC, then (l, r) ASC in UTF-8 bytes.
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+          else {
+            val c = utf8Compare(a._2, b._2)
+            if (c != 0) c else utf8Compare(a._3, b._3)
+          }
+        }
+      }
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String),
+      mutable.ArrayBuffer[Int]]
+    val tree = mutable.TreeSet.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long, word: Int): Unit = {
+      if (delta == 0L) return
+      val c0 = pairCount.getOrElse(p, 0L)
+      if (c0 > 0L) tree.remove((c0, p._1, p._2))
+      val c1 = c0 + delta
+      if (c1 > 0L) {
+        pairCount(p) = c1
+        tree.add((c1, p._1, p._2))
+        if (delta > 0L && word >= 0)
+          pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) +=
+            word
+      } else pairCount.remove(p)
+      ()
+    }
+    /** Adjacent-pair occurrence multiset of one symbol array. */
+    def occs(s: Array[String]): mutable.HashMap[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        j += 1
+      }
+      m
+    }
+    i = 0
+    while (i < nW) {
+      val w = i
+      occs(syms(i)).foreach { case (p, o) => bump(p, o.toLong * cnt(w), w) }
+      i += 1
+    }
+    val out = ArrayBuffer.empty[Merge]
+    var k = 1
+    var done = false
+    while (k <= numMerges && !done) {
+      if (tree.isEmpty || tree.head._1 < minPairCount) done = true
+      else {
+        val (c, l, r) = tree.head
+        out += Merge(k, l, r, c)
+        val lr = l + r
+        val affected = pairWords.getOrElse((l, r),
+          mutable.ArrayBuffer.empty[Int])
+        pairWords.remove((l, r))
+        affected.foreach { w =>
+          val before = syms(w)
+          val after = graft.functions.BpeEncode.mergePass(before, l, r, lr)
+          if (!(after eq before)) {
+            val ob = occs(before)
+            val oa = occs(after)
+            (ob.keySet ++ oa.keySet).foreach { p =>
+              bump(p,
+                (oa.getOrElse(p, 0) - ob.getOrElse(p, 0)).toLong * cnt(w),
+                w)
+            }
+            syms(w) = after
+          }
+        }
         k += 1
       }
     }

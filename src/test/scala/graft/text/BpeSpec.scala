@@ -269,6 +269,80 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver-local fast path == distributed merge loop, bit-equal on " +
+      "randomized hostile corpora (3 seeds); over-cap input falls back " +
+      "to the distributed loop with the same answer; the distributed " +
+      "loop releases every localCheckpoint block") {
+    val alphabet = Seq("a", "b", "ab", "ba", "é", "字", "🚀", "xx")
+    Seq(7L, 1234L, 777777L).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val texts = (0 until 120).map { _ =>
+        Seq.fill(1 + r.nextInt(6))(
+          Seq.fill(r.nextInt(5))(alphabet(r.nextInt(alphabet.length)))
+            .mkString).mkString(" ")
+      } :+ ""
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fast = Bpe.learnBpe(docs, "text", numMerges = 6,
+        minPairCount = 2L) // default cap >> vocab: driver kernel
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val dist = Bpe.learnBpe(docs, "text", numMerges = 6,
+        minPairCount = 2L, driverVocabCap = 0L) // forced distributed
+      assert(fast == dist, s"seed $seed: $fast vs $dist")
+      // Explicit release: the distributed loop must leave NO
+      // localCheckpoint blocks behind (ContextCleaner-on-GC alone let
+      // blocks accumulate across long merge loops).
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      assert((after -- before).isEmpty,
+        s"seed $seed leaked checkpoint RDDs: ${after -- before}")
+      // Cap boundary: a cap smaller than the vocabulary falls back to
+      // the distributed loop (loudly) with the identical answer.
+      val overCap = Bpe.learnBpe(docs, "text", numMerges = 6,
+        minPairCount = 2L, driverVocabCap = 1L)
+      assert(overCap == fast, s"seed $seed over-cap fallback diverged")
+    }
+  }
+
+  test("driver-local argmax tie-break is UTF-8 binary order (Spark's), " +
+      "not UTF-16 compareTo: U+FFFF sorts below U+10000") {
+    // One doc, two words, each a doubled codepoint: the (U+FFFF, U+FFFF)
+    // and (U+10000, U+10000) pairs tie at count 1. UTF-8 bytes order
+    // U+FFFF (EF BF BF) BELOW U+10000 (F0 90 80 80); Java's UTF-16
+    // String.compareTo orders them the other way (surrogate D800 <
+    // FFFF). Both kernels must pick the UTF-8 winner.
+    val ffff = "￿"
+    val supp = new String(Character.toChars(0x10000))
+    val docs = Seq((1L, s"$ffff$ffff $supp$supp")).toDF("doc_id", "text")
+    val want = Seq(Bpe.Merge(1, ffff, ffff, 1L))
+    val fast = Bpe.learnBpe(docs, "text", numMerges = 1, minPairCount = 1L)
+    val dist = Bpe.learnBpe(docs, "text", numMerges = 1, minPairCount = 1L,
+      driverVocabCap = 0L)
+    assert(fast == want, fast.toString)
+    assert(dist == want, dist.toString)
+  }
+
+  test("BpeMergeTable equality is content-based: two bpe_encode calls " +
+      "built from identical merge lists canonicalize equal (CSE / plan " +
+      "reuse), different tables stay distinct") {
+    import graft.functions.BpeMergeTable
+    val ms = Seq(("l", "o"), ("lo", "w"))
+    assert(BpeMergeTable(ms) == BpeMergeTable(ms.map(identity)))
+    assert(BpeMergeTable(ms).hashCode == BpeMergeTable(ms).hashCode)
+    assert(BpeMergeTable(ms) != BpeMergeTable(ms.reverse))
+    // Expression-level equality through the analyzed plans: two
+    // projections of the same bpe_encode call over identical tables
+    // must produce semantically-equal expression trees (the CSE /
+    // plan-reuse precondition reference-equality defeated).
+    val df = Seq("low").toDF("w")
+    def exprOf(c: org.apache.spark.sql.Column) =
+      df.select(c.as("p")).queryExecution.analyzed.expressions.head
+        .children.head
+    val e1 = exprOf(graft.functions.GraftFunctions.bpeEncode(col("w"), ms))
+    val e2 = exprOf(graft.functions.GraftFunctions.bpeEncode(col("w"), ms))
+    assert(e1 == e2,
+      "identical merge tables must make bpe_encode expressions equal")
+  }
+
   test("plan: encodeBpe is zero-exchange, no ScalaUDF, the merge " +
       "table compiles into one bpe_encode call (no K-literal tree); " +
       "SQL registry form resolves") {
