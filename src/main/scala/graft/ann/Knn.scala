@@ -450,11 +450,16 @@ object Knn {
     graft.pipeline.PhaseLog.note("lsh_params.pairs",
       s"planes=$np (${if (numPlanes > 0) "pinned" else "derived"}), " +
         s"tables=$nt (${if (numTables > 0) "pinned" else "derived"})")
-    val sigs = tableSignatures(vectors, idCol, vecCol, np, nt, dim)
-    // No persist needed for the self-join: both sides canonicalize to
-    // the same shuffle, so AQE inserts a ReusedExchange at runtime and
-    // the signature-UDF pipeline executes once (verified on the
-    // executed plan; a persist here would only add a disk round-trip).
+    // Widened (graft.ops.Parallelism): on a narrow fixture scan the
+    // bucket self-join otherwise degenerates to a broadcast join whose
+    // probe + distinct partial aggregation run as ONE task over the
+    // scan's single partition (measured 6-18 s single-task jobs at
+    // sf0.1); at scale widen is a no-op. The widening exchange is also
+    // shared by both join sides (canonicalized → ReusedExchange), so
+    // the signature-UDF pipeline executes once, not twice. No persist
+    // needed for that reuse.
+    val sigs = graft.ops.Parallelism.widen(
+      tableSignatures(vectors, idCol, vecCol, np, nt, dim))
     val cand = sigs.select(col("table"), col("sig"), col("id").as("a_id"))
       .join(sigs.select(col("table"), col("sig"), col("id").as("b_id")),
         Seq("table", "sig"))

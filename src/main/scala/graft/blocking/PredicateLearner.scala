@@ -71,8 +71,18 @@ object PredicateLearner {
     */
   private final case class FittedIndices(
       spec: Seq[(TfIdfCanopy, Int)],
-      simsByRatio: Map[Double, DataFrame]) {
-    def release(): Unit = simsByRatio.values.foreach(_.unpersist(false))
+      simsByRatio: Map[Double, DataFrame],
+      pinned: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      simsByRatio.values.foreach(_.unpersist(false))
+      // The decorated token frontier outlives the sims materialization
+      // ON PURPOSE: unpersisting a frame another CACHED frame's plan
+      // references makes CacheManager recompile that cache entry, and
+      // every post-fit consumer then silently recomputes the whole fit
+      // (the measured r17 pathology on simsTagged's scaladoc). Released
+      // only here, after the sims cache itself is gone.
+      pinned.foreach(_.unpersist(false))
+    }
   }
 
   /** Fit over corpus ∪ pair values (the reference indexes training
@@ -103,7 +113,7 @@ object PredicateLearner {
     // coverage the apply-time index won't reproduce. The column-
     // predicate path is immune by construction (keys are pure
     // per-value functions).
-    val simsByRatio = spec.map(_._1).groupBy(_.maxDfRatio).map {
+    val fitted = spec.map(_._1).groupBy(_.maxDfRatio).map {
       case (ratio, ps) =>
         val fields = ps.map(_.field).distinct
         val tagged = taggedValues(records, fields)
@@ -112,11 +122,20 @@ object PredicateLearner {
           .unionByName(taggedValues(matchPairs, fields,
             f => col(s"r_$f")))
           .distinct()
-        ratio -> TfIdfCanopy.simsTagged(tagged, ratio)
+        // The decorated tf/df/norm frontier is read by all three sims
+        // consumers (l side, r side, diagonal); exchange reuse shares
+        // the shuffles below its windows, but the window sort + the
+        // decoration projection re-ran per consumer. Pinning it for the
+        // FIT'S lifetime (released in FittedIndices.release, after the
+        // sims cache — see the note there) evaluates it once.
+        val dec = TfIdfCanopy.decorate(tagged, ratio)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        ratio -> (TfIdfCanopy.simsFromDecorated(dec)
+          .persist(StorageLevel.MEMORY_AND_DISK), dec)
     }
+    val simsByRatio = fitted.map { case (k, v) => k -> v._1 }
     simsByRatio.values.foreach(_.count())
-    FittedIndices(spec, simsByRatio)
+    FittedIndices(spec, simsByRatio, fitted.values.map(_._2).toSeq)
   }
 
   /** Literal (cand, f, pid, thr) spec rows — broadcast into the sims

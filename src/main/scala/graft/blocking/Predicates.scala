@@ -218,7 +218,19 @@ object TfIdfCanopy {
     * single sims materialization; both "optimizations" lost to it at
     * scale.
     */
-  def simsTagged(values: DataFrame, maxDfRatio: Double): DataFrame = {
+  def simsTagged(values: DataFrame, maxDfRatio: Double): DataFrame =
+    simsFromDecorated(decorate(values, maxDfRatio))
+
+  /** The shared tf/df/idf/norm decoration of the token rows — the
+    * frontier every sims consumer (l side, r side, diagonal) reads.
+    * Split out so callers that materialize sims more than once can PIN
+    * it for the fit's lifetime ([[graft.blocking.PredicateLearner]]'s
+    * fitIndices persists it and releases it with the sims cache),
+    * while the default [[simsTagged]] stays deliberately lazy (see the
+    * lifecycle scars documented on [[simsTagged]] itself).
+    */
+  private[blocking] def decorate(
+      values: DataFrame, maxDfRatio: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val total = values.groupBy("f").agg(count(lit(1)).as("n_values"))
     val toks = values
@@ -228,7 +240,7 @@ object TfIdfCanopy {
       .groupBy("f", "value", "tok").agg(count(lit(1)).as("tf"))
     // toks is distinct per (f, value, tok), so the per-(f, tok) row
     // count IS the document frequency.
-    val decorated = toks
+    toks
       .withColumn("df", count(lit(1)).over(Window.partitionBy("f", "tok")))
       .join(broadcast(total), "f")
       .where(col("df").cast("double") <= col("n_values") * maxDfRatio)
@@ -238,6 +250,10 @@ object TfIdfCanopy {
       .withColumn("norm",
         sqrt(sum(col("w") * col("w")).over(Window.partitionBy("f", "value"))))
       .select("f", "value", "tok", "w", "df", "norm")
+  }
+
+  /** Cosine pairs from a decorated token frame (see [[decorate]]). */
+  private[blocking] def simsFromDecorated(decorated: DataFrame): DataFrame = {
     // A token with df = 1 lives in exactly one value, so it can only ever
     // pair a value with itself — and a value's self-cosine is 1 by
     // definition (dot(v,v) = ‖v‖²). Emitting the diagonal directly and

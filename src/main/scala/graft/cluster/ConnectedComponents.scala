@@ -56,17 +56,27 @@ object ConnectedComponents {
         col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Eager (tiny, typically empty): the returned frame must not keep
-      // a live lineage on the caller's edges after rawProj unpersists.
-      val nullSideIds = rawProj
+      // ONE probe job for BOTH the size branch and the null-edge check
+      // (separate eager nullSideIds + count actions paid two full
+      // materializations' scheduling for one answer). The agg
+      // materializes the persist; everything after reads the cache.
+      val probe = rawProj.agg(
+        count(when(col("src").isNotNull && col("dst").isNotNull,
+          lit(1))).as("n"),
+        count(lit(1)).as("total")).head()
+      val n = probe.getLong(0)
+      val hasNullEdges = probe.getLong(1) > n
+      // Eager (tiny, typically ABSENT — computed only when a null-sided
+      // edge exists): the returned frame must not keep a live lineage
+      // on the caller's edges after rawProj unpersists.
+      val nullSideIds = if (!hasNullEdges) None else Some(rawProj
         .where(col("src").isNull || col("dst").isNull)
         .select(explode(array(col("src"), col("dst"))).as("id"))
         .where(col("id").isNotNull)
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       val proj = rawProj
         .where(col("src").isNotNull && col("dst").isNotNull)
-      val n = proj.count()
       // Keyed per call site: one pipeline run calls auto from several
       // stages (HAC clustering, exact-match merges) and a single shared
       // key would surface only the last — ambiguous in the bench notes.
@@ -82,7 +92,10 @@ object ConnectedComponents {
         import spark.implicits._
         // Typed collect: Tuple2[Long, Long] is @specialized, so the
         // collected array holds primitives, not GenericRow objects.
-        val raw = proj.as[(Long, Long)].collect()
+        // Zero edges → zero collect jobs (q50's exact-merge passes
+        // routinely see an empty edge set).
+        val raw = if (n == 0L) Array.empty[(Long, Long)]
+          else proj.as[(Long, Long)].collect()
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -110,9 +123,12 @@ object ConnectedComponents {
         spark.createDataset(ids.toSeq.map(id => (id, find(id))))
           .toDF("id", "component")
       }
-      out.unionByName(
-        nullSideIds.join(out.select("id"), Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("component")))
+      // No null-sided edges (the common case): the output is `out`
+      // itself — no union/anti-join cruft in every consumer's plan.
+      nullSideIds.fold(out)(ns =>
+        out.unionByName(
+          ns.join(out.select("id"), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("component"))))
     } finally {
       // Not conditional on success: runStar's non-convergence throw
       // must not leave the projection pinned for the session lifetime.

@@ -274,8 +274,13 @@ object TextDedup {
     // Persisted: the self-join consumes this frontier twice, and Spark
     // does not share common subplans across join inputs — without the
     // persist the whole shingle→md5→signature pipeline runs twice.
-    // Released by sealResult before return.
-    val banded = bandBuckets(sigs, idCol, numHashes, bands)
+    // Released by sealResult before return. Widened BEFORE the persist
+    // (see graft.ops.Parallelism): on a narrow fixture scan the bucket
+    // self-join otherwise runs its probe + distinct partial aggregation
+    // as ONE task; at scale widen is a no-op and the join's own
+    // exchanges (with AQE skew split) are untouched.
+    val banded = graft.ops.Parallelism.widen(
+        bandBuckets(sigs, idCol, numHashes, bands))
       .persist(Disk)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
@@ -435,9 +440,14 @@ object TextDedup {
 
   def simHashCandidates(fingerprints: DataFrame, idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
-    // maxHamming bounds checked in hammingChunkKeys (a negative value
-    // would silently read as "no dups"; >= 60 would silently DROP
-    // qualifying pairs — both fail loudly there).
+    // maxHamming bounds checked BEFORE the persist below (a negative
+    // value would silently read as "no dups"; >= 60 would silently DROP
+    // qualifying pairs). hammingChunkKeys re-checks as the shared
+    // guard, but ITS require used to fire after fingerprints.persist
+    // had already registered a CacheManager entry that sealResult then
+    // never released — a cache leak on the error path.
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming $maxHamming not in [0, 60)")
     // Persisted: the chunk self-join consumes this twice — otherwise the
     // fingerprint scan runs twice. Released by sealResult before return —
     // but ONLY if this call created the cache: Dataset.persist returns
@@ -452,10 +462,15 @@ object TextDedup {
     // afterwards — the opposite call from the embedding LSH path, whose
     // wide vectors must NOT travel through the bucket join. ha/hb are
     // functions of the ids, so distinct over (a_id, b_id, ha, hb) has
-    // the cardinality of (a_id, b_id).
-    val banded = fp.select(col(idCol), col("simhash"),
-      posexplode(hammingChunkKeys(col("simhash"), maxHamming))
-        .as(Seq("chunk", "ckey")))
+    // the cardinality of (a_id, b_id). Widened (graft.ops.Parallelism):
+    // on a narrow fixture scan the chunk self-join otherwise runs its
+    // probe + distinct partial aggregation as ONE task; at scale widen
+    // is a no-op and the join's own exchanges (with AQE skew split —
+    // the documented hot-chunk story) are untouched.
+    val banded = graft.ops.Parallelism.widen(
+      fp.select(col(idCol), col("simhash"),
+        posexplode(hammingChunkKeys(col("simhash"), maxHamming))
+          .as(Seq("chunk", "ckey"))))
     val l = banded.select(col("chunk"), col("ckey"),
       col(idCol).as("a_id"), col("simhash").as("ha"))
     val r = banded.select(col("chunk"), col("ckey"),
