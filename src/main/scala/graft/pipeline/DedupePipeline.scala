@@ -106,7 +106,15 @@ object DedupePipeline {
       entriesUnique: DataFrame,
       cfg: DedupeConfig,
       predicates: Seq[Predicate]): (DataFrame, DataFrame, DataFrame) = {
+    // Persisted: the blocking-map lineage — including any canopy
+    // refit's tokenize → idf → token self-join — is read TWICE
+    // structurally (pluralKeys' eager zipWithIndex numbering job, then
+    // again as the probe side of pluralBlocks' join; only the part
+    // below pluralKeys' range exchange is covered by retained shuffle
+    // files). The handle rides Result.cached like pb/sc, so the
+    // caller's release() drops it.
     val bm = Blocker.blockingMap(entriesUnique, predicates)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pk = RelationalOps.pluralKeys(bm, cfg.maxBlockSize.toLong)
     val pb = RelationalOps.pluralBlocks(bm, pk)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -258,6 +266,6 @@ object DedupePipeline {
     val um = um0.persist(StorageLevel.MEMORY_AND_DISK)
     timed("apply")(um.count())
     Result(eu, bm, pairs, scored, em, mapped, um, model, predicates,
-      cached = Seq(src, eu, pb, sc, scored, em, um))
+      cached = Seq(src, eu, bm, pb, sc, scored, em, um))
   }
 }

@@ -68,8 +68,14 @@ object AnalyticsQueries {
           .where(col("o_orderdate") < lit("1997-01-01"))
         val l = Tables.load(s, dir, "lineitem")
           .where(col("l_shipdate") > lit("1997-01-01"))
+        // No broadcast hint on customer: it SCALES with SF (hundreds of
+        // GB at 100 TB — over the 8 GB broadcast cap), so the strategy
+        // is left to the planner/AQE, which still auto-broadcasts below
+        // the threshold (every local SF) and picks a shuffle join at
+        // scale. Only fixed-size dimensions (nation: 25 rows, region:
+        // 5) keep explicit hints in this file.
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey")
           .agg(descale(exactSum(col("l_extendedprice") *
             (lit(1.0) - col("l_discount")), 10000), 10000).as("revenue"))
@@ -101,9 +107,11 @@ object AnalyticsQueries {
           .where(col("o_orderdate") >= lit("1996-01-01") &&
             col("o_orderdate") < lit("1998-01-01"))
         val l = Tables.load(s, dir, "lineitem")
+        // customer/supplier scale with SF — no broadcast hints (see
+        // q21's note); nation/region are fixed-size and keep theirs.
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

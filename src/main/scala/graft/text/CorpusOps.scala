@@ -100,13 +100,22 @@ object CorpusOps {
       docs: DataFrame, isEval: Column, idCol: String, textCol: String,
       n: Int, broadcastEval: Boolean = true,
       gramHash: String = "literal"): DataFrame = {
-    val g = ngrams(tokens(textCol), n)
+    // Tokenize ONCE per row behind a projection boundary (the
+    // interpreted-HOF re-evaluation trap, see chunkTokens): ngrams'
+    // lambda slices its tokens argument per ELEMENT, so an inlined
+    // tokens(textCol) expression re-tokenized the text once per n-gram.
+    // The multiply-referenced non-cheap alias keeps CollapseProject
+    // from re-inlining it.
+    val g = ngrams(col("_graft_toks"), n)
     val evalGrams = docs.where(isEval)
+      .select(tokens(textCol).as("_graft_toks"))
       .select(explode(g).as("_g"))
       .select(gramKey(col("_g"), gramHash).as("gram")).distinct()
     val train = docs.where(!isEval)
     val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    val matched = train.select(col(idCol), explode(g).as("_g"))
+    val matched = train
+      .select(col(idCol), tokens(textCol).as("_graft_toks"))
+      .select(col(idCol), explode(g).as("_g"))
       .select(col(idCol), gramKey(col("_g"), gramHash).as("gram"))
       .join(evalSide, "gram")
       .groupBy(idCol).agg(countDistinct("gram").as("n_matched"))
@@ -125,8 +134,10 @@ object CorpusOps {
   def repetitionScore(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val g = ngrams(tokens(textCol), n)
-    docs.select(col(idCol), g.as("g"))
+    // Tokenize once per row behind a projection boundary (see
+    // decontaminate's note — per-element re-tokenization otherwise).
+    docs.select(col(idCol), tokens(textCol).as("_graft_toks"))
+      .select(col(idCol), ngrams(col("_graft_toks"), n).as("g"))
       .select(col(idCol),
         size(col("g")).cast("long").as("n_grams"),
         size(array_distinct(col("g"))).cast("long").as("n_distinct"))
@@ -153,16 +164,21 @@ object CorpusOps {
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       minDocs: Int, gramHash: String = "literal"): DataFrame = {
     require(minDocs >= 2, s"minDocs $minDocs")
+    // Tokenize once per row behind projection boundaries (see
+    // decontaminate's note — per-element re-tokenization otherwise).
     val grams = docs
-      .select(col(idCol), explode(ngrams(tokens(textCol), n)).as("_g"))
+      .select(col(idCol), tokens(textCol).as("_graft_toks"))
+      .select(col(idCol),
+        explode(ngrams(col("_graft_toks"), n)).as("_g"))
       .select(col(idCol), gramKey(col("_g"), gramHash).as("gram"))
     val dup = grams.groupBy("gram")
       .agg(countDistinct(idCol).as("nd"))
       .where(col("nd") >= minDocs).select("gram")
     val per = grams.join(dup, Seq("gram"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_dup_spans"))
-    docs.select(col(idCol),
-        size(ngrams(tokens(textCol), n)).cast("long").as("n_spans"))
+    docs.select(col(idCol), tokens(textCol).as("_graft_toks"))
+      .select(col(idCol),
+        size(ngrams(col("_graft_toks"), n)).cast("long").as("n_spans"))
       .join(per, Seq(idCol), "left")
       .select(col(idCol), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
@@ -282,8 +298,11 @@ object CorpusOps {
       textCol: String, n: Int,
       watermark: Option[(String, String)] = None,
       gramHash: String = "literal"): DataFrame = {
+    // Tokenize once per row behind projection boundaries (see
+    // decontaminate's note — per-element re-tokenization otherwise).
     val evalGrams = evalDocs
-      .select(explode(ngrams(tokens(textCol), n)).as("_g"))
+      .select(tokens(textCol).as("_graft_toks"))
+      .select(explode(ngrams(col("_graft_toks"), n)).as("_g"))
       .select(gramKey(col("_g"), gramHash).as("gram")).distinct()
     val arrivals = watermark.fold(train) { case (timeCol, delay) =>
       train.withWatermark(timeCol, delay)
@@ -291,7 +310,8 @@ object CorpusOps {
     val keep: Seq[Column] =
       col(idCol) +: watermark.map(w => col(w._1)).toSeq
     val flagged = arrivals
-      .select(keep :+ explode(ngrams(tokens(textCol), n)).as("_g"): _*)
+      .select(keep :+ tokens(textCol).as("_graft_toks"): _*)
+      .select(keep :+ explode(ngrams(col("_graft_toks"), n)).as("_g"): _*)
       .select(keep :+ gramKey(col("_g"), gramHash).as("gram"): _*)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
     watermark match {
@@ -653,8 +673,16 @@ object CorpusOps {
       .select(col(idCol), explode(split(col(textCol), " ")).as("_term"))
     val tf = tok.groupBy(col(idCol), col("_term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("_term"))
-      .agg(countDistinct(col(idCol)).as("_df"))
+    // Document frequency FROM the tf aggregate, not a second pass over
+    // the exploded corpus: tf has exactly one row per (doc, term) with
+    // non-null ids, so count(*) per term IS countDistinct(doc). The two
+    // old aggregations grouped the token rows by different keys, so
+    // their exchanges could not be reused and the corpus was scanned +
+    // exploded twice; this shape shares one corpus pass (tf's exchange
+    // is reused for both consumers) and aggregates vocabulary-sized
+    // rows instead of corpus token rows.
+    val dfreq = tf.groupBy(col("_term"))
+      .agg(count(lit(1)).as("_df"))
     tf.join(dfreq, "_term")
       .select(col(idCol), col("_term"), col("tf"),
         (col("tf").cast("double") / col("_df")).as("score"))
@@ -1039,7 +1067,15 @@ object CorpusOps {
     require(window >= 1, s"window $window")
     require(stride >= 1 && stride <= window,
       s"stride $stride not in [1, window=$window]")
-    val toks = split(col(textCol), " ")
+    // Tokenize ONCE per row behind a projection boundary: the chunk
+    // expression references the token array 2 + 2·chunks times per row
+    // (sequence bound, slice + least per element), and with the split
+    // inlined each reference re-split the text — the interpreted-HOF
+    // re-evaluation trap documented on TextDedup.shingles. Because the
+    // alias is non-cheap and multiply-referenced, CollapseProject keeps
+    // the boundary, so `_graft_toks` materializes once per row
+    // (verified in the q63 plan: split appears in its own Project).
+    val toks = col("_graft_toks")
     val n = size(toks)
     // Integer `/` is DOUBLE division in Spark SQL; the cast truncates
     // toward zero, which equals floor here because n >= 1 (split never
@@ -1052,6 +1088,7 @@ object CorpusOps {
         least(lit(window), n - i * lit(stride)).cast("long")
           .as("n_tokens")))
     docs.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("_graft_toks"))
       .select(col(idCol), posexplode(chunks))
       .select(col(idCol), col("pos").cast("int").as("chunk_id"),
         col("col.chunk_text"), col("col.n_tokens"))

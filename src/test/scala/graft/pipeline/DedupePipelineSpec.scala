@@ -48,10 +48,10 @@ class DedupePipelineSpec extends SparkSpec {
     import org.apache.spark.storage.StorageLevel
     val entries = FakePersons.population(spark, 100, seed = 31L)
     val result = DedupePipeline.run(entries, cfg)
-    // run() pins 7 frontiers (src, eu, pb, sc, scored, em, um) and every
-    // handle must be tracked — a persist() outside Result.cached is a
-    // session-lifetime leak (the round-7 TextDedup defect class).
-    assert(result.cached.size == 7)
+    // run() pins 8 frontiers (src, eu, bm, pb, sc, scored, em, um) and
+    // every handle must be tracked — a persist() outside Result.cached
+    // is a session-lifetime leak (the round-7 TextDedup defect class).
+    assert(result.cached.size == 8)
     assert(result.cached.forall(_.storageLevel != StorageLevel.NONE),
       "run() should have pinned its frontiers")
     result.release(result.uniqueMap)
