@@ -87,6 +87,11 @@ object Bench {
     // integer dHash + SimHash chunk join — benched so the decode/hash
     // expression and the Hamming band join show round-over-round.
     "q75_image_neardup",
+    // Full trainer-prep chain (round 21 addition): learn -> encode ->
+    // vocab -> ids composition — benched so the composed path carries
+    // a wall-clock number like every other query family (each stage is
+    // also benched individually via q73/q74/q69).
+    "q76_bpe_ids",
     "q50_dedupe_pipeline")
 
   private def median(xs: Seq[Double]): Double = {
