@@ -33,11 +33,17 @@ object JobProfile {
     }
     def reset(): Unit = synchronized(jobs.clear())
     def dump(): Unit = synchronized {
-      jobs.values.foreach { j =>
+      // A job whose end event hasn't drained from the async listener
+      // bus yet (end == 0) would print a huge negative duration and
+      // corrupt the TOTAL — mark it and keep it out of the sum.
+      val (done, running) = jobs.values.partition(_.end > 0)
+      done.foreach { j =>
         println(f"[job] ${j.id}%4d ${(j.end - j.start) / 1e3}%8.3f s " +
           f"stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.desc}")
       }
-      println(f"[job] TOTAL ${jobs.values.map(j => j.end - j.start).sum / 1e3}%.3f s across ${jobs.size} jobs")
+      running.foreach(j => println(s"[job] ${j.id} STILL RUNNING/undrained"))
+      println(f"[job] TOTAL ${done.map(j => j.end - j.start).sum / 1e3}%.3f s across ${done.size} jobs" +
+        (if (running.nonEmpty) s" (+${running.size} undrained)" else ""))
     }
   }
 

@@ -42,7 +42,9 @@ object Profile {
     val eu = DedupePipeline.preprocess(entries, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("preprocess")(println(s"  entries_unique=${eu.count()}"))
-    val (bm, sc, _) = DedupePipeline.block(eu, cfg, predicates)
+    // block() persists bm/sc/pb — track them for release at the end
+    // (the session-lifetime cache-pin defect class).
+    val (bm, sc, pb) = DedupePipeline.block(eu, cfg, predicates)
     time("blocking_map")(println(s"  bm=${bm.count()}"))
     time("smaller_coverage")(println(s"  sc=${sc.count()}"))
     val (pairs, scored0) = DedupePipeline.scorePairs(eu, sc, cfg, model)
@@ -60,6 +62,7 @@ object Profile {
     time("cluster_hac")(println(s"  entity_map=${em.count()}"))
     val (mapped, um) = DedupePipeline.apply(em, eu, entries, cfg)
     time("apply_merge")(println(s"  unique_map=${um.count()}"))
+    Seq(bm, sc, pb, eu, scored, em).foreach(_.unpersist(false))
     spark.stop()
   }
 }

@@ -17,8 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the word text — a word not containing `lr` can skip pass `k`
   * without scanning symbols).
   */
-final class BpeMergeTable(val l: Array[String], val r: Array[String],
-    val lr: Array[String]) extends Serializable {
+final class BpeMergeTable private (val l: Array[String],
+    val r: Array[String], val lr: Array[String]) extends Serializable {
   def size: Int = l.length
 
   // Content-based equality (over the ranked (l, r) pairs — `lr` is
@@ -26,7 +26,11 @@ final class BpeMergeTable(val l: Array[String], val r: Array[String],
   // reference equality two bpe_encode calls built from IDENTICAL merge
   // tables never compared semantically equal — defeating common-
   // subexpression elimination and exchange/plan reuse for repeated
-  // encodes with the same tokenizer.
+  // encodes with the same tokenizer. Equality MAY ignore `lr` only
+  // because the constructor is private and the companion apply derives
+  // lr = l + r — a hand-built table with a divergent lr could otherwise
+  // compare equal to a semantically different one and be conflated by
+  // CSE.
   override def equals(other: Any): Boolean = other match {
     case t: BpeMergeTable =>
       java.util.Arrays.equals(l.asInstanceOf[Array[AnyRef]],
@@ -41,6 +45,8 @@ final class BpeMergeTable(val l: Array[String], val r: Array[String],
 }
 
 object BpeMergeTable {
+  /** The ONLY constructor path — derives `lr`, preserving the
+    * invariant the content-based equals relies on. */
   def apply(merges: Seq[(String, String)]): BpeMergeTable = {
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       require(l != null && r != null && l.nonEmpty && r.nonEmpty,

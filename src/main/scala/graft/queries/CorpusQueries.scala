@@ -572,7 +572,8 @@ object CorpusQueries {
       "q73_bpe_learn",
       (s, dir) => graft.text.Bpe.mergesToDf(s,
         graft.text.Bpe.learnBpe(Tables.load(s, dir, "documents"),
-          "text", numMerges = 8, minPairCount = 2L)),
+          "text", numMerges = 8, minPairCount = 2L,
+          noteLabel = "q73")),
       Some(s"""WITH ${bpeLearnCtes(8)}
         SELECT * FROM (${(1 to 8).map(i =>
           s"""SELECT $i AS merge_rank, l AS lhs, r AS rhs,
@@ -593,7 +594,8 @@ object CorpusQueries {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val merges = graft.text.Bpe.learnBpe(docs, "text",
-          numMerges = 8, minPairCount = 2L).map(m => (m.l, m.r))
+          numMerges = 8, minPairCount = 2L, noteLabel = "q74")
+          .map(m => (m.l, m.r))
         graft.text.Bpe.encodeBpe(docs, merges, "doc_id", "text")
           .select(col("doc_id"),
             array_join(col("pieces"), " ").as("pieces"),
@@ -632,7 +634,8 @@ object CorpusQueries {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val merges = graft.text.Bpe.learnBpe(docs, "text",
-          numMerges = 8, minPairCount = 2L).map(m => (m.l, m.r))
+          numMerges = 8, minPairCount = 2L, noteLabel = "q76")
+          .map(m => (m.l, m.r))
         val ptext = graft.text.Bpe
           .encodeBpe(docs, merges, "doc_id", "text")
           .select(col("doc_id"), array_join(col("pieces"), " ").as("pt"))

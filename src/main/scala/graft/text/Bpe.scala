@@ -92,26 +92,38 @@ object Bpe {
     */
   def learnBpe(docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L,
-      driverVocabCap: Long = 2000000L): Seq[Merge] = {
+      driverVocabCap: Long = 2000000L,
+      noteLabel: String = "learn"): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges $numMerges")
     require(minPairCount >= 1L, s"minPairCount $minPairCount")
-    // The corpus-sized pass: distinct words + counts. Single-symbol
-    // words can never merge — pruned here (length() counts codepoints,
-    // exactly the symbol grain) and per rewrite pass.
+    // The corpus-sized pass: distinct words + counts, materialized as
+    // ONE eager localCheckpoint so BOTH kernels pay exactly one pass
+    // over the text (a bare limit-collect probe + a separate first
+    // checkpoint re-ran the corpus aggregation twice on the fallback
+    // path). Single-symbol words can never merge — pruned here
+    // (length() counts codepoints, exactly the symbol grain) and per
+    // rewrite pass.
     val wordCounts = docs
       .where(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("_w"))
       .groupBy("_w").agg(count(lit(1)).as("_n"))
       .where(length(col("_w")) >= 2)
+      .localCheckpoint()
+    // Keyed per call site (the cc_kernel discipline): q73/q74/q76 all
+    // learn in one bench run, and a shared key would surface only the
+    // last writer's kernel choice in the notes.
+    def note(v: String): Unit =
+      graft.pipeline.PhaseLog.note(s"bpe_learn_kernel.$noteLabel", v)
     if (driverVocabCap > 0 && driverVocabCap < Int.MaxValue) {
-      // Bounded probe: one job; `limit` returns the FULL row set iff it
-      // is under the cap (the rows are a deterministic set either way —
-      // we only use a complete one).
+      // Bounded probe over the checkpoint (cheap — no corpus rescan);
+      // `limit` returns the FULL row set iff it is under the cap (the
+      // rows are a deterministic set either way — we only use a
+      // complete one).
       val probe = wordCounts.select(col("_w"), col("_n"))
         .limit(driverVocabCap.toInt + 1).collect()
       if (probe.length <= driverVocabCap) {
-        graft.pipeline.PhaseLog.note("bpe_learn_kernel",
-          s"driver-local (${probe.length} words, cap $driverVocabCap)")
+        note(s"driver-local (${probe.length} words, cap $driverVocabCap)")
+        releaseLocalCheckpoint(wordCounts)
         return learnDriver(probe.map(r => (r.getString(0), r.getLong(1))),
           numMerges, minPairCount)
       }
@@ -119,12 +131,15 @@ object Bpe {
         s"learnBpe: > $driverVocabCap multi-symbol words — falling " +
           "back to the distributed merge loop (2 jobs per merge); " +
           "raise driverVocabCap if the driver has the memory")
-      graft.pipeline.PhaseLog.note("bpe_learn_kernel",
-        s"distributed (over cap $driverVocabCap)")
+      note(s"distributed (over cap $driverVocabCap)")
     }
+    // Lazy projection over the checkpointed word table — the first
+    // iteration re-splits from the (vocabulary-sized) checkpoint; the
+    // first rewrite's own localCheckpoint then supersedes it and
+    // releaseLocalCheckpoint(words) below frees the word-table blocks
+    // through the projection's plan.
     var words = wordCounts
       .select(split(col("_w"), "").as("_syms"), col("_n"))
-      .localCheckpoint()
     val out = ArrayBuffer.empty[Merge]
     var k = 1
     var done = false

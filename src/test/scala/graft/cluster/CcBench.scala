@@ -46,7 +46,10 @@ object CcBench {
     val eu = DedupePipeline.preprocess(
       PipelineQueries.personEntries(spark, dir), cfg)
       .persist()
-    val (_, sc, _) = DedupePipeline.block(eu, cfg,
+    // block() persists bm/sc/pb — release them once `above` is
+    // materialized so the CC timings below don't run against pinned
+    // pipeline frontiers.
+    val (bm, sc, pb) = DedupePipeline.block(eu, cfg,
       DedupePipeline.defaultPredicates(cfg))
     val (_, scored0) = DedupePipeline.scorePairs(eu, sc, cfg,
       LogisticModel.default(cfg))
@@ -54,6 +57,7 @@ object CcBench {
       .where(col("score") >= cfg.threshold)
       .persist()
     println(s"[ccbench] person edges: ${above.count()}")
+    Seq(bm, sc, pb).foreach(_.unpersist(false))
     val a = time("person min-label")(
       ConnectedComponents.run(above).collect().map(r =>
         r.getLong(0) -> r.getLong(1)).toMap)
