@@ -270,7 +270,12 @@ object TextDedup {
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleK: Int = 3, numHashes: Int = 12,
       bands: Int = 4): DataFrame = {
-    val sigs = minHashSignature(docs, textCol, idCol, shingleK, numHashes)
+    // Widened at the SOURCE (batch op only — a stream has no scan-
+    // partitioning problem): the shingle+md5 signature UDF is the
+    // expensive per-row pass, and a narrow fixture scan would run it
+    // single-task; no-op at scale.
+    val sigs = minHashSignature(graft.ops.Parallelism.widen(docs),
+      textCol, idCol, shingleK, numHashes)
     // Persisted: the self-join consumes this frontier twice, and Spark
     // does not share common subplans across join inputs — without the
     // persist the whole shingle→md5→signature pipeline runs twice.

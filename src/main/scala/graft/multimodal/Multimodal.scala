@@ -577,7 +577,12 @@ object Multimodal {
   def imageNearDups(df: DataFrame, binCol: String, idCol: String,
       maxHamming: Int = 2): DataFrame =
     graft.dedup.TextDedup.simHashCandidates(
-      imageDHashes(df, binCol, idCol)
+      // Widened at the SOURCE: the per-row decode+dHash is the
+      // expensive part of this op, and a narrow fixture scan would run
+      // it single-task inside the fingerprint persist fill (widen is a
+      // no-op once the scan has >= default-parallelism partitions — at
+      // scale this adds nothing).
+      imageDHashes(graft.ops.Parallelism.widen(df), binCol, idCol)
         .withColumnRenamed("dhash", "simhash"),
       idCol, maxHamming)
 

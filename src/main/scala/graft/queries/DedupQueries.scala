@@ -306,7 +306,10 @@ object DedupQueries {
     QueryDef(
       "q37_simhash_pairs",
       (s, dir) => {
-        val fp = TextDedup.simHash(Tables.load(s, dir, "documents"))
+        // Widened at the source so the per-row token-md5 bit-vote UDF
+        // parallelizes over a narrow fixture scan (no-op at scale).
+        val fp = TextDedup.simHash(graft.ops.Parallelism.widen(
+          Tables.load(s, dir, "documents")))
         TextDedup.simHashCandidates(fp, maxHamming = 3)
       },
       Some(simhashOracleSql(3))),
