@@ -31,7 +31,18 @@ object JobProfile {
     override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
       jobs.get(e.jobId).foreach(_.end = e.time)
     }
-    def reset(): Unit = synchronized(jobs.clear())
+    final case class S(id: Int, name: String, secs: Double, tasks: Int)
+    val stages = mutable.ArrayBuffer.empty[S]
+    override def onStageCompleted(
+        e: SparkListenerStageCompleted): Unit = synchronized {
+      val si = e.stageInfo
+      val secs = (for {
+        s <- si.submissionTime; c <- si.completionTime
+      } yield (c - s) / 1e3).getOrElse(-1.0)
+      stages += S(si.stageId, si.name.takeWhile(_ != '\n').take(70),
+        secs, si.numTasks)
+    }
+    def reset(): Unit = synchronized { jobs.clear(); stages.clear() }
     def dump(): Unit = synchronized {
       // A job whose end event hasn't drained from the async listener
       // bus yet (end == 0) would print a huge negative duration and
@@ -44,6 +55,11 @@ object JobProfile {
       running.foreach(j => println(s"[job] ${j.id} STILL RUNNING/undrained"))
       println(f"[job] TOTAL ${done.map(j => j.end - j.start).sum / 1e3}%.3f s across ${done.size} jobs" +
         (if (running.nonEmpty) s" (+${running.size} undrained)" else ""))
+      // Slow stages (>= 0.3 s submission→completion): where a
+      // multi-stage job's wall-clock actually goes.
+      stages.filter(_.secs >= 0.3).sortBy(-_.secs).take(20).foreach { s =>
+        println(f"[stage] ${s.id}%4d ${s.secs}%8.3f s tasks=${s.tasks}%4d  ${s.name}")
+      }
     }
   }
 
